@@ -1,0 +1,69 @@
+"""Shared model-layer plumbing.
+
+The reference implements each model family as a standalone objective function
+over a packed flat parameter vector (``Utility/logpos.py``: ``nlogpos_obj``,
+``nlogpos_obj_SVC``, ``nlogpos_obj_S`` and Hadamard variants).  We keep the
+*flat-vector* calling convention (it is what MAP/HMC engines consume and what
+checkpoints store — parity with the reference's ``MAP.dat`` layout), but each
+model module additionally exposes:
+
+* ``unpack(vec, n, m)`` / ``pack(...)`` — layout identical to the reference's
+  ``vec2pars*`` (logpos.py:17-71),
+* ``nlogpos(vec, ...)`` — parity API, recomputes everything,
+* ``make_objective(...)`` — returns a jit-friendly closure with all
+  loop-invariant quantities (prior Gram Cholesky factors, index maps)
+  precomputed ONCE, for use inside ``lax.scan`` training loops.  The reference
+  rebuilds and refactors the prior covariances every Adam iteration
+  (logpos.py:271-279, 357-365); hoisting them is a large constant-factor win.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from .. import settings
+
+
+class FullData(NamedTuple):
+    """Fully-observed multi-task data: every task observed at every input.
+
+    ``x``: (N,) inputs; ``y``: (N, M) observations.
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+
+class HadamardData(NamedTuple):
+    """One observation per (input, task) pair — the reference's "hadamard" layout.
+
+    ``x``: (N,) inputs; ``indx``: (N,) int task index; ``y``: (N,) observations.
+    """
+
+    x: jnp.ndarray
+    indx: jnp.ndarray
+    y: jnp.ndarray
+
+
+def as_full_data(x, y) -> FullData:
+    return FullData(settings.asarray(x), settings.asarray(y))
+
+
+def as_hadamard_data(x, indx, y) -> HadamardData:
+    return HadamardData(
+        settings.asarray(x), jnp.asarray(indx, jnp.int32), settings.asarray(y)
+    )
+
+
+def task_major(y: jnp.ndarray) -> jnp.ndarray:
+    """Flatten (N, M) observations task-major: y = Y.T.reshape(-1).
+
+    Matches the reference's ``y = Y.t().contiguous().view(-1)`` layout used by
+    every objective (e.g. logpos.py:250).
+    """
+    return y.T.reshape(-1)
+
+
+Objective = Callable[[jnp.ndarray], jnp.ndarray]

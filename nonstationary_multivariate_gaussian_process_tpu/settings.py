@@ -1,0 +1,42 @@
+"""Global numerics settings.
+
+TPU-native analogue of the reference's ``Utility/settings.py``
+(``/root/reference/Utility/settings.py:3-6``: ``torch.DoubleTensor``,
+``jitter = 1e-6``, ``precision = 1e-6``).
+
+The reference runs everything in float64 on CPU.  On TPU, float64 is emulated
+and slow, so we make the working dtype configurable:
+
+* ``NMGP_X64=1`` (default): float64 everywhere — bit-compatible with the
+  reference posterior values to ~1e-6 rtol.
+* ``NMGP_X64=0``: float32 compute; solves still honor the same jitter ladder.
+
+Import this module before any other module in the package: it flips
+``jax_enable_x64`` which must happen before arrays are created.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_X64 = os.environ.get("NMGP_X64", "1") not in ("0", "false", "False")
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
+#: Default floating dtype for all covariance/posterior computations.
+dtype = jnp.float64 if _X64 else jnp.float32
+
+#: Diagonal jitter added to self-covariance matrices (reference: settings.jitter).
+jitter = 1e-6
+
+#: Small positive floor used for variance clipping and fallback jitter
+#: (reference: settings.precision).
+precision = 1e-6
+
+
+def asarray(x, dt=None):
+    """Convert to a jnp array in the global working dtype."""
+    return jnp.asarray(x, dtype=dt or dtype)

@@ -1,0 +1,85 @@
+"""Test configuration.
+
+Forces the CPU backend with 8 virtual devices so multi-chip sharding paths
+(`shard_map` over a Mesh) are exercised without TPU hardware, and float64 so
+golden tests against the reference formulas hold at tight tolerances.
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+# Force-override: the surrounding environment may pin JAX_PLATFORMS to a TPU
+# tunnel (and its site hook re-pins it via jax config at interpreter start), so
+# both the env var AND the jax config must be set; tests run on the local CPU
+# backend with 8 virtual devices for mesh/sharding coverage.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("NMGP_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+REFERENCE_PATH = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "Utility"))
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the public reference implementation as a test oracle (if mounted).
+
+    torch>=2 removed ``torch.symeig``/``torch.solve``; install thin shims so the
+    reference's numerics run unmodified.
+    """
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import torch
+
+    # torch>=2 keeps removed-op stubs that raise; override unconditionally.
+    def _symeig(a, eigenvectors=False, upper=False):
+        w, v = torch.linalg.eigh(a, UPLO="U" if upper else "L")
+        return (w, v) if eigenvectors else (w, torch.zeros_like(a))
+
+    torch.symeig = _symeig
+
+    def _solve(input, A):
+        return torch.linalg.solve(A, input), None
+
+    torch.solve = _solve
+    torch.cholesky = torch.linalg.cholesky
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from Utility import distributions, kernels, kronecker_operation, logpos, utils
+
+    return {
+        "logpos": logpos,
+        "kernels": kernels,
+        "kron": kronecker_operation,
+        "distributions": distributions,
+        "utils": utils,
+        "torch": torch,
+    }
