@@ -1,0 +1,109 @@
+"""Synthetic data generators.
+
+TPU-native re-design of the reference's ``SIM_code/sim.py`` generators:
+
+* :func:`sim_mnts`   — nonstationary multivariate time series with known latent
+  processes (reference ``SIM_MNTS``, sim.py:173-275): log-lengthscale
+  ``3(x−1)³ − 3``, std processes ``(1+x², 2−x²)``, correlation process
+  ``cos(πx)``, noise variance 1e-2.
+* :func:`sim_mnts_s` — stationary-correlation variant (``SIM_MNTS_S``,
+  sim.py:102-171): correlation fixed at 0.5, stds ``(1+x², 2(1+x²))``.
+
+All randomness flows through explicit JAX PRNG keys (the reference relies on
+global ``np.random``/``torch.manual_seed`` state, sim.py:157).  The draw of
+``y ~ MVN(0, K + σ²I)`` uses the same GNMGP Gram assembly as the model layer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+from ..models import gnmgp
+from ..ops import kernels, transforms
+
+
+class SimData(NamedTuple):
+    """A simulated subject with ground-truth latent processes.
+
+    Field layout mirrors the reference pickle ``[x, l, L_vecs, sigma2_err, Y]``
+    (sim.py:274) plus the truth processes used by recovery summaries.
+    """
+
+    x: jnp.ndarray  # (N,) sorted inputs on (0, 1)
+    l: jnp.ndarray  # (N,) true lengthscale process
+    l_vecs: jnp.ndarray  # (N*T,) true per-point Cholesky vectors (constrained)
+    sigma2_err: float  # true noise variance
+    y: jnp.ndarray  # (N, M) observations
+    stds: jnp.ndarray  # (N, M) true std processes
+    cors: jnp.ndarray  # (N,) true correlation process (task pair 0-1)
+
+
+def _chol_process_from_std_cor(stds: jnp.ndarray, cors: jnp.ndarray) -> jnp.ndarray:
+    """Per-point Cholesky factors of B_f(x) = D R D for M=2 (sim.py:240-249)."""
+    n, m = stds.shape
+    assert m == 2, "reference truth processes are bivariate"
+    r = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(cors), cors], axis=-1),
+            jnp.stack([cors, jnp.ones_like(cors)], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 2)
+    d = jax.vmap(jnp.diag)(stds)
+    b = d @ r @ d
+    return jax.vmap(jnp.linalg.cholesky)(b)  # (N, 2, 2)
+
+
+def _draw_y(key, x, ell, ls, sigma2_err):
+    """Draw y ~ MVN(0, K + σ²I) with the GNMGP Gram (sim.py:256-263)."""
+    n, m, _ = ls.shape
+    k_x = kernels.nonstationary_rbf_cov(x, ell1=ell)
+    cov = gnmgp.gram(k_x, ls) + sigma2_err * jnp.eye(n * m, dtype=x.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    z = jax.random.normal(key, (n * m,), dtype=x.dtype)
+    y_flat = chol @ z  # task-major (M, N)
+    return y_flat.reshape(m, n).T  # (N, M)
+
+
+def sim_mnts(key, n: int = 200, m: int = 2, sigma2_err: float = 1e-2) -> SimData:
+    """Nonseparable nonstationary synthetic subject (reference SIM_MNTS)."""
+    k_x, k_y = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k_x, (n,), dtype=settings.dtype))
+    tilde_l = 3.0 * (x - 1.0) ** 3 - 3.0
+    ell = jnp.exp(tilde_l)
+    stds = jnp.stack([1.0 + x**2, 2.0 - x**2], axis=1)
+    cors = jnp.cos(x * jnp.pi)
+    ls = _chol_process_from_std_cor(stds, cors)
+    y = _draw_y(k_y, x, ell, ls, sigma2_err)
+    l_vecs = transforms.tril_to_vec(ls, m).reshape(-1)
+    return SimData(x, ell, l_vecs, sigma2_err, y, stds, cors)
+
+
+def sim_mnts_s(key, n: int = 200, m: int = 2, sigma2_err: float = 1e-2) -> SimData:
+    """Stationary-correlation variant (reference SIM_MNTS_S, sim.py:102-171)."""
+    k_x, k_y = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k_x, (n,), dtype=settings.dtype))
+    tilde_l = 3.0 * (x - 1.0) ** 3 - 3.0
+    ell = jnp.exp(tilde_l)
+    std = 1.0 + x**2
+    stds = jnp.stack([std * 1.0, std * 2.0], axis=1)  # L11=1, L22=2 (sim.py:115-118)
+    cors = 0.5 * jnp.ones_like(x)
+    ls = _chol_process_from_std_cor(stds, cors)
+    y = _draw_y(k_y, x, ell, ls, sigma2_err)
+    l_vecs = transforms.tril_to_vec(ls, m).reshape(-1)
+    return SimData(x, ell, l_vecs, sigma2_err, y, stds, cors)
+
+
+def sim_replicates(key, n_replicates: int, n: int = 200, stationary_cor: bool = False):
+    """Generate a batch of seeded replicates (reference __main__, sim.py:360-363).
+
+    Returns a SimData pytree with a leading replicate axis — ready for
+    vmap/shard_map fleet fitting.
+    """
+    keys = jax.random.split(key, n_replicates)
+    gen = sim_mnts_s if stationary_cor else sim_mnts
+    return jax.vmap(lambda k: gen(k, n=n))(keys)

@@ -1,0 +1,61 @@
+"""MCMC chain diagnostics: autocorrelation, effective sample size, summaries.
+
+The reference inspects chains with statsmodels ACF plots and trace pngs
+(``Nonseparable_model_mpiKAISER_extended.py:617-623``); here the diagnostics
+are library functions returning arrays, with plotting separated into ``viz``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def acf(x: np.ndarray, max_lag: int | None = None) -> np.ndarray:
+    """Autocorrelation function of a 1-D chain via FFT."""
+    x = np.asarray(x, float)
+    n = x.shape[0]
+    if max_lag is None:
+        max_lag = min(n - 1, 200)
+    xc = x - x.mean()
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft)
+    ac = np.fft.irfft(f * np.conjugate(f))[: max_lag + 1].real
+    var0 = ac[0]
+    if var0 <= 0:
+        return np.zeros(max_lag + 1)
+    return ac / var0
+
+
+def ess(x: np.ndarray) -> float:
+    """Effective sample size via Geyer's initial positive sequence."""
+    x = np.asarray(x, float)
+    n = x.shape[0]
+    rho = acf(x, max_lag=n - 1 if n > 1 else 0)
+    # pair sums rho[2k+1] + rho[2k+2]; truncate at first negative pair
+    tau = 1.0
+    k = 1
+    while k + 1 < len(rho):
+        pair = rho[k] + rho[k + 1]
+        if pair < 0:
+            break
+        tau += 2.0 * pair
+        k += 2
+    return float(n / max(tau, 1.0))
+
+
+def summary(samples: np.ndarray) -> dict:
+    """Per-parameter posterior summary of an (S, P) chain."""
+    s = np.asarray(samples, float)
+    return {
+        "mean": s.mean(axis=0),
+        "std": s.std(axis=0),
+        "q2.5": np.percentile(s, 2.5, axis=0),
+        "q50": np.percentile(s, 50.0, axis=0),
+        "q97.5": np.percentile(s, 97.5, axis=0),
+        "ess": np.array([ess(s[:, j]) for j in range(s.shape[1])]),
+    }
+
+
+def samples2quantiles(pos_sample: np.ndarray, percentiles=(2.5, 50.0, 97.5)) -> np.ndarray:
+    """Pointwise quantiles of posterior samples (posterior_analysis.py:91-99)."""
+    return np.percentile(np.asarray(pos_sample), q=list(percentiles), axis=0)

@@ -1,0 +1,197 @@
+"""Hamiltonian Monte Carlo, fully jitted.
+
+The reference depends on an *external sibling repo* for HMC
+(``Nonseparable_Model/Nonseparable_model.py:24-25`` imports
+``Hamiltonian_Monte_Carlo/HMC_Sampler``; call sites at :228-231 and
+``Stationary_model_mpiKAISER.py:205`` show the contract: potential function
+over a flat vector, MAP warm start, fixed step size + leapfrog count,
+optional mass-matrix preconditioning and step-size adaptation,
+``duplicate_samples=True`` i.e. rejected proposals repeat the current state).
+
+This module is a from-scratch TPU-native sampler with that contract:
+
+* the whole chain is one ``lax.scan`` — leapfrog integration, the Metropolis
+  correction, and dual-averaging step-size adaptation all live on device; a
+  1000-sample × 20-leapfrog chain is a single XLA program,
+* mass matrix: identity, diagonal, or dense SPD (supplied as the matrix; its
+  Cholesky is taken once) — the reference builds one from a pilot-run sample
+  covariance (``Nonseparable_model_mpiKAISER_extended.py:542-570``),
+* step-size adaptation: Nesterov dual averaging toward a target accept rate
+  during ``n_warmup`` draws, then frozen (replaces the reference's
+  ``adaptive_step_size`` flag).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HMCResult(NamedTuple):
+    samples: jnp.ndarray  # (n_samples, P) post-warmup draws
+    accept_prob: jnp.ndarray  # (n_total,) per-draw acceptance probabilities
+    accepted: jnp.ndarray  # (n_total,) accept indicator
+    step_size: jnp.ndarray  # final (possibly adapted) step size
+    potentials: jnp.ndarray  # (n_samples,) potential at each kept draw
+
+
+def estimate_mass_matrix(pilot_samples: jnp.ndarray, reg: float = 1e-10) -> jnp.ndarray:
+    """Mass matrix = inverse of a regularized pilot sample covariance.
+
+    Mirrors the reference's preconditioning recipe
+    (``Nonseparable_model_mpiKAISER_extended.py:542-570``).
+    """
+    cov = jnp.cov(pilot_samples.T) + reg * jnp.eye(pilot_samples.shape[1])
+    return jnp.linalg.inv(cov)
+
+
+def _mass_ops(mass, dim, dtype):
+    """Return (sample_momentum(key), kinetic(p), minv(p)) for the mass spec."""
+    if mass is None:
+        return (
+            lambda key: jax.random.normal(key, (dim,), dtype=dtype),
+            lambda p: 0.5 * jnp.dot(p, p),
+            lambda p: p,
+        )
+    mass = jnp.asarray(mass, dtype)
+    if mass.ndim == 1:
+        sqrt_m = jnp.sqrt(mass)
+        return (
+            lambda key: sqrt_m * jax.random.normal(key, (dim,), dtype=dtype),
+            lambda p: 0.5 * jnp.dot(p, p / mass),
+            lambda p: p / mass,
+        )
+    chol_m = jnp.linalg.cholesky(mass)
+    return (
+        lambda key: chol_m @ jax.random.normal(key, (dim,), dtype=dtype),
+        lambda p: 0.5 * jnp.dot(p, jax.scipy.linalg.cho_solve((chol_m, True), p)),
+        lambda p: jax.scipy.linalg.cho_solve((chol_m, True), p),
+    )
+
+
+@partial(jax.jit, static_argnames=("potential_fn", "n_samples", "n_leapfrog", "n_warmup", "adapt_step_size", "mass_is_dense", "mass_is_diag"))
+def _run(
+    potential_fn,
+    q0,
+    key,
+    n_samples: int,
+    step_size0,
+    n_leapfrog: int,
+    n_warmup: int,
+    adapt_step_size: bool,
+    target_accept,
+    mass,
+    mass_is_dense: bool,
+    mass_is_diag: bool,
+):
+    dim = q0.shape[0]
+    dtype = q0.dtype
+    sample_p, kinetic, minv = _mass_ops(
+        mass if (mass_is_dense or mass_is_diag) else None, dim, dtype
+    )
+    grad_u = jax.grad(potential_fn)
+
+    def leapfrog(q, p, eps):
+        def body(_, carry):
+            q, p = carry
+            p = p - 0.5 * eps * grad_u(q)
+            q = q + eps * minv(p)
+            p = p - 0.5 * eps * grad_u(q)
+            return (q, p)
+
+        return jax.lax.fori_loop(0, n_leapfrog, body, (q, p))
+
+    # dual-averaging state: (log_eps, log_eps_bar, h_bar)
+    mu = jnp.log(10.0 * step_size0)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def step(carry, inp):
+        q, u_q, da_state, eps = carry
+        i, k = inp
+        k_mom, k_acc = jax.random.split(k)
+        p = sample_p(k_mom)
+        h0 = u_q + kinetic(p)
+        q_new, p_new = leapfrog(q, p, eps)
+        u_new = potential_fn(q_new)
+        h1 = u_new + kinetic(p_new)
+        log_accept = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf)
+        accept_prob = jnp.exp(log_accept)
+        accept = jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_accept
+        q = jnp.where(accept, q_new, q)
+        u_q = jnp.where(accept, u_new, u_q)
+
+        if adapt_step_size:
+            log_eps, log_eps_bar, h_bar = da_state
+            in_warmup = i < n_warmup
+            m = (i + 1).astype(dtype)
+            eta = 1.0 / (m + t0)
+            h_bar_new = (1.0 - eta) * h_bar + eta * (target_accept - accept_prob)
+            log_eps_new = mu - jnp.sqrt(m) / gamma * h_bar_new
+            w = m ** (-kappa)
+            log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
+            da_state = (
+                jnp.where(in_warmup, log_eps_new, log_eps),
+                jnp.where(in_warmup, log_eps_bar_new, log_eps_bar),
+                jnp.where(in_warmup, h_bar_new, h_bar),
+            )
+            eps = jnp.where(in_warmup, jnp.exp(da_state[0]), jnp.exp(da_state[1]))
+
+        return (q, u_q, da_state, eps), (q, u_q, accept_prob, accept)
+
+    n_total = n_warmup + n_samples
+    keys = jax.random.split(key, n_total)
+    da0 = (jnp.log(step_size0), jnp.log(step_size0), jnp.asarray(0.0, dtype))
+    init = (q0, potential_fn(q0), da0, jnp.asarray(step_size0, dtype))
+    (qf, uf, daf, epsf), (qs, us, aps, accs) = jax.lax.scan(
+        step, init, (jnp.arange(n_total), keys)
+    )
+    return qs, us, aps, accs, epsf
+
+
+def hmc_sample(
+    potential_fn: Callable,
+    init_position: jnp.ndarray,
+    n_samples: int,
+    key,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 20,
+    n_warmup: int = 0,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.75,
+    mass_matrix=None,
+) -> HMCResult:
+    """Draw ``n_samples`` HMC samples (after ``n_warmup`` adaptation draws).
+
+    ``potential_fn`` is the negative log posterior over the packed parameter
+    vector — exactly the objective the MAP engine minimizes, matching the
+    reference's ``potential_func=logpos.nlogpos_obj_SVC`` usage
+    (Nonseparable_model.py:228-230).
+    """
+    q0 = jnp.asarray(init_position)
+    mass_is_dense = mass_matrix is not None and jnp.ndim(mass_matrix) == 2
+    mass_is_diag = mass_matrix is not None and jnp.ndim(mass_matrix) == 1
+    mass = jnp.asarray(mass_matrix) if mass_matrix is not None else jnp.zeros((0,), q0.dtype)
+    qs, us, aps, accs, epsf = _run(
+        potential_fn,
+        q0,
+        key,
+        int(n_samples),
+        float(step_size),
+        int(n_leapfrog),
+        int(n_warmup),
+        bool(adapt_step_size),
+        float(target_accept),
+        mass,
+        mass_is_dense,
+        mass_is_diag,
+    )
+    return HMCResult(
+        samples=qs[n_warmup:],
+        accept_prob=aps,
+        accepted=accs,
+        step_size=epsf,
+        potentials=us[n_warmup:],
+    )

@@ -1,0 +1,240 @@
+"""Tests for the data generators and MAP/HMC inference engines."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.data import sim
+from nonstationary_multivariate_gaussian_process_tpu.inference import (
+    diagnostics,
+    empirical,
+    hmc,
+    init as init_mod,
+    map as map_mod,
+)
+from nonstationary_multivariate_gaussian_process_tpu.models import FullData, gnmgp, lmc, snmgp
+from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
+
+
+class TestSim:
+    def test_sim_mnts_shapes_and_truth(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(0), n=50)
+        assert d.y.shape == (50, 2)
+        assert d.l_vecs.shape == (150,)
+        assert np.all(np.diff(np.asarray(d.x)) >= 0)
+        # true latents follow the published forms (sim.py:180,220,233)
+        x = np.asarray(d.x)
+        np.testing.assert_allclose(np.log(np.asarray(d.l)), 3 * (x - 1) ** 3 - 3, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(d.cors), np.cos(np.pi * x), atol=1e-10)
+        # L_vecs reproduce B_f = D R D at each point
+        ls = transforms.vec_to_tril(jnp.asarray(d.l_vecs).reshape(50, 3), 2)
+        b = np.asarray(ls @ np.swapaxes(np.asarray(ls), -1, -2))
+        stds = np.asarray(d.stds)
+        np.testing.assert_allclose(np.sqrt(b[:, 0, 0]), stds[:, 0], rtol=1e-8)
+        np.testing.assert_allclose(
+            b[:, 0, 1] / (stds[:, 0] * stds[:, 1]), np.asarray(d.cors), atol=1e-8
+        )
+
+    def test_sim_is_deterministic_per_key(self):
+        d1 = sim.sim_mnts(jax.random.PRNGKey(7), n=20)
+        d2 = sim.sim_mnts(jax.random.PRNGKey(7), n=20)
+        np.testing.assert_array_equal(np.asarray(d1.y), np.asarray(d2.y))
+
+    def test_replicates_batch(self):
+        batch = sim.sim_replicates(jax.random.PRNGKey(0), 4, n=16)
+        assert batch.y.shape == (4, 16, 2)
+        assert not np.allclose(np.asarray(batch.y[0]), np.asarray(batch.y[1]))
+
+
+class TestEmpirical:
+    def test_local_estimation_recovers_scales(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(1), n=80)
+        est = empirical.local_estimation(np.asarray(d.x), np.asarray(d.y), window_size=20)
+        assert est.est_ls.shape == (80,)
+        assert np.all(est.est_ls > 0)
+        assert np.all(np.isfinite(est.est_l_vecs))
+        # local stds should correlate with the truth process
+        true_stds = np.asarray(d.stds)
+        corr = np.corrcoef(est.est_stds[:, 0], true_stds[:, 0])[0, 1]
+        assert corr > 0.2
+        assert est.est_tilde_sigma2_err == -4.0
+
+    def test_profile_fit_matches_curve_fit_quality(self, rng):
+        # same variogram model: profile fit residual must be <= ~curve_fit's
+        s = np.sort(rng.uniform(0.01, 1.0, 200))
+        truth = empirical.variogram_gaussian(s, 1.5, 0.3)
+        noisy = truth + 0.01 * rng.normal(size=200)
+        sig_p, l_p = empirical._profile_fit(s, noisy)
+        assert abs(l_p - 0.3) < 0.1
+        assert abs(sig_p - 1.5) < 0.2
+
+
+class TestMap:
+    def test_fit_map_reduces_objective(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(2), n=24)
+        data = FullData(d.x, d.y)
+        nlp = lmc.make_objective(data)
+        init_vec = init_mod.lmc_random(jax.random.PRNGKey(0), 2)
+        res = map_mod.fit_map(nlp, init_vec, n_iters=200, lr=0.1)
+        assert float(nlp(res.vec)) < float(nlp(init_vec))
+        assert res.target_hist.shape == (200,)
+        # objective improves overall (log posterior increases)
+        assert res.target_hist[-1] > res.target_hist[0]
+
+    def test_convergence_gap_early_stop(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(3), n=16)
+        nlp = lmc.make_objective(FullData(d.x, d.y))
+        init_vec = init_mod.lmc_random(jax.random.PRNGKey(0), 2)
+        res = map_mod.fit_map(nlp, init_vec, n_iters=5000, lr=0.1, err_opt=1.0, chunk=100)
+        assert res.converged
+        assert res.n_iters < 5000
+
+    def test_checkpoint_callback_called(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(3), n=12)
+        nlp = lmc.make_objective(FullData(d.x, d.y))
+        seen = []
+        map_mod.fit_map(
+            nlp,
+            init_mod.lmc_random(jax.random.PRNGKey(0), 2),
+            n_iters=60,
+            chunk=20,
+            checkpoint_fn=lambda v, i: seen.append(i),
+        )
+        assert seen == [20, 40, 60]
+
+    def test_multi_start_picks_best(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(4), n=16)
+        nlp = lmc.make_objective(FullData(d.x, d.y))
+        bad = jnp.full((init_mod.lmc_random(jax.random.PRNGKey(0), 2).shape[0],), 50.0)
+        good = init_mod.lmc_random(jax.random.PRNGKey(0), 2)
+        name, best, allr = map_mod.multi_start_map(
+            nlp, {"bad": bad, "good": good}, n_iters=100, lr=0.1
+        )
+        assert name in ("bad", "good")
+        assert float(nlp(best.vec)) == min(
+            float(nlp(r.vec)) for r in allr.values() if r is not None
+        )
+
+
+class TestEndToEndSlice:
+    """Minimum end-to-end slice: sim → empirical init → LMC → SNMGP → GNMGP MAP."""
+
+    def test_pipeline(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(5), n=32)
+        x_np, y_np = np.asarray(d.x), np.asarray(d.y)
+        n, m = y_np.shape
+        emp = empirical.local_estimation(x_np, y_np, window_size=10)
+        data = FullData(d.x, d.y)
+
+        # LMC
+        lmc_nlp = lmc.make_objective(data)
+        lmc_init = init_mod.lmc_from_empirical(emp, n, m)
+        lmc_res = map_mod.fit_map(lmc_nlp, lmc_init, n_iters=150, lr=0.1)
+        assert np.isfinite(float(lmc_nlp(lmc_res.vec)))
+
+        # SNMGP from stationary + empirical + combined, multi-start
+        snmgp_nlp = snmgp.make_objective(data)
+        inits = {
+            "stationary": init_mod.snmgp_from_stationary(lmc_res.vec, n),
+            "empirical": init_mod.snmgp_from_empirical(emp, n, m),
+            "combined": init_mod.snmgp_combined(lmc_res.vec, emp, n, m),
+        }
+        name, snmgp_res, _ = map_mod.multi_start_map(snmgp_nlp, inits, n_iters=100, lr=0.2)
+        assert np.isfinite(float(snmgp_nlp(snmgp_res.vec)))
+
+        # GNMGP from separable + empirical
+        gn_nlp = gnmgp.make_objective(data, hyper={"alpha_tilde_l": 10.0, "alpha_L": 10.0})
+        gn_inits = {
+            "separable": init_mod.gnmgp_from_separable(snmgp_res.vec, n, m),
+            "empirical": init_mod.gnmgp_from_empirical(emp, n, m),
+        }
+        gname, gn_res, _ = map_mod.multi_start_map(gn_nlp, gn_inits, n_iters=100, lr=0.2)
+        final = float(gn_nlp(gn_res.vec))
+        assert np.isfinite(final)
+        # the fitted lengthscale process should correlate with the truth
+        est_tilde_l = np.asarray(gn_res.vec[:n])
+        true_tilde_l = np.log(np.asarray(d.l))
+        assert np.corrcoef(est_tilde_l, true_tilde_l)[0, 1] > 0.0
+
+
+class TestHMC:
+    def test_standard_normal_target(self):
+        # potential of an iid standard normal in 5 dims
+        pot = lambda q: 0.5 * jnp.sum(q * q)
+        res = hmc.hmc_sample(
+            pot,
+            jnp.zeros(5),
+            n_samples=800,
+            key=jax.random.PRNGKey(0),
+            step_size=0.3,
+            n_leapfrog=8,
+        )
+        s = np.asarray(res.samples)
+        assert s.shape == (800, 5)
+        assert float(np.mean(res.accept_prob)) > 0.6
+        assert abs(s.mean()) < 0.15
+        assert abs(s.std() - 1.0) < 0.15
+
+    def test_adaptive_step_size(self):
+        pot = lambda q: 0.5 * jnp.sum(q * q)
+        res = hmc.hmc_sample(
+            pot,
+            jnp.zeros(3),
+            n_samples=300,
+            key=jax.random.PRNGKey(1),
+            step_size=1e-3,
+            n_leapfrog=5,
+            n_warmup=300,
+            adapt_step_size=True,
+            target_accept=0.75,
+        )
+        # adapted step size should have grown far beyond 1e-3
+        assert float(res.step_size) > 1e-2
+        post_accept = np.asarray(res.accept_prob)[300:]
+        assert 0.5 < post_accept.mean() <= 1.0
+
+    def test_mass_matrix_dense_and_diag(self):
+        cov = jnp.asarray([[2.0, 0.6], [0.6, 1.0]])
+        prec = jnp.linalg.inv(cov)
+        pot = lambda q: 0.5 * q @ prec @ q
+        for mass in [jnp.asarray([1.0, 2.0]), prec]:
+            res = hmc.hmc_sample(
+                pot,
+                jnp.zeros(2),
+                n_samples=500,
+                key=jax.random.PRNGKey(2),
+                step_size=0.4,
+                n_leapfrog=6,
+                mass_matrix=mass,
+            )
+            emp_cov = np.cov(np.asarray(res.samples).T)
+            assert np.all(np.isfinite(emp_cov))
+            assert float(np.mean(res.accept_prob)) > 0.5
+
+    def test_gp_model_chain_from_map(self):
+        # short GNMGP chain warm-started at a rough MAP
+        d = sim.sim_mnts(jax.random.PRNGKey(6), n=16)
+        data = FullData(d.x, d.y)
+        nlp = gnmgp.make_objective(data)
+        emp = empirical.local_estimation(np.asarray(d.x), np.asarray(d.y), window_size=6)
+        v0 = init_mod.gnmgp_from_empirical(emp, 16, 2)
+        res = map_mod.fit_map(nlp, v0, n_iters=100, lr=0.2)
+        chain = hmc.hmc_sample(
+            nlp, res.vec, n_samples=30, key=jax.random.PRNGKey(0),
+            step_size=1e-4, n_leapfrog=5,
+        )
+        assert np.all(np.isfinite(np.asarray(chain.samples)))
+
+    def test_diagnostics(self):
+        rng = np.random.default_rng(0)
+        iid = rng.normal(size=2000)
+        assert diagnostics.ess(iid) > 1000
+        rho = diagnostics.acf(iid, 10)
+        assert abs(rho[0] - 1.0) < 1e-9
+        ar = np.zeros(2000)
+        for i in range(1, 2000):
+            ar[i] = 0.9 * ar[i - 1] + rng.normal()
+        assert diagnostics.ess(ar) < 500
+        q = diagnostics.samples2quantiles(rng.normal(size=(500, 3)))
+        assert q.shape == (3, 3)
