@@ -1,0 +1,62 @@
+"""GP kriging of the latent processes at new inputs.
+
+Every reference prediction routine begins by conditioning the latent GP
+processes (log-lengthscale, log-scale, L-entry processes) on their values at
+the training inputs — one ``torch.solve`` per grid point per latent
+(``Utility/prediction.py:54-71, 208-225, 927-941``).  Here the conditional is
+computed for *all* grid points with one Cholesky solve: the projection matrix
+``Σ⁻¹ K_cross`` is shared by every latent process with the same prior.
+
+Pointwise semantics matched to the reference: variances are the *marginal*
+conditional variances per grid point (not a joint draw), the prior is the
+stationary RBF with nugget (so the self-variance term is ``α² + jitter``), and
+negative variances clip to ``settings.precision`` (prediction.py:59-60).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+from ..ops import chol as chol_ops
+from ..ops import kernels
+
+
+class LatentConditional(NamedTuple):
+    mean: jnp.ndarray  # (..., G) conditional mean per grid point
+    var: jnp.ndarray  # (G,) marginal conditional variance per grid point
+
+
+def krige_rbf(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    values: jnp.ndarray,
+    mu: float,
+    alpha: float,
+    beta: float,
+) -> LatentConditional:
+    """Pointwise GP conditional of latent ``values`` (…, N) at ``grid`` (G,).
+
+    ``values`` may carry leading batch axes (e.g. the T L-entry processes of
+    the GNMGP, which share one projection).  Returns means (…, G) and the
+    shared marginal variances (G,).
+    """
+    sigma = kernels.rbf_cov(x, alpha=alpha, beta=beta)
+    k_cross = kernels.rbf_cov(x, grid, alpha=alpha, beta=beta)  # (N, G)
+    c = chol_ops.safe_cholesky(sigma)
+    proj = chol_ops.chol_solve(c, k_cross)  # (N, G) = Σ⁻¹ K_cross
+    mean = mu + (values - mu) @ proj  # (..., G)
+    # RBF self-covariance of a single point includes the nugget (kernels.py:35)
+    k_self = alpha**2 + settings.jitter
+    var = k_self - jnp.sum(k_cross * proj, axis=0)
+    var = jnp.maximum(var, settings.precision)
+    return LatentConditional(mean=mean, var=var)
+
+
+def sample_latent(key, cond: LatentConditional) -> jnp.ndarray:
+    """Draw one pointwise sample of a latent process at the grid."""
+    z = jax.random.normal(key, cond.mean.shape, dtype=cond.mean.dtype)
+    return cond.mean + jnp.sqrt(cond.var) * z

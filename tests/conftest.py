@@ -73,10 +73,18 @@ def reference():
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        from Utility import distributions, kernels, kronecker_operation, logpos, utils
+        from Utility import (
+            distributions,
+            kernels,
+            kronecker_operation,
+            logpos,
+            prediction,
+            utils,
+        )
 
     return {
         "logpos": logpos,
+        "prediction": prediction,
         "kernels": kernels,
         "kron": kronecker_operation,
         "distributions": distributions,
