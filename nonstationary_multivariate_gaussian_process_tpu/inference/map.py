@@ -58,7 +58,11 @@ def _run_chunk(objective, optimizer, vec, opt_state, n_steps: int):
         v_new = optax.apply_updates(v, updates)
         v_new = jnp.where(ok, v_new, v)
         s_new = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), s_new, s
+            lambda a, b: jnp.where(ok, a, b)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            s_new,
+            s,
         )
         return (v_new, s_new), -val
 

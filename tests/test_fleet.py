@@ -1,0 +1,110 @@
+"""Tests for the subject-parallel fleet layer on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.data import sim
+from nonstationary_multivariate_gaussian_process_tpu.inference import init as init_mod
+from nonstationary_multivariate_gaussian_process_tpu.models import FullData, lmc
+from nonstationary_multivariate_gaussian_process_tpu.parallel import (
+    fleet,
+    make_mesh,
+)
+from nonstationary_multivariate_gaussian_process_tpu.parallel.mesh import pad_to_multiple
+from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return sim.sim_replicates(jax.random.PRNGKey(0), 10, n=16)
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert jax.device_count() == 8
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_pad_to_multiple(self):
+        a = jnp.ones((10, 3))
+        p, n = pad_to_multiple(a, 8)
+        assert p.shape == (16, 3) and n == 10
+        p2, n2 = pad_to_multiple(jnp.ones((16, 3)), 8)
+        assert p2.shape == (16, 3)
+
+
+class TestFleetMap:
+    def test_lmc_fleet_matches_single_subject(self, batch):
+        mesh = make_mesh()
+        s = batch.x.shape[0]
+        inits = jnp.tile(init_mod.lmc_random(jax.random.PRNGKey(1), 2)[None, :], (s, 1))
+        res = fleet.fit_fleet_map(
+            "lmc", batch.x, batch.y, inits, n_iters=60, lr=0.1, mesh=mesh
+        )
+        assert res.vecs.shape == (s, 6)
+        assert res.final_nlp.shape == (s,)
+        assert np.all(np.isfinite(np.asarray(res.final_nlp)))
+        # fleet psum metrics consistent with per-subject values
+        np.testing.assert_allclose(
+            res.fleet_metrics["min_final_nlp"], float(jnp.min(res.final_nlp)), rtol=1e-9
+        )
+        # sharded fleet result equals an unsharded single-subject fit
+        nlp = lmc.make_objective(FullData(batch.x[0], batch.y[0]))
+        from nonstationary_multivariate_gaussian_process_tpu.inference import map as map_mod
+
+        solo = map_mod.fit_map(nlp, inits[0], n_iters=60, lr=0.1, chunk=60)
+        np.testing.assert_allclose(
+            np.asarray(res.vecs[0]), np.asarray(solo.vec), rtol=1e-6, atol=1e-8
+        )
+
+    def test_gnmgp_fleet_runs(self, batch):
+        mesh = make_mesh()
+        s = batch.x.shape[0]
+        n, m = 16, 2
+        keys = jax.random.split(jax.random.PRNGKey(2), s)
+        inits = jnp.stack([init_mod.gnmgp_random(k, n, m) for k in keys])
+        res = fleet.fit_fleet_map(
+            "gnmgp", batch.x, batch.y, inits, n_iters=30, lr=0.2, mesh=mesh
+        )
+        assert res.vecs.shape == (s, n + n * 3 + 1)
+        assert np.all(np.isfinite(np.asarray(res.final_nlp)))
+        # fleet training actually improved each subject
+        assert np.all(
+            np.asarray(res.target_hist[:, -1]) >= np.asarray(res.target_hist[:, 0]) - 1e6
+        )
+
+
+class TestFleetHMC:
+    def test_snmgp_hmc_fleet(self, batch):
+        mesh = make_mesh()
+        s = batch.x.shape[0]
+        n, m = 16, 2
+        vec0 = jnp.zeros((2 * n + 3 + 1,))
+        starts = vec0[None, :] + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(9), (s, vec0.shape[0])
+        )
+        samples = fleet.hmc_fleet(
+            "snmgp", batch.x, batch.y, starts, jax.random.PRNGKey(0),
+            n_samples=10, step_size=1e-4, n_leapfrog=3, mesh=mesh,
+        )
+        assert samples.shape == (s, 10, 2 * n + 4)
+        assert np.all(np.isfinite(np.asarray(samples)))
+        # per-subject chains are independent
+        assert not np.allclose(np.asarray(samples[0]), np.asarray(samples[1]))
+
+
+class TestArtifacts:
+    def test_store_roundtrip_and_missing(self, tmp_path):
+        store = ArtifactStore(str(tmp_path))
+        k1 = store.key("gnmgp", "sim", 0, "map")
+        k2 = store.key("gnmgp", "sim", 1, "map")
+        store.save(k1, vec=np.arange(5.0))
+        assert store.exists(k1)
+        assert store.missing([k1, k2]) == [k2]
+        loaded = store.load(k1)
+        np.testing.assert_array_equal(loaded["vec"], np.arange(5.0))
+        ran = store.run_missing([k1, k2], lambda k: {"vec": np.ones(3)})
+        assert ran == [k2]
+        assert store.missing([k1, k2]) == []
