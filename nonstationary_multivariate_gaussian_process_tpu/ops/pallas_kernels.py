@@ -1,0 +1,108 @@
+"""Pallas TPU kernels for covariance-Gram assembly.
+
+The nonstationary Gibbs Gram (reference ``Utility/kernels.py:46-73``) is the
+innermost builder of every objective.  A naive XLA lowering materializes the
+intermediate N×N arrays (squared distances, ℓ-sums, ℓ-products, σ-products)
+in HBM; this kernel fuses the whole map into one pass over output tiles —
+each (T×T) tile reads two O(T) input strips and writes one tile, so the op is
+HBM-write-bound at exactly one output's worth of traffic.
+
+Layout trick: the per-point processes are passed twice, as a column (N,1) and
+as a row (1,N), so a tile's row/column strips are plain BlockSpec slices and
+the kernel body is pure broadcast arithmetic on the VPU — no in-kernel
+transposes.
+
+float32 only (TPU vector units); the float64 parity path stays on the jnp
+implementation in ``ops.kernels``.  ``gibbs_gram`` dispatches automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+from . import kernels as _jnp_kernels
+
+try:  # pallas requires a TPU-capable lowering; keep import soft for CPU wheels
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_TILE = 256
+
+
+def _gibbs_tile_kernel(jitter, x_c, s_c, l_c, x_r, s_r, l_r, out):
+    xi, si, li = x_c[:], s_c[:], l_c[:]  # (T, 1)
+    xj, sj, lj = x_r[:], s_r[:], l_r[:]  # (1, T)
+    a = li * li + lj * lj
+    b = li * lj
+    d = (xi - xj) ** 2
+    k = (si * sj) * jnp.sqrt(2.0 * b / a) * jnp.exp(-d / a)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = out.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * t
+    cols = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) + j * t
+    out[:] = k + jnp.where(rows == cols, jitter, 0.0).astype(k.dtype)
+
+
+@partial(jax.jit, static_argnames=("add_jitter", "interpret"))
+def gibbs_gram_pallas(x, sigma, ell, add_jitter: bool = True, interpret: bool = False):
+    """Fused self-covariance Gibbs Gram via a tiled Pallas kernel (float32)."""
+    n = x.shape[0]
+    t = min(_TILE, max(128, 1 << (n - 1).bit_length()))
+    t = min(t, _TILE)
+    pad = (-n) % t
+    dt = jnp.float32
+    xp = jnp.pad(jnp.asarray(x, dt), (0, pad))
+    sp = jnp.pad(jnp.asarray(sigma, dt), (0, pad))
+    lp = jnp.pad(jnp.asarray(ell, dt), (0, pad), constant_values=1.0)
+    np_ = n + pad
+    col = lambda v: v.reshape(np_, 1)
+    row = lambda v: v.reshape(1, np_)
+    grid = (np_ // t, np_ // t)
+    jitter = float(settings.jitter) if add_jitter else 0.0  # static, baked in
+    out = pl.pallas_call(
+        partial(_gibbs_tile_kernel, jitter),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((t, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((t, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, t), lambda i, j: (0, j)),
+            pl.BlockSpec((1, t), lambda i, j: (0, j)),
+            pl.BlockSpec((1, t), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(col(xp), col(sp), col(lp), row(xp), row(sp), row(lp))
+    return out[:n, :n]
+
+
+def gibbs_gram(x, sigma=None, ell=None, use_pallas: bool | None = None):
+    """Self-covariance Gibbs Gram with automatic kernel dispatch.
+
+    Uses the fused Pallas kernel when running float32 on a TPU backend;
+    otherwise the jnp implementation (which XLA still fuses well, and which
+    supports float64 for reference parity).
+    """
+    n = x.shape[0]
+    ones = jnp.ones((n,), settings.dtype)
+    sigma = ones if sigma is None else sigma
+    ell = ones if ell is None else ell
+    if use_pallas is None:
+        use_pallas = (
+            _HAS_PALLAS
+            and settings.dtype == jnp.float32
+            and jax.default_backend() not in ("cpu",)
+        )
+    if use_pallas:
+        return gibbs_gram_pallas(x, sigma, ell)
+    return _jnp_kernels.nonstationary_rbf_cov(x, sigma1=sigma, ell1=ell)

@@ -1,0 +1,165 @@
+"""Plotting: predictive bands, latent-process posteriors, chain diagnostics,
+annotated correlation heatmaps.
+
+TPU-native re-design of the reference's ``Utility/visualization.py``,
+``Utility/posterior_analysis.py:102-286`` (band plots, heatmaps),
+``Utility/empirical_estimation.py:136-181`` (initializer plots) and the
+annotated z/t heatmaps of ``Post_Process/z_value_plot.py``.  All figures are
+written with the Agg backend; every function takes arrays (no file-format
+coupling to the inference layers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _save(fig, path):
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+def plot_mean_and_ci(ax, x, mean, lb, ub, color_mean="b", color_shading="r"):
+    """(posterior_analysis.py:102-106)"""
+    ax.fill_between(x, ub, lb, color=color_shading, alpha=0.5,
+                    label="predictive 95% interval")
+    ax.plot(x, mean, color=color_mean, label="predictive mean")
+
+
+def plot_posterior(path, grid, percentiles, x=None, y=None, x_test=None, y_test=None,
+                   attributes=None):
+    """Predictive bands per task with train/test overlays.
+
+    ``percentiles``: (G, 3, M) as returned by ``predict.*.predict_map``.
+    Mirrors ``visualization.Plot_posterior{,_trainandtest}`` (:21-107).
+    """
+    pct = np.asarray(percentiles)
+    g, _, m = pct.shape
+    attributes = attributes or [f"Dim {i+1}" for i in range(m)]
+    fig, axes = plt.subplots(m, 1, figsize=(8, 3 * m), squeeze=False)
+    for j in range(m):
+        ax = axes[j, 0]
+        plot_mean_and_ci(ax, np.asarray(grid), pct[:, 1, j], pct[:, 0, j], pct[:, 2, j])
+        if x is not None and y is not None:
+            ax.scatter(np.asarray(x), np.asarray(y)[:, j], s=8, c="k", label="train")
+        if x_test is not None and y_test is not None:
+            ax.scatter(np.asarray(x_test), np.asarray(y_test)[:, j], s=10, c="g",
+                       marker="^", label="test")
+        ax.set_title(attributes[j])
+        ax.legend(loc="best", fontsize=7)
+    _save(fig, path)
+
+
+def plot_latent_summary(path_prefix, x, summary, truth_tilde_l=None, truth_stds=None,
+                        truth_cors=None, attributes=None):
+    """Posterior bands of the GNMGP latent processes vs optional truth.
+
+    ``summary``: a ``postprocess.analysis.LatentSummary``.  Mirrors
+    ``posterior_analysis.visualization_pos`` (:109-179).
+    """
+    x = np.asarray(x)
+    n, m = summary.std_q.shape[1], summary.std_q.shape[2]
+    attributes = attributes or [f"Dim {i+1}" for i in range(m)]
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    plot_mean_and_ci(ax, x, summary.tilde_l_q[1], summary.tilde_l_q[0], summary.tilde_l_q[2])
+    if truth_tilde_l is not None:
+        ax.plot(x, np.asarray(truth_tilde_l), "k--", label="truth")
+    ax.set_title("log lengthscale process")
+    ax.legend(fontsize=7)
+    _save(fig, f"{path_prefix}_log_l.png")
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for j in range(m):
+        ax.plot(x, summary.std_q[1, :, j], label=f"std {attributes[j]}")
+        ax.fill_between(x, summary.std_q[0, :, j], summary.std_q[2, :, j], alpha=0.3)
+        if truth_stds is not None:
+            ax.plot(x, np.asarray(truth_stds)[:, j], "--", lw=1)
+    ax.set_title("std processes")
+    ax.legend(fontsize=7)
+    _save(fig, f"{path_prefix}_std.png")
+
+    for i in range(m):
+        for j in range(i + 1, m):
+            fig, ax = plt.subplots(figsize=(7, 4))
+            plot_mean_and_ci(ax, x, summary.cor_q[1, :, i, j], summary.cor_q[0, :, i, j],
+                             summary.cor_q[2, :, i, j])
+            if truth_cors is not None and i == 0 and j == 1:
+                ax.plot(x, np.asarray(truth_cors), "k--", label="truth")
+            ax.set_title(f"correlation R_{attributes[i]}_{attributes[j]}")
+            ax.legend(fontsize=7)
+            _save(fig, f"{path_prefix}_R_{i}{j}.png")
+
+
+def plot_empirical(path_prefix, x, est, attributes=None):
+    """Initializer diagnostics (empirical_estimation.py:136-181)."""
+    x = np.asarray(x)
+    m = est.est_stds.shape[1]
+    attributes = attributes or [f"Dim {i+1}" for i in range(m)]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(x, np.log(est.est_ls), label="log est_l")
+    ax.plot(x, np.log(est.smooth_ls), label="log smooth_l")
+    ax.legend(fontsize=7)
+    _save(fig, f"{path_prefix}_log_l.png")
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for j in range(m):
+        ax.plot(x, est.est_stds[:, j], label=attributes[j])
+    ax.legend(fontsize=7)
+    _save(fig, f"{path_prefix}_std.png")
+    for i in range(m):
+        for j in range(i + 1, m):
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.plot(x, est.est_r[:, i, j])
+            ax.set_title(f"empirical R_{attributes[i]}_{attributes[j]}")
+            _save(fig, f"{path_prefix}_R_{i}{j}.png")
+
+
+def plot_target_trace(path, target_hist):
+    """Objective trace (Nonseparable_model.py:196-202)."""
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(np.asarray(target_hist))
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("log posterior")
+    _save(fig, path)
+
+
+def plot_chain_diagnostics(path_prefix, samples, param_indices=None, max_lag=60):
+    """Trace + ACF per selected parameter (mpiKAISER_extended.py:617-623)."""
+    from .inference.diagnostics import acf
+
+    s = np.asarray(samples)
+    idx = param_indices if param_indices is not None else list(range(min(4, s.shape[1])))
+    for j in idx:
+        fig, axes = plt.subplots(1, 2, figsize=(10, 3))
+        axes[0].plot(s[:, j], lw=0.6)
+        axes[0].set_title(f"trace p[{j}]")
+        rho = acf(s[:, j], max_lag)
+        axes[1].bar(np.arange(len(rho)), rho, width=0.8)
+        axes[1].set_title(f"ACF p[{j}]")
+        _save(fig, f"{path_prefix}_p{j}.png")
+
+
+def annotated_heatmap(path, values, row_labels, col_labels, cmap="coolwarm",
+                      center=0.0, fmt="{:.2f}"):
+    """Annotated statistic heatmap (z/t values per vital-sign pair).
+
+    Mirrors the custom ``heatmap``/``annotate_heatmap`` of
+    ``Post_Process/z_value_plot.py`` with a symmetric color scale about
+    ``center`` (its ``shiftedColorMap``).
+    """
+    v = np.asarray(values, float)
+    vmax = np.nanmax(np.abs(v - center)) or 1.0
+    fig, ax = plt.subplots(figsize=(1.2 * v.shape[1] + 2, 1.0 * v.shape[0] + 2))
+    im = ax.imshow(v, cmap=cmap, vmin=center - vmax, vmax=center + vmax)
+    ax.set_xticks(range(v.shape[1]), labels=col_labels, rotation=45, ha="right")
+    ax.set_yticks(range(v.shape[0]), labels=row_labels)
+    for i in range(v.shape[0]):
+        for j in range(v.shape[1]):
+            if np.isfinite(v[i, j]):
+                ax.text(j, i, fmt.format(v[i, j]), ha="center", va="center", fontsize=8)
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    _save(fig, path)

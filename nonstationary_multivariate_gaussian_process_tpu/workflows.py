@@ -1,0 +1,257 @@
+"""End-to-end pipelines: the reference's L4 driver scripts as library functions.
+
+The reference ships ~20 driver scripts sharing one skeleton (SURVEY §2.2):
+load data → empirical estimation → train (multi-start Adam MAP → optional
+HMC) → analysis/prediction/evaluation stages gated by ``do_*`` flags, with
+pickles as the interface between stages.  Here the skeleton is one function
+per scope:
+
+* :func:`run_subject`  — the single-subject pipeline (base drivers,
+  ``*_personalized``, ``*_KAISER_private``),
+* :func:`run_sim_fleet` — the replicate fleet (``*_mpisim`` + ``sim_job`` +
+  ``SIM_code/res_summary.py``), subject-sharded over the device mesh,
+
+with a :class:`PipelineConfig` replacing the hardcoded ``do_*`` blocks and the
+artifact store replacing the pickle tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import evaluate, settings
+from .data import preprocess, sim
+from .inference import diagnostics, empirical, hmc as hmc_mod, init as init_mod, map as map_mod
+from .models import FullData, gnmgp, lmc, snmgp
+from .parallel import fleet as fleet_mod
+from .parallel.mesh import make_mesh
+from .predict import gnmgp as pred_gnmgp, lmc as pred_lmc, snmgp as pred_snmgp
+from .utils.artifacts import ArtifactStore
+
+_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}
+_PREDICT = {"lmc": pred_lmc, "snmgp": pred_snmgp, "gnmgp": pred_gnmgp}
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Stage gates + budgets (the reference's ``do_*`` flag blocks +
+    ``hyper_pars`` dicts, e.g. ``Nonseparable_model.py:253-275``)."""
+
+    model: str = "gnmgp"
+    hyper: dict = dataclasses.field(default_factory=dict)
+    do_empirical: bool = True
+    do_map: bool = True
+    do_hmc: bool = False
+    do_pred_grid: bool = True
+    do_pred_test: bool = True
+    do_evaluation: bool = True
+    n_opt: int = 1000
+    lr: float = 2e-1
+    err_opt: float | None = None
+    n_hmc: int = 100
+    hmc_step_size: float = 1e-4
+    hmc_leapfrog: int = 20
+    n_grid: int = 201
+    window_size: int = 30
+    test_size: float = 0.0
+    seed: int = 0
+
+
+def _build_inits(cfg, emp, x, y, key):
+    n, m = y.shape
+    model = cfg.model
+    if model == "lmc":
+        return {"empirical": init_mod.lmc_from_empirical(emp, n, m)}
+    if model == "snmgp":
+        lmc_nlp = lmc.make_objective(FullData(x, y))
+        lmc_res = map_mod.fit_map(
+            lmc_nlp, init_mod.lmc_from_empirical(emp, n, m), n_iters=min(cfg.n_opt, 500), lr=0.1
+        )
+        return {
+            "stationary": init_mod.snmgp_from_stationary(lmc_res.vec, n),
+            "empirical": init_mod.snmgp_from_empirical(emp, n, m),
+            "combined": init_mod.snmgp_combined(lmc_res.vec, emp, n, m),
+        }
+    # gnmgp: warm-start from a short separable fit + empirical
+    sn_nlp = snmgp.make_objective(FullData(x, y))
+    sn_res = map_mod.fit_map(
+        sn_nlp, init_mod.snmgp_from_empirical(emp, n, m), n_iters=min(cfg.n_opt, 500), lr=0.2
+    )
+    return {
+        "separable": init_mod.gnmgp_from_separable(sn_res.vec, n, m),
+        "empirical": init_mod.gnmgp_from_empirical(emp, n, m),
+    }
+
+
+def run_subject(
+    x,
+    y,
+    cfg: PipelineConfig | None = None,
+    store: ArtifactStore | None = None,
+    subject: Any = 0,
+    dataset: str = "data",
+) -> dict:
+    """Single-subject pipeline: empirical init → multi-start MAP → HMC →
+    grid/test prediction → scoring.  Returns a result dict; stages are also
+    written to ``store`` when provided (resumable per stage)."""
+    cfg = cfg or PipelineConfig()
+    key = jax.random.PRNGKey(cfg.seed)
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    if cfg.test_size > 0:
+        x, x_test, y, y_test = preprocess.data_split(x, y, test_size=cfg.test_size)
+    else:
+        x_test = y_test = None
+    n, m = y.shape
+    xd, yd = jnp.asarray(x, settings.dtype), jnp.asarray(y, settings.dtype)
+    data = FullData(xd, yd)
+    model = _MODELS[cfg.model]
+    result: dict = {"model": cfg.model, "n": n, "m": m, "timings": {}}
+
+    def _key(stage):
+        return ArtifactStore.key(cfg.model, dataset, subject, stage)
+
+    t0 = time.time()
+    emp = empirical.local_estimation(x, y, window_size=min(cfg.window_size, max(2, n // 3)))
+    result["timings"]["empirical"] = time.time() - t0
+    result["empirical"] = emp
+
+    nlp = model.make_objective(data, hyper=cfg.hyper)
+    if cfg.do_map:
+        if store is not None and store.exists(_key("map")):
+            map_vec = jnp.asarray(store.load(_key("map"))["vec"], settings.dtype)
+            result["map_vec"] = map_vec
+        else:
+            t0 = time.time()
+            inits = _build_inits(cfg, emp, xd, yd, key)
+            ckpt = None
+            if store is not None:
+                ckpt = lambda v, i: store.save(_key("map_ckpt"), vec=np.asarray(v), iteration=i)
+            name, res, _ = map_mod.multi_start_map(
+                nlp, inits, n_iters=cfg.n_opt, lr=cfg.lr, err_opt=cfg.err_opt,
+                checkpoint_fn=ckpt,
+            )
+            result["timings"]["map"] = time.time() - t0
+            result["map_vec"] = map_vec = res.vec
+            result["map_init"] = name
+            result["target_hist"] = np.asarray(res.target_hist)
+            if store is not None:
+                store.save(_key("map"), vec=np.asarray(res.vec),
+                           target_hist=np.asarray(res.target_hist))
+    else:
+        map_vec = None
+
+    if cfg.do_hmc and map_vec is not None:
+        t0 = time.time()
+        chain = hmc_mod.hmc_sample(
+            nlp, map_vec, cfg.n_hmc, key, step_size=cfg.hmc_step_size,
+            n_leapfrog=cfg.hmc_leapfrog,
+        )
+        result["timings"]["hmc"] = time.time() - t0
+        result["hmc_samples"] = np.asarray(chain.samples)
+        result["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
+        if store is not None:
+            store.save(_key("hmc"), samples=np.asarray(chain.samples))
+
+    pred = _PREDICT[cfg.model]
+    grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
+    if cfg.do_pred_grid and map_vec is not None:
+        t0 = time.time()
+        if cfg.model == "lmc":
+            gp = pred.predict_map(map_vec, data, grid)
+        else:
+            gp = pred.predict_map(map_vec, data, grid, hyper=cfg.hyper)
+        result["timings"]["pred_grid"] = time.time() - t0
+        result["pred_grid"] = gp
+        result["grid"] = np.asarray(grid)
+        if store is not None:
+            store.save(_key("pred_grid"), percentiles=np.asarray(gp.percentiles),
+                       grid=np.asarray(grid))
+
+    if cfg.do_pred_test and map_vec is not None and x_test is not None:
+        xt = jnp.asarray(x_test, settings.dtype)
+        if cfg.model == "lmc":
+            tp = pred.predict_map(map_vec, data, xt)
+        else:
+            tp = pred.predict_map(map_vec, data, xt, hyper=cfg.hyper)
+        result["pred_test"] = tp
+        if cfg.do_evaluation:
+            result["test_rmse"] = evaluate.rmse(np.asarray(tp.mean), y_test)
+            result["test_lpd"] = evaluate.lpd(np.asarray(tp.mean), np.asarray(tp.std), y_test)
+            result["test_pmse"] = evaluate.pmse(np.asarray(tp.mean), y_test)
+            if store is not None:
+                store.save(_key("scores"), rmse=result["test_rmse"], lpd=result["test_lpd"])
+
+    if cfg.do_evaluation and map_vec is not None:
+        dev = lambda v: _MODELS[cfg.model].deviance(v, yd, xd)
+        result["deviance"] = float(dev(map_vec))
+        result["aic"] = evaluate.get_aic(map_vec, dev)
+        result["bic"] = evaluate.get_bic(map_vec, dev, n_obs=n)
+        if "hmc_samples" in result:
+            result["dic"] = evaluate.get_dic(jnp.asarray(result["hmc_samples"]), dev)
+
+    return result
+
+
+def run_sim_fleet(
+    n_replicates: int = 8,
+    n: int = 64,
+    cfg: PipelineConfig | None = None,
+    mesh=None,
+    key=None,
+) -> dict:
+    """Replicate-fleet pipeline (mpisim + sim_job + res_summary equivalents).
+
+    Generates ``n_replicates`` synthetic subjects, MAP-fits the configured
+    model to all of them sharded over the mesh, scores recovery against the
+    known truth, and aggregates fleet metrics.
+    """
+    cfg = cfg or PipelineConfig()
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    mesh = mesh or make_mesh()
+    k_sim, k_init = jax.random.split(key)
+    batch = sim.sim_replicates(k_sim, n_replicates, n=n)
+    m = batch.y.shape[-1]
+
+    # per-replicate empirical inits (host-side, embarrassingly parallel)
+    inits = []
+    for i in range(n_replicates):
+        emp = empirical.local_estimation(
+            np.asarray(batch.x[i]), np.asarray(batch.y[i]),
+            window_size=min(cfg.window_size, max(2, n // 3)),
+        )
+        if cfg.model == "gnmgp":
+            inits.append(init_mod.gnmgp_from_empirical(emp, n, m))
+        elif cfg.model == "snmgp":
+            inits.append(init_mod.snmgp_from_empirical(emp, n, m))
+        else:
+            inits.append(init_mod.lmc_from_empirical(emp, n, m))
+    init_vecs = jnp.stack(inits)
+
+    res = fleet_mod.fit_fleet_map(
+        cfg.model, batch.x, batch.y, init_vecs, hyper=cfg.hyper,
+        n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+    )
+
+    out = {
+        "batch": batch,
+        "fleet": res,
+        "fleet_metrics": res.fleet_metrics,
+    }
+    if cfg.model == "gnmgp":
+        # recovery of the lengthscale process vs the known truth
+        est_tilde_l = np.asarray(res.vecs[:, :n])
+        true_tilde_l = np.log(np.asarray(batch.l))
+        out["tilde_l_rmse"] = evaluate.rmse(est_tilde_l, true_tilde_l)
+        corrs = [
+            float(np.corrcoef(est_tilde_l[i], true_tilde_l[i])[0, 1])
+            for i in range(n_replicates)
+        ]
+        out["tilde_l_corr_mean"] = float(np.mean(corrs))
+    return out
