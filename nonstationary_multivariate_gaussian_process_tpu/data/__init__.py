@@ -1,1 +1,1 @@
-from . import preprocess, sim  # noqa: F401
+from . import io, preprocess, sim  # noqa: F401

@@ -98,6 +98,63 @@ def sim_mnts_s(key, n: int = 200, m: int = 2, sigma2_err: float = 1e-2) -> SimDa
     return SimData(x, ell, l_vecs, sigma2_err, y, stds, cors)
 
 
+def _block_rbf(x, split: float, hyp0, hyp1):
+    """Block-diagonal RBF covariance with different (log ℓ, log sf) per block.
+
+    Legacy generators (sim.py:23-100) build nonstationarity this way via
+    pyGPs ``cov.RBF`` with ``hyp = [log ℓ, log sf]``.
+    """
+    n = x.shape[0]
+    n0 = int(n * split)
+    k = jnp.zeros((n, n), x.dtype)
+    k0 = kernels.rbf_cov(x[:n0], x[:n0], alpha=jnp.exp(hyp0[1]), beta=jnp.exp(hyp0[0]))
+    k1 = kernels.rbf_cov(x[n0:], x[n0:], alpha=jnp.exp(hyp1[1]), beta=jnp.exp(hyp1[0]))
+    k = k.at[:n0, :n0].set(k0)
+    return k.at[n0:, n0:].set(k1)
+
+
+def _mvn_draw(key, cov):
+    chol = jnp.linalg.cholesky(cov + settings.jitter * jnp.eye(cov.shape[0], dtype=cov.dtype))
+    return chol @ jax.random.normal(key, (cov.shape[0],), cov.dtype)
+
+
+def sim_msdata(key, m: int, n: int, x):
+    """Multi-output *stationary* data (legacy SIM_MSDATA, sim.py:82-100)."""
+    k_b, k_y = jax.random.split(key)
+    l_m = jax.random.normal(k_b, (m, m), settings.dtype)
+    k_m = l_m @ l_m.T
+    x = jnp.asarray(x, settings.dtype)
+    k_n = kernels.rbf_cov(x, x, alpha=jnp.exp(1.0), beta=jnp.exp(-1.0))
+    y = _mvn_draw(k_y, jnp.kron(k_m, k_n)).reshape(m, n).T
+    return y, k_m, k_n
+
+
+def sim_mndata(key, m: int, n: int, x, percentage: float = 0.5):
+    """Multi-output *nonstationary* data via a blocked input covariance
+    (legacy SIM_MNDATA, sim.py:23-46)."""
+    k_b, k_y = jax.random.split(key)
+    l_m = jax.random.normal(k_b, (m, m), settings.dtype)
+    k_m = l_m @ l_m.T
+    x = jnp.asarray(x, settings.dtype)
+    k_n = _block_rbf(x, percentage, (-1.0, 1.0), (-4.0, 2.0))
+    y = _mvn_draw(k_y, jnp.kron(k_m, k_n)).reshape(m, n).T
+    return y, k_m, k_n
+
+
+def sim_usdata(key, n: int, x):
+    """Univariate stationary data (legacy SIM_USDATA, sim.py:48-59)."""
+    x = jnp.asarray(x, settings.dtype)
+    k = kernels.rbf_cov(x, x, alpha=jnp.exp(1.0), beta=jnp.exp(-1.0))
+    return _mvn_draw(key, k), k
+
+
+def sim_undata(key, n: int, x):
+    """Univariate nonstationary data (legacy SIM_UNDATA, sim.py:61-80)."""
+    x = jnp.asarray(x, settings.dtype)
+    k = _block_rbf(x, 0.5, (-1.0, 1.0), (-3.0, 2.0))
+    return _mvn_draw(key, k), k
+
+
 def sim_replicates(key, n_replicates: int, n: int = 200, stationary_cor: bool = False):
     """Generate a batch of seeded replicates (reference __main__, sim.py:360-363).
 

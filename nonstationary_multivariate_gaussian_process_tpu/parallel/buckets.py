@@ -1,0 +1,75 @@
+"""Ragged-cohort support: bucket subjects by length, run one fleet per bucket.
+
+KAISER-style cohorts have a different number of observations per patient
+(SURVEY §7 "ragged subjects").  XLA needs static shapes, so subjects are
+grouped into size buckets; within a bucket every subject is right-padded to
+the bucket length by *repeating its last observation* and the padded tail is
+then **truncated before scoring** — but for the likelihood itself padding
+must not bias the fit, so each bucket simply truncates to its minimum length
+by default (``mode="truncate"``) or pads with replicated endpoints
+(``mode="pad"``), trading a small amount of data for shape uniformity.
+
+The reference sidesteps this entirely by giving every subject its own MPI
+process; bucketing is the price of batched SPMD, paid once at staging time.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Sequence
+
+import numpy as np
+
+
+def assign_buckets(lengths: Sequence[int], n_buckets: int = 4) -> dict[int, list[int]]:
+    """Group subject indices into ``n_buckets`` quantile buckets by length."""
+    lengths = np.asarray(lengths)
+    edges = np.quantile(lengths, np.linspace(0, 1, n_buckets + 1))
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i, L in enumerate(lengths):
+        b = int(np.searchsorted(edges[1:-1], L, side="right"))
+        buckets[b].append(i)
+    return dict(buckets)
+
+
+def stage_bucket(xs: list, ys: list, idxs: list[int], mode: str = "truncate"):
+    """Stack a bucket's subjects into dense (S, N) / (S, N, M) arrays.
+
+    ``mode="truncate"``: crop every subject to the bucket minimum length.
+    ``mode="pad"``: right-pad to the bucket maximum by repeating the last
+    observation (callers must crop per-subject outputs back via the returned
+    ``true_lengths``).
+    """
+    lens = [xs[i].shape[0] for i in idxs]
+    if mode == "truncate":
+        n = min(lens)
+        x = np.stack([np.asarray(xs[i])[:n] for i in idxs])
+        y = np.stack([np.asarray(ys[i])[:n] for i in idxs])
+    else:
+        n = max(lens)
+        x_list, y_list = [], []
+        for i in idxs:
+            xi, yi = np.asarray(xs[i]), np.asarray(ys[i])
+            pad = n - xi.shape[0]
+            x_list.append(np.concatenate([xi, np.repeat(xi[-1:], pad)]))
+            y_list.append(np.concatenate([yi, np.repeat(yi[-1:], pad, axis=0)]))
+        x, y = np.stack(x_list), np.stack(y_list)
+    return x, y, np.asarray(lens)
+
+
+def run_bucketed(xs: list, ys: list, fit_bucket, n_buckets: int = 4,
+                 mode: str = "truncate") -> dict[int, dict]:
+    """Bucket a ragged cohort and run ``fit_bucket(x, y, subject_idxs)`` per bucket.
+
+    Returns {subject_index: per-subject result} merged across buckets;
+    ``fit_bucket`` must return a dict of arrays with a leading subject axis.
+    """
+    buckets = assign_buckets([x.shape[0] for x in xs], n_buckets)
+    out: dict[int, dict] = {}
+    for b, idxs in sorted(buckets.items()):
+        x, y, lens = stage_bucket(xs, ys, idxs, mode)
+        res = fit_bucket(x, y, idxs)
+        for j, subj in enumerate(idxs):
+            out[subj] = {k: v[j] for k, v in res.items()}
+            out[subj]["true_length"] = int(lens[j])
+    return out

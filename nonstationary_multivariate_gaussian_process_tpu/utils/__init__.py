@@ -1,2 +1,3 @@
-from . import artifacts  # noqa: F401
+from . import artifacts, debug, timing  # noqa: F401
 from .artifacts import ArtifactStore  # noqa: F401
+from .timing import StageTimer  # noqa: F401

@@ -255,3 +255,113 @@ def run_sim_fleet(
         ]
         out["tilde_l_corr_mean"] = float(np.mean(corrs))
     return out
+
+
+def run_cohort(
+    subjects: dict,
+    cfg: PipelineConfig | None = None,
+    store: ArtifactStore | None = None,
+    dataset: str = "cohort",
+    n_buckets: int = 4,
+    extrapolation_size: int = 0,
+    mesh=None,
+) -> dict:
+    """Ragged multi-subject cohort pipeline (KAISER-style drivers:
+    ``*_mpiKAISER``, ``*_distributed``, ``*_personalized``).
+
+    ``subjects``: {ID: (x, Y)} with per-subject lengths — e.g. the output of
+    ``data.io.load_kaiser_distributed``.  Subjects are detrended/standardized
+    per feature (``preprocess.orig2adj``), optionally split with a last-k
+    extrapolation holdout (``Stationary_model_distributed.py`` mode), bucketed
+    by length, MAP-fitted as one sharded fleet per bucket, test-scored, and
+    reduced to fleet-level RMSE/LPD summaries.
+    """
+    from .parallel import buckets as buckets_mod
+    from .postprocess import summary as summary_mod
+
+    cfg = cfg or PipelineConfig()
+    mesh = mesh or make_mesh()
+    ids = sorted(subjects.keys(), key=str)
+    xs, ys, tests, norms = [], [], [], []
+    for sid in ids:
+        x_i, y_i = subjects[sid]
+        x_i = np.asarray(x_i, float)
+        y_i = np.asarray(y_i, float)
+        adj, trend, scale = preprocess.orig2adj(y_i)
+        if extrapolation_size > 0:
+            x_tr, x_te, y_tr, y_te = preprocess.data_split_extrapolation(
+                x_i, adj, size=extrapolation_size
+            )
+        else:
+            x_tr, y_tr, x_te, y_te = x_i, adj, None, None
+        xs.append(x_tr)
+        ys.append(y_tr)
+        tests.append((x_te, y_te))
+        norms.append((trend, scale))
+
+    def fit_bucket(x, y, idxs):
+        s, n = x.shape
+        m = y.shape[-1]
+        inits = []
+        for j in range(s):
+            emp = empirical.local_estimation(
+                x[j], y[j], window_size=min(cfg.window_size, max(2, n // 3))
+            )
+            if cfg.model == "gnmgp":
+                inits.append(init_mod.gnmgp_from_empirical(emp, n, m))
+            elif cfg.model == "snmgp":
+                inits.append(init_mod.snmgp_from_empirical(emp, n, m))
+            else:
+                inits.append(init_mod.lmc_from_empirical(emp, n, m))
+        res = fleet_mod.fit_fleet_map(
+            cfg.model, jnp.asarray(x), jnp.asarray(y), jnp.stack(inits),
+            hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+        )
+        return {
+            "vec": np.asarray(res.vecs),
+            "final_nlp": np.asarray(res.final_nlp),
+            "n_train": np.full(s, n, dtype=int),
+        }
+
+    per_subject = buckets_mod.run_bucketed(xs, ys, fit_bucket, n_buckets=n_buckets)
+
+    # per-subject test scoring + artifact writes
+    results = {}
+    pred_mod = _PREDICT[cfg.model]
+    for pos, sid in enumerate(ids):
+        entry = per_subject[pos]
+        rec = {"map_vec": entry["vec"], "final_nlp": float(entry["final_nlp"])}
+        x_te, y_te = tests[pos]
+        if x_te is not None and cfg.do_pred_test:
+            # bucket truncation may have cropped the subject; re-crop to match
+            n_bucket = int(entry["n_train"])
+            x_used = xs[pos][:n_bucket]
+            y_used = ys[pos][:n_bucket]
+            data = FullData(
+                jnp.asarray(x_used, settings.dtype), jnp.asarray(y_used, settings.dtype)
+            )
+            vec = jnp.asarray(entry["vec"], settings.dtype)
+            if cfg.model == "lmc":
+                tp = pred_mod.predict_map(vec, data, jnp.asarray(x_te, settings.dtype))
+            else:
+                tp = pred_mod.predict_map(
+                    vec, data, jnp.asarray(x_te, settings.dtype), hyper=cfg.hyper
+                )
+            rec["test_rmse"] = evaluate.rmse(np.asarray(tp.mean), y_te)
+            rec["test_lpd"] = evaluate.lpd(np.asarray(tp.mean), np.asarray(tp.std), y_te)
+            if store is not None:
+                store.save(
+                    ArtifactStore.key(cfg.model, dataset, sid, "scores"),
+                    rmse=rec["test_rmse"], lpd=rec["test_lpd"],
+                )
+        if store is not None:
+            store.save(
+                ArtifactStore.key(cfg.model, dataset, sid, "map"), vec=entry["vec"]
+            )
+        results[sid] = rec
+
+    out = {"subjects": results, "ids": ids}
+    if store is not None:
+        keys = [ArtifactStore.key(cfg.model, dataset, sid, "scores") for sid in ids]
+        out["reduction"] = summary_mod.reduce_fleet_metrics(store, keys)
+    return out

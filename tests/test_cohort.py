@@ -1,0 +1,126 @@
+"""Tests for ragged-cohort bucketing, the cohort workflow, data IO, debug utils,
+and the legacy GP-draw generators."""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu import workflows
+from nonstationary_multivariate_gaussian_process_tpu.data import io as data_io, sim
+from nonstationary_multivariate_gaussian_process_tpu.parallel import buckets
+from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore, debug
+
+
+class TestBuckets:
+    def test_assign_buckets_partition(self, rng):
+        lengths = rng.integers(10, 100, size=37)
+        b = buckets.assign_buckets(lengths, n_buckets=4)
+        all_idx = sorted(i for idxs in b.values() for i in idxs)
+        assert all_idx == list(range(37))
+
+    def test_stage_truncate_and_pad(self, rng):
+        xs = [rng.uniform(size=n) for n in (10, 12, 15)]
+        ys = [rng.normal(size=(n, 2)) for n in (10, 12, 15)]
+        x, y, lens = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="truncate")
+        assert x.shape == (3, 10) and y.shape == (3, 10, 2)
+        x, y, lens = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="pad")
+        assert x.shape == (3, 15)
+        np.testing.assert_array_equal(lens, [10, 12, 15])
+        # padded tail repeats the last observation
+        np.testing.assert_allclose(x[0, 10:], xs[0][-1])
+
+    def test_run_bucketed_merges(self, rng):
+        xs = [np.sort(rng.uniform(size=n)) for n in (8, 9, 16, 17)]
+        ys = [rng.normal(size=(n, 2)) for n in (8, 9, 16, 17)]
+
+        def fit(x, y, idxs):
+            return {"score": np.asarray([x.shape[1]] * x.shape[0])}
+
+        out = buckets.run_bucketed(xs, ys, fit, n_buckets=2)
+        assert set(out) == {0, 1, 2, 3}
+        assert out[3]["true_length"] == 17
+
+
+class TestCohortWorkflow:
+    def test_run_cohort_ragged(self, tmp_path):
+        keys = jax.random.split(jax.random.PRNGKey(0), 5)
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, [18, 18, 20, 22, 22])):
+            d = sim.sim_mnts(k, n=n)
+            subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        cfg = workflows.PipelineConfig(model="gnmgp", n_opt=30, window_size=6)
+        store = ArtifactStore(str(tmp_path))
+        out = workflows.run_cohort(
+            subjects, cfg, store=store, n_buckets=2, extrapolation_size=3
+        )
+        assert len(out["subjects"]) == 5
+        for sid, rec in out["subjects"].items():
+            assert np.isfinite(rec["final_nlp"])
+            assert "test_rmse" in rec and np.isfinite(rec["test_rmse"])
+        assert out["reduction"]["n_valid"] == 5
+        assert np.isfinite(out["reduction"]["rmse"]["mean"])
+
+
+class TestDataIO:
+    def test_sim_pickle_roundtrip(self, tmp_path):
+        d = sim.sim_mnts(jax.random.PRNGKey(0), n=12)
+        p = tmp_path / "sim_MNTS_0.pickle"
+        with open(p, "wb") as f:
+            pickle.dump(
+                [np.asarray(d.x), np.asarray(d.l), np.asarray(d.l_vecs),
+                 d.sigma2_err, np.asarray(d.y)], f,
+            )
+        loaded = data_io.load_sim_pickle(str(p))
+        np.testing.assert_allclose(loaded["x"], np.asarray(d.x))
+        np.testing.assert_allclose(loaded["y"], np.asarray(d.y))
+        assert loaded["sigma2_err"] == pytest.approx(1e-2)
+
+    def test_map_dat_and_kaiser(self, tmp_path, rng):
+        vec = rng.normal(size=10)
+        with open(tmp_path / "MAP.dat", "wb") as f:
+            pickle.dump(vec, f)
+        np.testing.assert_array_equal(data_io.load_map_dat(str(tmp_path / "MAP.dat")), vec)
+        cohort = {1: (rng.uniform(size=5), rng.normal(size=(5, 2)))}
+        with open(tmp_path / "kd.pickle", "wb") as f:
+            pickle.dump(cohort, f)
+        loaded = data_io.load_kaiser_distributed(str(tmp_path / "kd.pickle"))
+        assert 1 in loaded and loaded[1][1].shape == (5, 2)
+
+
+class TestDebug:
+    def test_checked_objective_passthrough(self):
+        fn = debug.checked_objective(lambda x: jnp.sum(x * x), "sq")
+        assert float(jax.jit(fn)(jnp.ones(3))) == 3.0
+        bad = debug.checked_objective(lambda x: jnp.log(x[0]), "log")
+        out = jax.jit(bad)(jnp.asarray([-1.0]))
+        assert np.isnan(float(out))  # reported but propagated unchanged
+
+    def test_grad_finite_fraction(self):
+        tree = {"a": jnp.asarray([1.0, jnp.nan]), "b": jnp.ones(2)}
+        assert debug.grad_finite_fraction(tree) == 0.75
+
+
+class TestLegacySims:
+    def test_msdata_shapes(self):
+        x = np.linspace(0, 5, 20)
+        y, k_m, k_n = sim.sim_msdata(jax.random.PRNGKey(0), 3, 20, x)
+        assert y.shape == (20, 3) and k_m.shape == (3, 3)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_mndata_blocked(self):
+        x = np.linspace(0, 5, 16)
+        y, k_m, k_n = sim.sim_mndata(jax.random.PRNGKey(1), 2, 16, x, percentage=0.5)
+        k_n = np.asarray(k_n)
+        # off-diagonal blocks are exactly zero in the blocked construction
+        np.testing.assert_allclose(k_n[:8, 8:], 0.0, atol=1e-12)
+        assert y.shape == (16, 2)
+
+    def test_univariate(self):
+        x = np.linspace(0, 5, 12)
+        y, k = sim.sim_usdata(jax.random.PRNGKey(2), 12, x)
+        assert y.shape == (12,)
+        y, k = sim.sim_undata(jax.random.PRNGKey(3), 12, x)
+        assert np.all(np.isfinite(np.asarray(y)))
