@@ -1,0 +1,38 @@
+"""Replicate-fleet driver: the reference's ``srun -n 1000 *_mpisim.py`` +
+``SIM_code/res_summary.py`` as one mesh-sharded program.
+
+    python examples/run_fleet.py --model gnmgp --replicates 100 --n 200
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gnmgp", choices=["lmc", "snmgp", "gnmgp"])
+    ap.add_argument("--replicates", type=int, default=8)
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--n-opt", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt, seed=args.seed)
+    out = workflows.run_sim_fleet(n_replicates=args.replicates, n=args.n, cfg=cfg)
+    report = dict(out["fleet_metrics"])
+    for k in ("tilde_l_rmse", "tilde_l_corr_mean"):
+        if k in out:
+            report[k] = float(out[k])
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
