@@ -81,19 +81,31 @@ def local_estimation(
     x: np.ndarray,
     y: np.ndarray,
     window_size: int = 30,
-    method: str = "profile",
+    method: str = "auto",
 ) -> EmpiricalEstimate:
     """Windowed local estimation of (σ(x), ℓ(x), B_f(x)) (empirical_estimation.py:71-133).
 
     Window semantics identical to the reference: segment = ``[max(0, n−w),
     min(n+w, N−1))``, covariance = ``YᵀY/(n_seg−1)`` with a ``precision``
     diagonal fallback if the Cholesky fails, smoothing window ±10.
+
+    ``method``: ``"auto"`` (native C++/OpenMP kernel when it builds, else the
+    vectorized numpy profile fit), ``"native"``, ``"profile"``, or
+    ``"curve_fit"`` (reference's scipy optimizer).
     """
     from .. import settings
 
     x = np.asarray(x, float)
     y = np.asarray(y, float)
     n, m = y.shape
+
+    if method in ("auto", "native"):
+        from .. import native
+
+        if native.available():
+            return _local_estimation_native(x, y, window_size)
+        if method == "native":
+            raise RuntimeError("native variogram library unavailable")
     fit = _curve_fit if method == "curve_fit" else _profile_fit
 
     est_sigmas = np.zeros(n)
@@ -125,6 +137,44 @@ def local_estimation(
         est_stds[i] = d
         est_r[i] = s / np.outer(d, d)
 
+    smooth_ls = np.array(
+        [np.mean(est_ls[max(0, i - 10) : min(i + 10, n - 1)]) for i in range(n)]
+    )
+    return EmpiricalEstimate(
+        est_sigmas=est_sigmas,
+        est_ls=est_ls,
+        smooth_ls=smooth_ls,
+        est_stds=est_stds,
+        est_r=est_r,
+        est_b=est_b,
+        est_l_vecs=est_l_vecs.reshape(-1),
+        est_tilde_sigma2_err=-4.0,
+    )
+
+
+def _local_estimation_native(x, y, window_size: int) -> EmpiricalEstimate:
+    """Native-kernel path: C++ variogram sweep + windowed covariance, with the
+    (cheap, M×M) Cholesky/correlation post-processing in numpy."""
+    from .. import native, settings
+
+    n, m = y.shape
+    est_sigmas, est_ls = native.local_variogram_fit(x, y, window_size)
+    est_b = native.windowed_cov(y, window_size)
+    est_l_vecs = np.zeros((n, transforms.tri_size(m)))
+    est_stds = np.zeros((n, m))
+    est_r = np.zeros((n, m, m))
+    for i in range(n):
+        s = est_b[i]
+        try:
+            l_f = np.linalg.cholesky(s)
+        except np.linalg.LinAlgError:
+            s = s + np.eye(m) * settings.precision
+            est_b[i] = s
+            l_f = np.linalg.cholesky(s)
+        est_l_vecs[i] = np.asarray(transforms.tril_to_vec(l_f, m))
+        d = np.sqrt(np.diag(s))
+        est_stds[i] = d
+        est_r[i] = s / np.outer(d, d)
     smooth_ls = np.array(
         [np.mean(est_ls[max(0, i - 10) : min(i + 10, n - 1)]) for i in range(n)]
     )
