@@ -47,6 +47,15 @@ def _problem():
 
 def bench_jax(x, y, vec):
     import jax
+
+    # persistent compilation cache: the large f64 gradient program compiles
+    # once per machine, then re-runs of bench.py start in seconds
+    cache_dir = os.environ.get("NMGP_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from nonstationary_multivariate_gaussian_process_tpu import settings

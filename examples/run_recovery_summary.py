@@ -1,0 +1,91 @@
+"""Recovery-summary driver: fit all three model families to a replicate fleet
+and summarize recovery of the known latent processes.
+
+Equivalent of ``SIM_code/res_summary.py``: G/P/D + PMSE comparison across
+LMC/SNMGP/GNMGP plus functional bands of the recovered log-lengthscale and
+correlation processes overlaid on the truth.
+
+    python examples/run_recovery_summary.py --replicates 16 --n 64 --out res/summary
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nonstationary_multivariate_gaussian_process_tpu import evaluate, viz, workflows
+from nonstationary_multivariate_gaussian_process_tpu.postprocess import analysis, summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicates", type=int, default=8)
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--n-opt", type=int, default=300)
+    ap.add_argument("--out", default="res/summary")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    results = {}
+    batch = None
+    for model in ["lmc", "snmgp", "gnmgp"]:
+        cfg = workflows.PipelineConfig(model=model, n_opt=args.n_opt)
+        out = workflows.run_sim_fleet(
+            n_replicates=args.replicates, n=args.n, cfg=cfg,
+            key=jax.random.PRNGKey(0),
+        )
+        results[model] = out
+        batch = out["batch"]
+
+    # fleet objective comparison
+    table = {
+        model: out["fleet_metrics"] for model, out in results.items()
+    }
+
+    # GNMGP latent recovery: functional bands of log-l and correlation vs truth
+    gn = results["gnmgp"]["fleet"]
+    n = args.n
+    est_tilde_l = np.asarray(gn.vecs[:, :n])  # (S, N)
+    band = summary.functional_band(est_tilde_l)
+    x0 = np.asarray(batch.x[0])
+    true_tl = np.log(np.asarray(batch.l[0]))
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.fill_between(x0, band[0], band[2], alpha=0.4, label="replicate band")
+    ax.plot(x0, band[1], label="median recovery")
+    ax.plot(x0, true_tl, "k--", label="truth")
+    ax.set_title("log lengthscale recovery (GNMGP)")
+    ax.legend(fontsize=8)
+    fig.savefig(os.path.join(args.out, "recovery_log_l.png"), dpi=120)
+    plt.close(fig)
+
+    # correlation-process recovery
+    cors = []
+    for s in range(est_tilde_l.shape[0]):
+        _, _, cor, _ = analysis.gnmgp_map_latents(np.asarray(gn.vecs[s]), n, 2)
+        cors.append(cor[:, 0, 1])
+    cband = summary.functional_band(np.stack(cors))
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.fill_between(x0, cband[0], cband[2], alpha=0.4, label="replicate band")
+    ax.plot(x0, cband[1], label="median recovery")
+    ax.plot(x0, np.asarray(batch.cors[0]), "k--", label="truth")
+    ax.set_title("correlation-process recovery (GNMGP)")
+    ax.legend(fontsize=8)
+    fig.savefig(os.path.join(args.out, "recovery_correlation.png"), dpi=120)
+    plt.close(fig)
+
+    print(json.dumps(table, indent=1))
+
+
+if __name__ == "__main__":
+    main()
