@@ -35,9 +35,11 @@ def safe_cholesky(a: jnp.ndarray, fallback=FALLBACK_JITTER) -> jnp.ndarray:
     If even the fallback fails, NaNs surface to the caller rather than being
     hidden.
     """
+    chol0 = jnp.linalg.cholesky(a)
+    if not settings.robust_cholesky:
+        return chol0
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
-    chol0 = jnp.linalg.cholesky(a)
     ok = jnp.all(jnp.isfinite(chol0))
     jit_val = jnp.where(ok, 0.0, fallback * settings.precision).astype(a.dtype)
     return jnp.linalg.cholesky(a + jit_val * eye)

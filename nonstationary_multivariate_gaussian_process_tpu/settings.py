@@ -36,6 +36,12 @@ jitter = 1e-6
 #: (reference: settings.precision).
 precision = 1e-6
 
+#: When True (default), dense factorizations run the two-attempt jitter
+#: escalation (ops.chol.safe_cholesky).  Set NMGP_ROBUST_CHOL=0 to lower a
+#: single Cholesky per call site — ~2x fewer chol kernels in the GNMGP hot
+#: path, for well-conditioned production runs.
+robust_cholesky = os.environ.get("NMGP_ROBUST_CHOL", "1") not in ("0", "false")
+
 
 def asarray(x, dt=None):
     """Convert to a jnp array in the global working dtype."""
