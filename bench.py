@@ -23,6 +23,11 @@ import time
 
 import numpy as np
 
+# Default the benchmark to the production fast path (one Cholesky per solve;
+# the two-attempt robust escalation is for ill-conditioned exploratory fits and
+# doubles both compile and run time).  Override with NMGP_ROBUST_CHOL=1.
+os.environ.setdefault("NMGP_ROBUST_CHOL", "0")
+
 N = int(os.environ.get("NMGP_BENCH_N", "1000"))
 M = int(os.environ.get("NMGP_BENCH_M", "2"))
 N_GRAD_EVALS = int(os.environ.get("NMGP_BENCH_EVALS", "30"))

@@ -232,3 +232,47 @@ def svc_predict_test(vec, data: HadamardData, x_test, indx_test, m: int, hyper=N
     idx = jnp.asarray(indx_test)
     g = jnp.arange(idx.shape[0])
     return pred.mean[g, idx], pred.std[g, idx]
+
+
+def svc_predict_sample(
+    key, hist_vecs, data: HadamardData, grid, m: int, hyper=None, n_sample=None
+):
+    """Posterior-sample Hadamard-SVC prediction over a chain.
+
+    Completes the reference surface around ``point_predmap_SVC_hadamard``
+    (prediction.py:1401-1563) with a chain-sampling path: per draw, sample the
+    pointwise latents (ℓ(x*), L-entry processes) at the grid and one y* draw.
+    Returns (G, S, M).
+    """
+    hp = {**gnmgp_model.DEFAULT_HYPERS, **(hyper or {})}
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+    n = data.y.shape[0]
+    t = transforms.tri_size(m)
+
+    def draw(vec, k):
+        p, ls, rows, ell, sigma2_err, r, beta = _svc_setup(vec, data, m)
+        cond_l = krige_rbf(data.x, grid, p.tilde_l, hp["mu_tilde_l"], hp["alpha_tilde_l"], hp["beta_tilde_l"])
+        l_mat = p.ul_vecs.reshape(n, t).T
+        cond_lv = krige_rbf(data.x, grid, l_mat, hp["mu_L"], hp["alpha_L"], hp["beta_L"])
+        k_l, k_lv, k_y = jax.random.split(k, 3)
+        tl = cond_l.mean + jnp.sqrt(cond_l.var) * jax.random.normal(k_l, (g,), grid.dtype)
+        z = jax.random.normal(k_lv, cond_lv.mean.shape, grid.dtype)
+        lv_star = (cond_lv.mean + jnp.sqrt(cond_lv.var)[None, :] * z).T  # (G, T)
+        ls_star = transforms.vec_to_tril(lv_star, m)
+        ones_n = jnp.ones((n,), grid.dtype)
+        ones_g = jnp.ones((g,), grid.dtype)
+        k_cross = kernels.nonstationary_rbf_cov(
+            data.x, sigma1=ones_n, ell1=ell, x2=grid, sigma2=ones_g, ell2=jnp.exp(tl)
+        )
+        k_full = jnp.einsum("ng,nb,gab->nga", k_cross, rows, ls_star)
+        self_var = (1.0 + settings.jitter) * jnp.sum(ls_star**2, axis=-1)
+        mu, s2 = _solve_moments(r, beta, k_full, self_var, sigma2_err)
+        return mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype)
+
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = jax.vmap(draw)(hist_vecs, keys)
+    return jnp.moveaxis(ys, 0, 1)

@@ -26,6 +26,19 @@ _X64 = os.environ.get("NMGP_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: float64 linear-algebra gradients are
+# expensive to compile (minutes on TPU); cache them across processes.
+_cache_dir = os.environ.get(
+    "NMGP_JAX_CACHE", os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 #: Default floating dtype for all covariance/posterior computations.
 dtype = jnp.float64 if _X64 else jnp.float32
 

@@ -143,6 +143,53 @@ def plot_chain_diagnostics(path_prefix, samples, param_indices=None, max_lag=60)
         _save(fig, f"{path_prefix}_p{j}.png")
 
 
+def correlation_heatmap_sequence(path_prefix, cor_process, times=None, attributes=None,
+                                 every: int = 1):
+    """Per-time-point correlation heatmaps of an (N, M, M) correlation process.
+
+    Mirrors the reference's heatmap "movies"
+    (``posterior_analysis.visualization_pos_map_heatmap``, :222-286): one
+    annotated frame per (subsampled) input point.
+    """
+    c = np.asarray(cor_process)
+    n, m, _ = c.shape
+    attributes = attributes or [f"Dim {i+1}" for i in range(m)]
+    for i in range(0, n, every):
+        label = f"t={times[i]:.3f}" if times is not None else f"t[{i}]"
+        fig, ax = plt.subplots(figsize=(1.2 * m + 2, 1.0 * m + 2))
+        im = ax.imshow(c[i], cmap="coolwarm", vmin=-1, vmax=1)
+        ax.set_xticks(range(m), labels=attributes, rotation=45, ha="right")
+        ax.set_yticks(range(m), labels=attributes)
+        for a in range(m):
+            for b in range(m):
+                ax.text(b, a, f"{c[i, a, b]:.2f}", ha="center", va="center", fontsize=8)
+        ax.set_title(label)
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        _save(fig, f"{path_prefix}_{i:04d}.png")
+
+
+def correlation_pdf_pages(path, subjects: dict, i: int = 0, j: int = 1):
+    """Multi-page PDF of per-subject correlation-process bands.
+
+    Mirrors ``Post_Process/past/generate_correlation_process_pdf.py``:
+    one page per subject; each entry of ``subjects`` maps an ID to a dict with
+    ``x`` (N,), ``cor_q`` (3, N) quantile band of R_ij(x).
+    """
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    with PdfPages(path) as pdf:
+        for sid, rec in subjects.items():
+            fig, ax = plt.subplots(figsize=(7, 4))
+            x = np.asarray(rec["x"])
+            q = np.asarray(rec["cor_q"])
+            plot_mean_and_ci(ax, x, q[1], q[0], q[2])
+            ax.set_ylim(-1.05, 1.05)
+            ax.set_title(f"subject {sid}: R_{i}{j}(x)")
+            ax.legend(fontsize=7)
+            pdf.savefig(fig, bbox_inches="tight")
+            plt.close(fig)
+
+
 def annotated_heatmap(path, values, row_labels, col_labels, cmap="coolwarm",
                       center=0.0, fmt="{:.2f}"):
     """Annotated statistic heatmap (z/t values per vital-sign pair).
