@@ -199,6 +199,87 @@ def run_subject(
     return result
 
 
+def run_subject_hadamard(
+    x,
+    indx,
+    y,
+    m: int,
+    cfg: PipelineConfig | None = None,
+    key=None,
+) -> dict:
+    """Single-subject pipeline for Hadamard-layout data (one observation per
+    (input, task) pair) — the reference's ``*_non``/mimic data path
+    (``utils.data_split_non``, ``logpos.nlogpos_obj_hadamard*``).
+
+    Runs MAP on the configured model's Hadamard objective, then grid and test
+    prediction through ``predict.hadamard``.
+    """
+    from .models import HadamardData
+    from .ops import transforms
+    from .predict import hadamard as pred_h
+
+    cfg = cfg or PipelineConfig()
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    x = np.asarray(x, float)
+    indx = np.asarray(indx, int)
+    y = np.asarray(y, float)
+    if cfg.test_size > 0:
+        x, x_te, indx_tr, indx_te, y_tr, y_te = preprocess.data_split_non(
+            x, indx, y, test_size=cfg.test_size
+        )
+        indx, y = indx_tr, y_tr
+    else:
+        x_te = indx_te = y_te = None
+    order = np.argsort(x)
+    x, indx, y = x[order], indx[order], y[order]
+    n = x.shape[0]
+    t = transforms.tri_size(m)
+    data = HadamardData(
+        jnp.asarray(x, settings.dtype), jnp.asarray(indx, jnp.int32),
+        jnp.asarray(y, settings.dtype),
+    )
+    model = _MODELS[cfg.model]
+
+    if cfg.model == "lmc":
+        dim = 2 + t + 1
+        nlp = lambda v: model.nlogpos_hadamard(v, data.x, data.indx, data.y, m, **cfg.hyper)
+    elif cfg.model == "snmgp":
+        dim = 2 * n + t + 1
+        nlp = lambda v: model.nlogpos_hadamard(v, data.x, data.indx, data.y, m, **cfg.hyper)
+    else:
+        dim = n + n * t + 1
+        nlp = lambda v: model.nlogpos_hadamard(v, data.x, data.indx, data.y, m, **cfg.hyper)
+
+    v0 = 0.1 * jax.random.normal(key, (dim,), settings.dtype)
+    v0 = v0.at[-1].set(-2.0)
+    res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr, err_opt=cfg.err_opt)
+    out = {"map_vec": res.vec, "target_hist": np.asarray(res.target_hist), "n": n, "m": m}
+
+    grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
+    if cfg.do_pred_grid:
+        if cfg.model == "lmc":
+            gp = pred_h.lmc_predict_map(res.vec, data, grid, m)
+        elif cfg.model == "snmgp":
+            gp = pred_h.snmgp_predict_map(res.vec, data, grid, m, hyper=cfg.hyper)
+        else:
+            gp = pred_h.svc_predict_map(res.vec, data, grid, m, hyper=cfg.hyper)
+        out["pred_grid"] = gp
+        out["grid"] = np.asarray(grid)
+
+    if x_te is not None and cfg.do_pred_test:
+        xt = jnp.asarray(x_te, settings.dtype)
+        it = jnp.asarray(indx_te, jnp.int32)
+        if cfg.model == "lmc":
+            mean, std = pred_h.lmc_predict_test(res.vec, data, xt, it, m)
+        elif cfg.model == "snmgp":
+            mean, std = pred_h.snmgp_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
+        else:
+            mean, std = pred_h.svc_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
+        out["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
+        out["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
+    return out
+
+
 def run_sim_fleet(
     n_replicates: int = 8,
     n: int = 64,
