@@ -325,6 +325,31 @@ def run_sim_fleet(
         "fleet": res,
         "fleet_metrics": res.fleet_metrics,
     }
+    if cfg.do_evaluation:
+        # replicated-data G/P/D per subject (the mpisim drivers' model
+        # evaluation, Nonseparable_model_mpisim.py:466-472) via predictive
+        # sampling at the training inputs
+        pred = _PREDICT[cfg.model]
+        k_eval = jax.random.PRNGKey(cfg.seed + 101)
+        gpd = []
+        for i in range(n_replicates):
+            data_i = FullData(batch.x[i], batch.y[i])
+            vec_i = res.vecs[i]
+            if cfg.model == "lmc":
+                gp = pred.predict_map(vec_i, data_i, batch.x[i])
+                mean, std = np.asarray(gp.mean), np.asarray(gp.std)
+            else:
+                sp = pred.predict_map_sampling(
+                    jax.random.fold_in(k_eval, i), 64, vec_i, data_i, batch.x[i],
+                    hyper=cfg.hyper,
+                )
+                mean, std = np.asarray(sp.mean), np.asarray(sp.std)
+            draws = mean[:, None, :] + std[:, None, :] * np.random.default_rng(
+                cfg.seed + i
+            ).normal(size=(n, 64, m))
+            gpd.append(evaluate.gpd_scores(draws, np.asarray(batch.y[i])))
+        out["gpd"] = gpd
+        out["gpd_median_D"] = float(np.median([s["D"] for s in gpd]))
     if cfg.model == "gnmgp":
         # recovery of the lengthscale process vs the known truth
         est_tilde_l = np.asarray(res.vecs[:, :n])
