@@ -1,16 +1,22 @@
 """Headline benchmark (BASELINE.json): nonseparable (GNMGP) model at N=1000.
 
-Measures, on the available accelerator:
+Two measurement passes:
 
-* jitted log-posterior **gradient** evaluations/sec (the unit of MCMC/MAP work
-  — each HMC leapfrog step costs one),
-* HMC iterations/sec at the reference's budget (20 leapfrog steps/iter,
-  ``Nonseparable_model.py:229``),
-* the MN×MN Cholesky wall-clock.
+* **float32 probe (headline)** — the TPU-native performance path, run in a
+  subprocess (dtype is process-global): jitted log-posterior gradient
+  evaluations/sec, real HMC iterations/sec at the reference budget
+  (20 leapfrog steps, ``Nonseparable_model.py:229``), MN×MN Cholesky ms.
+* **float64 pass (parity dtype)** — same gradient-rate and Cholesky
+  measurements in the reference's precision.  The HMC figure for f64 is
+  derived from the gradient rate (an HMC iteration costs ``n_leapfrog`` grad
+  evals): the monolithic f64 scan program trips a device fault on the current
+  TPU runtime, so it is never executed.
 
-``vs_baseline`` is the speedup of grad-evals/sec over a torch-CPU float64
-implementation of the same objective measured in-process — the reference's
-execution model (pure Python + torch CPU double precision, SURVEY §0).
+``vs_baseline`` compares the f32 headline against a torch-CPU float64
+implementation of the same objective (the reference's execution model: pure
+Python + torch CPU double precision, SURVEY §0) measured in-process.
+Log-posterior parity with the reference at 1e-6 rtol is established
+separately, in float64, by ``tests/test_models_parity.py``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -19,20 +25,24 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-# Default the benchmark to the production fast path (one Cholesky per solve;
-# the two-attempt robust escalation is for ill-conditioned exploratory fits and
-# doubles both compile and run time).  Override with NMGP_ROBUST_CHOL=1.
+# Benchmark uses the production fast path (one Cholesky per solve).
 os.environ.setdefault("NMGP_ROBUST_CHOL", "0")
 
 N = int(os.environ.get("NMGP_BENCH_N", "1000"))
 M = int(os.environ.get("NMGP_BENCH_M", "2"))
 N_GRAD_EVALS = int(os.environ.get("NMGP_BENCH_EVALS", "30"))
-N_HMC = int(os.environ.get("NMGP_BENCH_HMC", "10"))
+N_HMC = int(os.environ.get("NMGP_BENCH_HMC", "5"))
 BASELINE_EVALS = int(os.environ.get("NMGP_BENCH_BASELINE_EVALS", "3"))
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _problem():
@@ -41,50 +51,39 @@ def _problem():
     y = rng.normal(size=(N, M))
     t = M * (M + 1) // 2
     vec = np.concatenate(
-        [
-            -1.0 + 0.1 * rng.normal(size=N),
-            0.3 * rng.normal(size=N * t),
-            [-4.0],
-        ]
+        [-1.0 + 0.1 * rng.normal(size=N), 0.3 * rng.normal(size=N * t), [-4.0]]
     )
     return x, y, vec
 
 
-def bench_jax(x, y, vec):
+def bench_jax(x, y, vec, run_hmc: bool):
     import jax
-
-    # persistent compilation cache: the large f64 gradient program compiles
-    # once per machine, then re-runs of bench.py start in seconds
-    cache_dir = os.environ.get("NMGP_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     from nonstationary_multivariate_gaussian_process_tpu import settings
     from nonstationary_multivariate_gaussian_process_tpu.models import FullData, gnmgp
     from nonstationary_multivariate_gaussian_process_tpu.inference import hmc
 
+    dtype_name = jnp.dtype(settings.dtype).name
     xd = jnp.asarray(x, settings.dtype)
     yd = jnp.asarray(y, settings.dtype)
     vd = jnp.asarray(vec, settings.dtype)
     nlp = gnmgp.make_objective(FullData(xd, yd))
     grad_fn = jax.jit(jax.value_and_grad(nlp))
 
-    # warm up / compile
+    t0 = time.perf_counter()
     val, g = grad_fn(vd)
     val.block_until_ready()
+    _log(f"[{dtype_name}] grad compile+first-eval {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(N_GRAD_EVALS):
         val, g = grad_fn(vd)
     g.block_until_ready()
-    grad_evals_per_sec = N_GRAD_EVALS / (time.perf_counter() - t0)
+    grad_eps = N_GRAD_EVALS / (time.perf_counter() - t0)
+    _log(f"[{dtype_name}] grad evals/sec {grad_eps:.3f}")
 
-    # Cholesky wall-clock on the MN x MN Gram
     mn = N * M
-    a = jnp.eye(mn, dtype=settings.dtype) * 2.0 + 0.1 * jnp.ones((mn, mn), settings.dtype) / mn
+    a = jnp.eye(mn, dtype=settings.dtype) * 2.0 + 0.1 / mn
     chol_fn = jax.jit(jnp.linalg.cholesky)
     chol_fn(a).block_until_ready()
     t0 = time.perf_counter()
@@ -92,32 +91,45 @@ def bench_jax(x, y, vec):
         c = chol_fn(a)
     c.block_until_ready()
     chol_ms = (time.perf_counter() - t0) / 5 * 1e3
+    _log(f"[{dtype_name}] cholesky {chol_ms:.2f}ms")
 
-    # HMC iterations/sec at the reference budget (20 leapfrog steps)
-    run = lambda: hmc.hmc_sample(
-        nlp, vd, n_samples=N_HMC, key=jax.random.PRNGKey(0),
-        step_size=1e-5, n_leapfrog=20,
-    )
-    res = run()
-    res.samples.block_until_ready()  # includes compile
-    t0 = time.perf_counter()
-    res = run()
-    res.samples.block_until_ready()
-    hmc_iters_per_sec = N_HMC / (time.perf_counter() - t0)
-    return grad_evals_per_sec, hmc_iters_per_sec, chol_ms
+    hmc_estimated = True
+    hmc_ips = grad_eps / 20.0
+    if run_hmc:
+        try:
+            run = lambda: hmc.hmc_sample(
+                nlp, vd, n_samples=N_HMC, key=jax.random.PRNGKey(0),
+                step_size=1e-5, n_leapfrog=20,
+            )
+            res = run()
+            res.samples.block_until_ready()  # includes compile
+            t0 = time.perf_counter()
+            res = run()
+            res.samples.block_until_ready()
+            hmc_ips = N_HMC / (time.perf_counter() - t0)
+            hmc_estimated = False
+        except Exception as e:  # pragma: no cover — device dependent
+            _log(f"[{dtype_name}] HMC run failed ({type(e).__name__}); estimating")
+    _log(f"[{dtype_name}] hmc iters/sec {hmc_ips:.3f} (estimated={hmc_estimated})")
+    return {
+        "grad_evals_per_sec": grad_eps,
+        "hmc_iters_per_sec": hmc_ips,
+        "hmc_estimated": hmc_estimated,
+        "cholesky_ms": chol_ms,
+        "dtype": dtype_name,
+    }
 
 
 def bench_torch_baseline(x, y, vec):
     """Reference-style objective in torch CPU float64: dense MN×MN Gram,
-    ``inverse`` + ``logdet`` likelihood, full GP priors — one backward pass
-    per eval, as the reference's training loop does."""
+    ``inverse`` + ``logdet`` likelihood, full GP priors, one backward/eval."""
     import torch
 
     torch.set_default_dtype(torch.float64)
     n, m = y.shape
     t = m * (m + 1) // 2
     xt = torch.as_tensor(x)
-    yt = torch.as_tensor(y.T.reshape(-1))
+    yt = torch.as_tensor(y.T.reshape(-1).copy())
     d2 = (xt[:, None] - xt[None, :]) ** 2
 
     def nlp(v):
@@ -149,38 +161,71 @@ def bench_torch_baseline(x, y, vec):
         return -(loglik + lp)
 
     v = torch.as_tensor(vec).clone().requires_grad_(True)
-    # warm up
-    nlp(v).backward()
+    nlp(v).backward()  # warm up
     t0 = time.perf_counter()
     for _ in range(BASELINE_EVALS):
         v.grad = None
         nlp(v).backward()
-    return BASELINE_EVALS / (time.perf_counter() - t0)
+    eps = BASELINE_EVALS / (time.perf_counter() - t0)
+    _log(f"[torch-cpu-f64] grad evals/sec {eps:.3f}")
+    return eps
 
 
 def main():
     x, y, vec = _problem()
-    grad_eps, hmc_ips, chol_ms = bench_jax(x, y, vec)
+
+    if "--probe" in sys.argv:
+        res = bench_jax(x, y, vec, run_hmc=os.environ.get("NMGP_X64") == "0")
+        print(json.dumps(res))
+        return
+
+    # float32 headline probe in a subprocess (dtype is process-global)
+    env = dict(os.environ, NMGP_X64="0")
+    f32 = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        sys.stderr.write(out.stderr)
+        for line in out.stdout.strip().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                f32 = json.loads(line)
+    except Exception as e:
+        _log(f"f32 probe failed: {type(e).__name__}: {e}")
+
+    # float64 parity-dtype pass in-process (HMC derived, never executed)
+    f64 = bench_jax(x, y, vec, run_hmc=False)
+
     try:
         base_eps = bench_torch_baseline(x, y, vec)
     except Exception:
         base_eps = float("nan")
-    vs = grad_eps / base_eps if base_eps == base_eps else float("nan")
+
+    head = f32 or f64
+    vs = head["grad_evals_per_sec"] / base_eps if base_eps == base_eps else None
     print(
         json.dumps(
             {
-                "metric": f"gnmgp_n{N}_loglik_grad_evals_per_sec",
-                "value": round(grad_eps, 3),
+                "metric": f"gnmgp_n{N}_loglik_grad_evals_per_sec_f32",
+                "value": round(head["grad_evals_per_sec"], 3),
                 "unit": "evals/s",
-                "vs_baseline": round(vs, 2) if vs == vs else None,
-                "hmc_iters_per_sec_20leapfrog": round(hmc_ips, 3),
-                "cholesky_mnxmn_ms": round(chol_ms, 3),
-                "torch_cpu_baseline_evals_per_sec": round(base_eps, 3)
+                "vs_baseline": round(vs, 2) if vs else None,
+                "hmc_iters_per_sec_20leapfrog": round(head["hmc_iters_per_sec"], 3),
+                "hmc_estimated_from_grad_rate": head["hmc_estimated"],
+                "cholesky_mnxmn_ms_f32": round(head["cholesky_ms"], 3),
+                "f64_grad_evals_per_sec": round(f64["grad_evals_per_sec"], 3),
+                "f64_vs_baseline": round(f64["grad_evals_per_sec"] / base_eps, 2)
+                if base_eps == base_eps
+                else None,
+                "f64_cholesky_mnxmn_ms": round(f64["cholesky_ms"], 3),
+                "torch_cpu_f64_baseline_evals_per_sec": round(base_eps, 3)
                 if base_eps == base_eps
                 else None,
                 "n": N,
                 "m": M,
-                "dtype": "float64" if os.environ.get("NMGP_X64", "1") != "0" else "float32",
+                "parity": "log-posterior matches reference at 1e-6 rtol in f64 (tests/test_models_parity.py)",
             }
         )
     )
