@@ -94,14 +94,30 @@ def gram(
     return k4.reshape(n * m, n * m)
 
 
-def log_lik(p: Params, data: FullData) -> jnp.ndarray:
+def log_lik(p: Params, data: FullData, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Marginal log-likelihood; optional input mask for padded subjects.
+
+    ``mask``: (N,) boolean, True for real observations.  Masked entries are
+    projected out of the Gram (rows/cols zeroed, unit diagonal, zero
+    observation) so they contribute exactly nothing to logdet or the quadratic
+    form — the shape-static analogue of fitting only the real prefix.
+    """
     n, m = data.y.shape
     ls = chol_process(p.ul_vecs, n, m)
     ell = jnp.exp(p.tilde_l)
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
     k_x = kernels.nonstationary_rbf_cov(data.x, ell1=ell)
-    cov = gram(k_x, ls) + sigma2_err * jnp.eye(n * m, dtype=data.y.dtype)
-    return dists.mvn_logpdf_dense_unnorm(task_major(data.y), 0.0, cov)
+    cov = gram(k_x, ls)
+    y = task_major(data.y)
+    if mask is None:
+        cov = cov + sigma2_err * jnp.eye(n * m, dtype=data.y.dtype)
+    else:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (N*M,)
+        cov = cov * (mv[:, None] * mv[None, :])
+        diag = jnp.where(mv > 0, sigma2_err, 1.0)
+        cov = cov + jnp.diag(diag)
+        y = y * mv
+    return dists.mvn_logpdf_dense_unnorm(y, 0.0, cov)
 
 
 def _l_process_prior(ul_mat: jnp.ndarray, mu_L, prior_chol: jnp.ndarray):
@@ -129,12 +145,19 @@ def log_posterior(
     prior: bool = True,
     prior_chol_l=None,
     prior_chol_L=None,
+    mask=None,
 ):
-    """Mirrors reference ``logpos_SVC`` (logpos.py:326-380)."""
+    """Mirrors reference ``logpos_SVC`` (logpos.py:326-380).
+
+    With ``mask``, padded observations are excluded from the likelihood (see
+    :func:`log_lik`); the GP priors still extend over the padded latent slots,
+    which regularizes them toward the prior without influencing the fit of the
+    real data.
+    """
     x = data.x
     n, m = data.y.shape
     t = transforms.tri_size(m)
-    loglik = log_lik(p, data)
+    loglik = log_lik(p, data, mask=mask)
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     if prior_chol_l is None:
@@ -176,7 +199,8 @@ def deviance(vec, y, x):
     return -2.0 * log_lik(unpack(vec, n, m), FullData(x, y))
 
 
-def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
+def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True,
+                   mask=None):
     """Jit-friendly negative-log-posterior closure with hoisted prior factors."""
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
@@ -190,7 +214,7 @@ def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True
     def nlp(vec: jnp.ndarray) -> jnp.ndarray:
         p = unpack(vec, n, m)
         res, _ = log_posterior(
-            p, data, prior=prior, prior_chol_l=pc_l, prior_chol_L=pc_L, **hp
+            p, data, prior=prior, prior_chol_l=pc_l, prior_chol_L=pc_L, mask=mask, **hp
         )
         return -res
 

@@ -45,30 +45,42 @@ def stage_bucket(xs: list, ys: list, idxs: list[int], mode: str = "truncate"):
         n = min(lens)
         x = np.stack([np.asarray(xs[i])[:n] for i in idxs])
         y = np.stack([np.asarray(ys[i])[:n] for i in idxs])
+        mask = np.ones((len(idxs), n), dtype=bool)
     else:
         n = max(lens)
-        x_list, y_list = [], []
+        x_list, y_list, mask_list = [], [], []
         for i in idxs:
             xi, yi = np.asarray(xs[i]), np.asarray(ys[i])
             pad = n - xi.shape[0]
-            x_list.append(np.concatenate([xi, np.repeat(xi[-1:], pad)]))
-            y_list.append(np.concatenate([yi, np.repeat(yi[-1:], pad, axis=0)]))
-        x, y = np.stack(x_list), np.stack(y_list)
-    return x, y, np.asarray(lens)
+            # pad x with a strictly increasing extension so kernel matrices on
+            # the padded inputs stay well-conditioned (duplicated inputs would
+            # be singular); the mask keeps padded slots out of the likelihood
+            dx = float(np.mean(np.diff(xi))) if xi.shape[0] > 1 else 1.0
+            ext = xi[-1] + dx * np.arange(1, pad + 1)
+            x_list.append(np.concatenate([xi, ext]))
+            y_list.append(np.concatenate([yi, np.zeros((pad,) + yi.shape[1:])]))
+            mask_list.append(np.concatenate([np.ones(xi.shape[0], bool), np.zeros(pad, bool)]))
+        x, y, mask = np.stack(x_list), np.stack(y_list), np.stack(mask_list)
+    return x, y, np.asarray(lens), mask
 
 
 def run_bucketed(xs: list, ys: list, fit_bucket, n_buckets: int = 4,
                  mode: str = "truncate") -> dict[int, dict]:
-    """Bucket a ragged cohort and run ``fit_bucket(x, y, subject_idxs)`` per bucket.
+    """Bucket a ragged cohort and run ``fit_bucket(x, y, subject_idxs, mask)``
+    per bucket.
 
     Returns {subject_index: per-subject result} merged across buckets;
     ``fit_bucket`` must return a dict of arrays with a leading subject axis.
+    In ``mode="pad"`` the mask marks real observations per subject.
     """
+    import inspect
+
     buckets = assign_buckets([x.shape[0] for x in xs], n_buckets)
+    takes_mask = len(inspect.signature(fit_bucket).parameters) >= 4
     out: dict[int, dict] = {}
     for b, idxs in sorted(buckets.items()):
-        x, y, lens = stage_bucket(xs, ys, idxs, mode)
-        res = fit_bucket(x, y, idxs)
+        x, y, lens, mask = stage_bucket(xs, ys, idxs, mode)
+        res = fit_bucket(x, y, idxs, mask) if takes_mask else fit_bucket(x, y, idxs)
         for j, subj in enumerate(idxs):
             out[subj] = {k: v[j] for k, v in res.items()}
             out[subj]["true_length"] = int(lens[j])

@@ -68,11 +68,11 @@ def _prior_chols(model_name: str, x: jnp.ndarray, hp: dict):
     return jnp.zeros((0,)), jnp.zeros((0,))  # lmc has no GP priors
 
 
-def _subject_nlp(model_name: str, hp: dict):
-    """Per-subject objective fn(vec, x, y, pc1, pc2) → scalar."""
+def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
+    """Per-subject objective fn(vec, x, y, pc1, pc2[, mask]) → scalar."""
     model = _MODELS[model_name]
 
-    def nlp(vec, x, y, pc1, pc2):
+    def nlp(vec, x, y, pc1, pc2, mask=None):
         data = FullData(x, y)
         if model_name == "lmc":
             p = model.unpack(vec, y.shape[1])
@@ -84,10 +84,16 @@ def _subject_nlp(model_name: str, hp: dict):
             )
         else:
             p = model.unpack(vec, y.shape[0], y.shape[1])
-            res, _ = model.log_posterior(p, data, prior_chol_l=pc1, prior_chol_L=pc2, **hp)
+            res, _ = model.log_posterior(
+                p, data, prior_chol_l=pc1, prior_chol_L=pc2, mask=mask, **hp
+            )
         return -res
 
-    return nlp
+    if masked:
+        if model_name != "gnmgp":
+            raise NotImplementedError("masked fleet likelihood: gnmgp only")
+        return nlp
+    return lambda vec, x, y, pc1, pc2: nlp(vec, x, y, pc1, pc2)
 
 
 def fit_fleet_map(
@@ -99,8 +105,13 @@ def fit_fleet_map(
     n_iters: int = 1000,
     lr: float = 2e-1,
     mesh: Mesh | None = None,
+    masks: jnp.ndarray | None = None,
 ) -> FleetResult:
-    """MAP-fit a fleet of subjects, sharded over the device mesh."""
+    """MAP-fit a fleet of subjects, sharded over the device mesh.
+
+    ``masks`` (S, N) boolean marks real observations for padded ragged
+    subjects (gnmgp only; see ``models.gnmgp.log_lik``).
+    """
     model = _MODELS[model_name]
     hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
     if mesh is None:
@@ -114,13 +125,21 @@ def fit_fleet_map(
     xs, _ = pad_to_multiple(xs, n_dev)
     ys, _ = pad_to_multiple(ys, n_dev)
     init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
 
     pc1, pc2 = jax.vmap(lambda x: _prior_chols(model_name, x, hp))(xs)
-    nlp = _subject_nlp(model_name, hp)
+    nlp = _subject_nlp(model_name, hp, masked=model_name == "gnmgp")
     optimizer = optax.adam(lr)
 
-    def fit_one(vec0, x, y, p1, p2):
-        obj = lambda v: nlp(v, x, y, p1, p2)
+    def fit_one(vec0, x, y, p1, p2, mask):
+        if model_name == "gnmgp":
+            obj = lambda v: nlp(v, x, y, p1, p2, mask)
+        else:
+            obj = lambda v: nlp(v, x, y, p1, p2)
 
         def step(carry, _):
             v, s = carry
@@ -146,8 +165,8 @@ def fit_fleet_map(
         )
         return v, obj(v), hist
 
-    def shard_fn(vec0, x, y, p1, p2):
-        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, p1, p2)
+    def shard_fn(vec0, x, y, p1, p2, mask):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, p1, p2, mask)
         # fleet-level metrics ride one psum/pmax over ICI
         total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
         lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
@@ -157,10 +176,12 @@ def fit_fleet_map(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(), P(), P()),
     )
-    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(init_vecs, xs, ys, pc1, pc2)
+    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
+        init_vecs, xs, ys, pc1, pc2, masks
+    )
     s_total = xs.shape[0]
     return FleetResult(
         vecs=vecs[:s_real],

@@ -371,6 +371,7 @@ def run_cohort(
     n_buckets: int = 4,
     extrapolation_size: int = 0,
     mesh=None,
+    mode: str = "truncate",
 ) -> dict:
     """Ragged multi-subject cohort pipeline (KAISER-style drivers:
     ``*_mpiKAISER``, ``*_distributed``, ``*_personalized``).
@@ -405,31 +406,44 @@ def run_cohort(
         tests.append((x_te, y_te))
         norms.append((trend, scale))
 
-    def fit_bucket(x, y, idxs):
+    if mode == "pad" and cfg.model != "gnmgp":
+        raise NotImplementedError("mode='pad' (masked likelihood) supports gnmgp only")
+
+    def fit_bucket(x, y, idxs, mask):
         s, n = x.shape
         m = y.shape[-1]
         inits = []
         for j in range(s):
+            n_real = int(mask[j].sum())
             emp = empirical.local_estimation(
-                x[j], y[j], window_size=min(cfg.window_size, max(2, n // 3))
+                x[j][:n_real], y[j][:n_real],
+                window_size=min(cfg.window_size, max(2, n_real // 3)),
             )
             if cfg.model == "gnmgp":
-                inits.append(init_mod.gnmgp_from_empirical(emp, n, m))
+                init_j = _pad_gnmgp_vec(
+                    init_mod.gnmgp_from_empirical(emp, n_real, m), n_real, n, m
+                )
             elif cfg.model == "snmgp":
-                inits.append(init_mod.snmgp_from_empirical(emp, n, m))
+                init_j = init_mod.snmgp_from_empirical(emp, n, m)
             else:
-                inits.append(init_mod.lmc_from_empirical(emp, n, m))
+                init_j = init_mod.lmc_from_empirical(emp, n_real, m)
+            inits.append(init_j)
         res = fleet_mod.fit_fleet_map(
             cfg.model, jnp.asarray(x), jnp.asarray(y), jnp.stack(inits),
             hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+            masks=jnp.asarray(mask) if cfg.model == "gnmgp" else None,
         )
         return {
             "vec": np.asarray(res.vecs),
             "final_nlp": np.asarray(res.final_nlp),
-            "n_train": np.full(s, n, dtype=int),
+            "n_train": np.asarray(mask).sum(axis=1).astype(int)
+            if cfg.model == "gnmgp"
+            else np.full(s, n, dtype=int),
         }
 
-    per_subject = buckets_mod.run_bucketed(xs, ys, fit_bucket, n_buckets=n_buckets)
+    per_subject = buckets_mod.run_bucketed(
+        xs, ys, fit_bucket, n_buckets=n_buckets, mode=mode
+    )
 
     # per-subject test scoring + artifact writes
     results = {}
@@ -439,7 +453,8 @@ def run_cohort(
         rec = {"map_vec": entry["vec"], "final_nlp": float(entry["final_nlp"])}
         x_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test:
-            # bucket truncation may have cropped the subject; re-crop to match
+            # bucket staging may have cropped (truncate) or padded (pad) the
+            # subject; re-crop data and, for padded fits, the latent slots
             n_bucket = int(entry["n_train"])
             x_used = xs[pos][:n_bucket]
             y_used = ys[pos][:n_bucket]
@@ -447,6 +462,12 @@ def run_cohort(
                 jnp.asarray(x_used, settings.dtype), jnp.asarray(y_used, settings.dtype)
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
+            if cfg.model == "gnmgp":
+                m_tasks = y_used.shape[1]
+                t = m_tasks * (m_tasks + 1) // 2
+                n_pad_fit = (vec.shape[0] - 1) // (1 + t)
+                if n_pad_fit != n_bucket:
+                    vec = _crop_gnmgp_vec(vec, n_pad_fit, n_bucket, m_tasks)
             if cfg.model == "lmc":
                 tp = pred_mod.predict_map(vec, data, jnp.asarray(x_te, settings.dtype))
             else:
@@ -471,3 +492,30 @@ def run_cohort(
         keys = [ArtifactStore.key(cfg.model, dataset, sid, "scores") for sid in ids]
         out["reduction"] = summary_mod.reduce_fleet_metrics(store, keys)
     return out
+
+
+def _pad_gnmgp_vec(vec, n_real: int, n_pad: int, m: int):
+    """Extend a GNMGP parameter vector's latent slots from n_real to n_pad
+    inputs by repeating the edge values (padded slots are masked out of the
+    likelihood and only feel the prior)."""
+    import jax.numpy as jnp
+
+    t = m * (m + 1) // 2
+    vec = jnp.asarray(vec)
+    tilde_l = vec[:n_real]
+    ul = vec[n_real : n_real + n_real * t].reshape(n_real, t)
+    pad = n_pad - n_real
+    tilde_l = jnp.concatenate([tilde_l, jnp.repeat(tilde_l[-1:], pad)])
+    ul = jnp.concatenate([ul, jnp.repeat(ul[-1:, :], pad, axis=0)], axis=0)
+    return jnp.concatenate([tilde_l, ul.reshape(-1), vec[-1:]])
+
+
+def _crop_gnmgp_vec(vec, n_pad: int, n_real: int, m: int):
+    """Inverse of :func:`_pad_gnmgp_vec`: keep only the real latent slots."""
+    import jax.numpy as jnp
+
+    t = m * (m + 1) // 2
+    vec = jnp.asarray(vec)
+    tilde_l = vec[:n_real]
+    ul = vec[n_pad : n_pad + n_real * t]
+    return jnp.concatenate([tilde_l, ul, vec[-1:]])

@@ -22,15 +22,18 @@ class TestBuckets:
         assert all_idx == list(range(37))
 
     def test_stage_truncate_and_pad(self, rng):
-        xs = [rng.uniform(size=n) for n in (10, 12, 15)]
+        xs = [np.sort(rng.uniform(size=n)) for n in (10, 12, 15)]
         ys = [rng.normal(size=(n, 2)) for n in (10, 12, 15)]
-        x, y, lens = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="truncate")
+        x, y, lens, mask = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="truncate")
         assert x.shape == (3, 10) and y.shape == (3, 10, 2)
-        x, y, lens = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="pad")
+        assert mask.all()
+        x, y, lens, mask = buckets.stage_bucket(xs, ys, [0, 1, 2], mode="pad")
         assert x.shape == (3, 15)
         np.testing.assert_array_equal(lens, [10, 12, 15])
-        # padded tail repeats the last observation
-        np.testing.assert_allclose(x[0, 10:], xs[0][-1])
+        # padded x extension is strictly increasing; mask marks real entries
+        assert np.all(np.diff(x[0]) > 0)
+        np.testing.assert_array_equal(mask[0], [True] * 10 + [False] * 5)
+        np.testing.assert_allclose(y[0, 10:], 0.0)
 
     def test_run_bucketed_merges(self, rng):
         xs = [np.sort(rng.uniform(size=n)) for n in (8, 9, 16, 17)]
