@@ -43,6 +43,27 @@ def ess(x: np.ndarray) -> float:
     return float(n / max(tau, 1.0))
 
 
+def rhat(chains: np.ndarray) -> np.ndarray:
+    """Split-R̂ potential-scale-reduction per parameter.
+
+    ``chains``: (C, S, P).  Each chain is split in half (so even a single
+    chain yields a meaningful statistic); values near 1 indicate convergence.
+    """
+    c = np.asarray(chains, float)
+    if c.ndim == 2:
+        c = c[None]
+    n_c, n_s, n_p = c.shape
+    half = n_s // 2
+    splits = np.concatenate([c[:, :half], c[:, half : 2 * half]], axis=0)  # (2C, half, P)
+    m, n = splits.shape[0], splits.shape[1]
+    chain_means = splits.mean(axis=1)  # (2C, P)
+    chain_vars = splits.var(axis=1, ddof=1)  # (2C, P)
+    between = n * chain_means.var(axis=0, ddof=1)
+    within = chain_vars.mean(axis=0)
+    var_est = (n - 1) / n * within + between / n
+    return np.sqrt(var_est / np.maximum(within, 1e-300))
+
+
 def summary(samples: np.ndarray) -> dict:
     """Per-parameter posterior summary of an (S, P) chain."""
     s = np.asarray(samples, float)

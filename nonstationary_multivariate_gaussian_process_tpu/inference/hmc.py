@@ -195,3 +195,23 @@ def hmc_sample(
         step_size=epsf,
         potentials=us[n_warmup:],
     )
+
+
+def hmc_sample_chains(
+    potential_fn: Callable,
+    init_positions: jnp.ndarray,
+    n_samples: int,
+    key,
+    **kwargs,
+) -> HMCResult:
+    """Run several independent chains batched on-device.
+
+    ``init_positions``: (C, P) — e.g. the MAP plus jittered restarts.  The
+    chains vmap into one batched program (batched Choleskys keep the MXU
+    busy); all HMCResult fields gain a leading chain axis.  Feed
+    ``samples`` to ``inference.diagnostics.rhat`` for convergence checks.
+    """
+    keys = jax.random.split(key, init_positions.shape[0])
+    return jax.vmap(
+        lambda q0, k: hmc_sample(potential_fn, q0, n_samples, k, **kwargs)
+    )(init_positions, keys)
