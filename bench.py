@@ -39,6 +39,7 @@ M = int(os.environ.get("NMGP_BENCH_M", "2"))
 N_GRAD_EVALS = int(os.environ.get("NMGP_BENCH_EVALS", "30"))
 N_HMC = int(os.environ.get("NMGP_BENCH_HMC", "5"))
 BASELINE_EVALS = int(os.environ.get("NMGP_BENCH_BASELINE_EVALS", "3"))
+FLEET = int(os.environ.get("NMGP_BENCH_FLEET", "8"))  # vmapped subjects (f32 only)
 
 
 def _log(msg):
@@ -111,11 +112,39 @@ def bench_jax(x, y, vec, run_hmc: bool):
         except Exception as e:  # pragma: no cover — device dependent
             _log(f"[{dtype_name}] HMC run failed ({type(e).__name__}); estimating")
     _log(f"[{dtype_name}] hmc iters/sec {hmc_ips:.3f} (estimated={hmc_estimated})")
+
+    # per-chip fleet throughput: vmapped per-subject gradients (f32 path only;
+    # mirrors the production subject-parallel fleet within one device)
+    fleet_eps = None
+    if run_hmc and FLEET > 1:
+        try:
+            rng = np.random.default_rng(1)
+            xs = jnp.asarray(np.sort(rng.uniform(size=(FLEET, N)), axis=1), settings.dtype)
+            ys = jnp.asarray(rng.normal(size=(FLEET, N, M)), settings.dtype)
+            vs = jnp.tile(vd[None, :], (FLEET, 1))
+
+            def subj_nlp(v, x, y):
+                return gnmgp.nlogpos(v, y, x, prior=False)
+
+            fleet_grad = jax.jit(jax.vmap(jax.grad(subj_nlp)))
+            g = fleet_grad(vs, xs, ys)
+            g.block_until_ready()
+            n_rep = max(5, N_GRAD_EVALS // 5)
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                g = fleet_grad(vs, xs, ys)
+            g.block_until_ready()
+            fleet_eps = FLEET * n_rep / (time.perf_counter() - t0)
+            _log(f"[{dtype_name}] fleet({FLEET}) grad evals/sec {fleet_eps:.3f}")
+        except Exception as e:
+            _log(f"[{dtype_name}] fleet probe failed ({type(e).__name__})")
     return {
         "grad_evals_per_sec": grad_eps,
         "hmc_iters_per_sec": hmc_ips,
         "hmc_estimated": hmc_estimated,
         "cholesky_ms": chol_ms,
+        "fleet_grad_evals_per_sec": fleet_eps,
+        "fleet_size": FLEET,
         "dtype": dtype_name,
     }
 
@@ -230,6 +259,8 @@ def main():
                 "hmc_iters_per_sec_20leapfrog": r(head.get("hmc_iters_per_sec")),
                 "hmc_estimated_from_grad_rate": head.get("hmc_estimated"),
                 "cholesky_mnxmn_ms_f32": r(head.get("cholesky_ms")),
+                "fleet_grad_evals_per_sec_f32": r(head.get("fleet_grad_evals_per_sec")),
+                "fleet_size": head.get("fleet_size"),
                 "f64_grad_evals_per_sec": r(f64.get("grad_evals_per_sec")),
                 "f64_vs_baseline": r(f64_vs, 2),
                 "f64_cholesky_mnxmn_ms": r(f64.get("cholesky_ms")),

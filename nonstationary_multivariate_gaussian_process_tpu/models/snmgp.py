@@ -74,6 +74,18 @@ def _covs(p: Params, x: jnp.ndarray, m: int):
     return b_f, k_x, sigma2_err
 
 
+def covariances(vec: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> dict:
+    """Materialize (B_f, K_x, σ²_err) from a packed vector for inspection.
+
+    Mirrors the reference's ``show_covs`` debug printer (logpos.py:140-157)
+    but returns the arrays instead of printing.
+    """
+    n, m = y.shape
+    p = unpack(jnp.asarray(vec), n, m)
+    b_f, k_x, sigma2_err = _covs(p, jnp.asarray(x), m)
+    return {"B_f": b_f, "K_x": k_x, "sigma2_err": sigma2_err}
+
+
 def log_lik(p: Params, data: FullData) -> jnp.ndarray:
     """Marginal log-likelihood (unnormalized, reference convention)."""
     n, m = data.y.shape

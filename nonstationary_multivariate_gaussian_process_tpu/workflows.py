@@ -57,6 +57,10 @@ class PipelineConfig:
     n_hmc: int = 100
     hmc_step_size: float = 1e-4
     hmc_leapfrog: int = 20
+    hmc_adapt: bool = False  # dual-averaging step-size adaptation
+    hmc_warmup: int = 0
+    hmc_mass: str = "none"  # "none" | "pilot" (mass matrix from a pilot run,
+    #                          the reference's preconditioning recipe)
     n_grid: int = 201
     window_size: int = 30
     test_size: float = 0.0
@@ -149,9 +153,19 @@ def run_subject(
 
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
+        mass = None
+        if cfg.hmc_mass == "pilot":
+            # mass matrix from a short pilot chain's sample covariance
+            # (Nonseparable_model_mpiKAISER_extended.py:542-570 recipe)
+            pilot = hmc_mod.hmc_sample(
+                nlp, map_vec, max(20, cfg.n_hmc // 10), jax.random.fold_in(key, 7),
+                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+            )
+            mass = hmc_mod.estimate_mass_matrix(pilot.samples)
         chain = hmc_mod.hmc_sample(
             nlp, map_vec, cfg.n_hmc, key, step_size=cfg.hmc_step_size,
-            n_leapfrog=cfg.hmc_leapfrog,
+            n_leapfrog=cfg.hmc_leapfrog, adapt_step_size=cfg.hmc_adapt,
+            n_warmup=cfg.hmc_warmup, mass_matrix=mass,
         )
         result["timings"]["hmc"] = time.time() - t0
         result["hmc_samples"] = np.asarray(chain.samples)
