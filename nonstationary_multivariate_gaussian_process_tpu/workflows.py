@@ -67,6 +67,23 @@ class PipelineConfig:
     seed: int = 0
 
 
+def _validate_subject(x, y):
+    """Named validation errors for degenerate inputs (instead of reshape
+    errors surfacing from deep inside the variogram/kernel code)."""
+    if x.ndim != 1:
+        raise ValueError(f"x must be 1-D (N,), got shape {x.shape}")
+    if y.ndim != 2:
+        raise ValueError(f"Y must be 2-D (N, M), got shape {y.shape}")
+    if x.shape[0] != y.shape[0]:
+        raise ValueError(f"x and Y disagree on N: {x.shape[0]} vs {y.shape[0]}")
+    if x.shape[0] < 4:
+        raise ValueError(f"need at least 4 observations, got {x.shape[0]}")
+    if y.shape[1] < 1:
+        raise ValueError("Y must have at least one task column")
+    if not np.all(np.isfinite(x)) or not np.all(np.isfinite(y)):
+        raise ValueError("x/Y contain non-finite values")
+
+
 def _build_inits(cfg, emp, x, y, key):
     n, m = y.shape
     model = cfg.model
@@ -108,6 +125,7 @@ def run_subject(
     key = jax.random.PRNGKey(cfg.seed)
     x = np.asarray(x, float)
     y = np.asarray(y, float)
+    _validate_subject(x, y)
     if cfg.test_size > 0:
         x, x_test, y, y_test = preprocess.data_split(x, y, test_size=cfg.test_size)
     else:

@@ -28,3 +28,20 @@ def test_run_subject_hadamard(model):
     assert np.isfinite(res["test_rmse"])
     assert np.isfinite(res["test_lpd"])
     assert np.all(np.isfinite(np.asarray(res["map_vec"])))
+
+
+class TestValidation:
+    def test_degenerate_inputs_raise_named_errors(self):
+        import pytest as _pytest
+
+        cfg = workflows.PipelineConfig(model="lmc", n_opt=5)
+        with _pytest.raises(ValueError, match="at least 4"):
+            workflows.run_subject(np.zeros(0), np.zeros((0, 2)), cfg)
+        with _pytest.raises(ValueError, match="disagree on N"):
+            workflows.run_subject(np.linspace(0, 1, 5), np.zeros((6, 2)), cfg)
+        with _pytest.raises(ValueError, match="non-finite"):
+            y = np.zeros((6, 2))
+            y[0, 0] = np.nan
+            workflows.run_subject(np.linspace(0, 1, 6), y, cfg)
+        with _pytest.raises(ValueError, match="must be 2-D"):
+            workflows.run_subject(np.linspace(0, 1, 6), np.zeros(6), cfg)
