@@ -40,14 +40,15 @@ def mvn_logpdf_unnorm(y, mu, logdet, quad):
     return -0.5 * logdet - 0.5 * quad
 
 
-def mvn_logpdf_kron(y, mu, b, k, sigma2):
+def mvn_logpdf_kron(y, mu, b, k, sigma2, mask=None):
     """Unnormalized MVN log-pdf with covariance ``B ⊗ K + σ² I`` (task-major y).
 
     Exact-arithmetic equal to reference ``multivariate_normal_logpdf0``
     (distributions.py:26-52) but computed through the rotated batched-Cholesky
     path (see ``ops/kron.py``) — no eigh(K), hence no NaN-retry loop.
+    ``mask`` (N,) excludes padded inputs exactly (see kron_chol_logdet_quad).
     """
-    logdet, quad = _kron.kron_chol_logdet_quad(b, k, sigma2, y - mu)
+    logdet, quad = _kron.kron_chol_logdet_quad(b, k, sigma2, y - mu, mask=mask)
     return -0.5 * logdet - 0.5 * quad
 
 

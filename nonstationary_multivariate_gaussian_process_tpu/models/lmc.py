@@ -60,8 +60,11 @@ def pack(p: Params) -> jnp.ndarray:
     )
 
 
-def log_lik(p: Params, data: FullData) -> jnp.ndarray:
-    """Kronecker fast-path marginal log-likelihood (logpos.py:424-443)."""
+def log_lik(p: Params, data: FullData, mask=None) -> jnp.ndarray:
+    """Kronecker fast-path marginal log-likelihood (logpos.py:424-443).
+
+    ``mask`` (N,) boolean excludes padded inputs exactly (ragged fleets).
+    """
     n, m = data.y.shape
     l_vec = transforms.ulvec_to_lvec(p.ul_vec, m)
     l_mat = transforms.vec_to_tril(l_vec, m)
@@ -73,7 +76,7 @@ def log_lik(p: Params, data: FullData) -> jnp.ndarray:
     sigma = jnp.exp(p.tilde_sigma) * ones
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
     k_x = kernels.nonstationary_rbf_cov(data.x, sigma1=sigma, ell1=ell)
-    return dists.mvn_logpdf_kron(task_major(data.y), 0.0, b_f, k_x, sigma2_err)
+    return dists.mvn_logpdf_kron(task_major(data.y), 0.0, b_f, k_x, sigma2_err, mask=mask)
 
 
 def log_posterior(
@@ -85,9 +88,10 @@ def log_posterior(
     b=1.0,
     c=10.0,
     prior: bool = True,
+    mask=None,
 ):
     """Mirrors reference ``logpos_S`` (logpos.py:405-462)."""
-    loglik = log_lik(p, data)
+    loglik = log_lik(p, data, mask=mask)
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
     lp_l = dists.normal_logpdf(p.tilde_l, mu_tilde_l, sigma_tilde_l)
     lp_ul = jnp.sum(dists.normal_logpdf(p.ul_vec, 0.0, c))

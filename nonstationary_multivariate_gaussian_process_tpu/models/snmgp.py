@@ -86,12 +86,15 @@ def covariances(vec: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> dict:
     return {"B_f": b_f, "K_x": k_x, "sigma2_err": sigma2_err}
 
 
-def log_lik(p: Params, data: FullData) -> jnp.ndarray:
-    """Marginal log-likelihood (unnormalized, reference convention)."""
+def log_lik(p: Params, data: FullData, mask=None) -> jnp.ndarray:
+    """Marginal log-likelihood (unnormalized, reference convention).
+
+    ``mask`` (N,) boolean excludes padded inputs exactly (ragged fleets).
+    """
     n, m = data.y.shape
     b_f, k_x, sigma2_err = _covs(p, data.x, m)
     y = task_major(data.y)
-    return dists.mvn_logpdf_kron(y, 0.0, b_f, k_x, sigma2_err)
+    return dists.mvn_logpdf_kron(y, 0.0, b_f, k_x, sigma2_err, mask=mask)
 
 
 def log_posterior(
@@ -109,6 +112,7 @@ def log_posterior(
     prior: bool = True,
     prior_chol_l: jnp.ndarray | None = None,
     prior_chol_sigma: jnp.ndarray | None = None,
+    mask=None,
 ):
     """Log joint posterior; mirrors reference ``logpos`` (logpos.py:237-296).
 
@@ -116,7 +120,7 @@ def log_posterior(
     decomposition the reference prints in verbose mode.
     """
     x = data.x
-    loglik = log_lik(p, data)
+    loglik = log_lik(p, data, mask=mask)
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     if prior_chol_l is None:

@@ -95,14 +95,26 @@ def kron_chol_factors(b: jnp.ndarray, k: jnp.ndarray, sigma2):
     return w_b, v_b, chols
 
 
-def kron_chol_logdet_quad(b: jnp.ndarray, k: jnp.ndarray, sigma2, y: jnp.ndarray):
+def kron_chol_logdet_quad(
+    b: jnp.ndarray, k: jnp.ndarray, sigma2, y: jnp.ndarray, mask: jnp.ndarray | None = None
+):
     """Return ``(logdet, quad)`` for ``Σ = σ²I + B⊗K`` and ``quad = yᵀ Σ⁻¹ y``.
 
     ``y`` is task-major length M*N. Exact-arithmetic equal to the reference's
     eigen identity (distributions.py:26-52) but with Cholesky gradients.
+
+    ``mask`` (N,) boolean marks real inputs for padded subjects.  Masked rows/
+    cols of K are zeroed with a unit diagonal, masked observations zeroed, and
+    the analytic contribution of the padded slots — each padded input adds
+    ``log(w_B[m] + σ²)`` per rotated block — is subtracted, so the result
+    equals the unpadded computation exactly.
     """
     m = b.shape[0]
     n = k.shape[0]
+    if mask is not None:
+        mv = jnp.asarray(mask, k.dtype)
+        k = k * (mv[:, None] * mv[None, :]) + jnp.diag(1.0 - mv)
+        y = y * jnp.tile(mv, m)
     w_b, v_b, chols = kron_chol_factors(b, k, sigma2)
     z = (v_b.T @ y.reshape(m, n))  # rotate task axis: (M, N)
     sol = jax.vmap(
@@ -110,6 +122,9 @@ def kron_chol_logdet_quad(b: jnp.ndarray, k: jnp.ndarray, sigma2, y: jnp.ndarray
     )(chols, z)
     quad = jnp.sum(sol * sol)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)))
+    if mask is not None:
+        n_pad = n - jnp.sum(jnp.asarray(mask, k.dtype))
+        logdet = logdet - n_pad * jnp.sum(jnp.log(w_b + sigma2))
     return logdet, quad
 
 

@@ -76,11 +76,11 @@ def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
         data = FullData(x, y)
         if model_name == "lmc":
             p = model.unpack(vec, y.shape[1])
-            res, _ = model.log_posterior(p, data, **hp)
+            res, _ = model.log_posterior(p, data, mask=mask, **hp)
         elif model_name == "snmgp":
             p = model.unpack(vec, y.shape[0], y.shape[1])
             res, _ = model.log_posterior(
-                p, data, prior_chol_l=pc1, prior_chol_sigma=pc2, **hp
+                p, data, prior_chol_l=pc1, prior_chol_sigma=pc2, mask=mask, **hp
             )
         else:
             p = model.unpack(vec, y.shape[0], y.shape[1])
@@ -90,8 +90,6 @@ def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
         return -res
 
     if masked:
-        if model_name != "gnmgp":
-            raise NotImplementedError("masked fleet likelihood: gnmgp only")
         return nlp
     return lambda vec, x, y, pc1, pc2: nlp(vec, x, y, pc1, pc2)
 
@@ -110,7 +108,8 @@ def fit_fleet_map(
     """MAP-fit a fleet of subjects, sharded over the device mesh.
 
     ``masks`` (S, N) boolean marks real observations for padded ragged
-    subjects (gnmgp only; see ``models.gnmgp.log_lik``).
+    subjects — supported by all three model likelihoods (dense projection for
+    gnmgp, analytic Kronecker correction for snmgp/lmc).
     """
     model = _MODELS[model_name]
     hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
@@ -132,14 +131,11 @@ def fit_fleet_map(
         masks = jnp.ones(xs.shape, bool)
 
     pc1, pc2 = jax.vmap(lambda x: _prior_chols(model_name, x, hp))(xs)
-    nlp = _subject_nlp(model_name, hp, masked=model_name == "gnmgp")
+    nlp = _subject_nlp(model_name, hp, masked=True)
     optimizer = optax.adam(lr)
 
     def fit_one(vec0, x, y, p1, p2, mask):
-        if model_name == "gnmgp":
-            obj = lambda v: nlp(v, x, y, p1, p2, mask)
-        else:
-            obj = lambda v: nlp(v, x, y, p1, p2)
+        obj = lambda v: nlp(v, x, y, p1, p2, mask)
 
         def step(carry, _):
             v, s = carry

@@ -71,3 +71,58 @@ class TestCohortPadMode:
             assert np.isfinite(rec["final_nlp"])
             assert np.isfinite(rec["test_rmse"])
         assert out["reduction"]["n_valid"] == 4
+
+
+class TestMaskedKron:
+    def test_snmgp_masked_equals_unpadded(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu.models import snmgp
+
+        n_real, pad, m = 9, 3, 2
+        n = n_real + pad
+        x_real = np.sort(rng.uniform(size=n_real))
+        y_real = rng.normal(size=(n_real, m))
+        dx = np.mean(np.diff(x_real))
+        x_pad = np.concatenate([x_real, x_real[-1] + dx * np.arange(1, pad + 1)])
+        y_pad = np.concatenate([y_real, np.zeros((pad, m))])
+        mask = np.concatenate([np.ones(n_real, bool), np.zeros(pad, bool)])
+
+        t = transforms.tri_size(m)
+        vec_real = rng.normal(size=2 * n_real + t + 1) * 0.4
+        # pad latent slots by repeating edges
+        tl = np.concatenate([vec_real[:n_real], [vec_real[n_real - 1]] * pad])
+        ts = np.concatenate([vec_real[n_real:2 * n_real], [vec_real[2 * n_real - 1]] * pad])
+        vec_pad = np.concatenate([tl, ts, vec_real[2 * n_real:]])
+
+        ll_real = float(
+            snmgp.log_lik(
+                snmgp.unpack(jnp.asarray(vec_real), n_real, m),
+                FullData(jnp.asarray(x_real), jnp.asarray(y_real)),
+            )
+        )
+        ll_masked = float(
+            snmgp.log_lik(
+                snmgp.unpack(jnp.asarray(vec_pad), n, m),
+                FullData(jnp.asarray(x_pad), jnp.asarray(y_pad)),
+                mask=jnp.asarray(mask),
+            )
+        )
+        np.testing.assert_allclose(ll_masked, ll_real, rtol=1e-9)
+
+    def test_lmc_masked_equals_unpadded(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu.models import lmc
+
+        n_real, pad, m = 10, 4, 2
+        x_real = np.sort(rng.uniform(size=n_real))
+        y_real = rng.normal(size=(n_real, m))
+        dx = np.mean(np.diff(x_real))
+        x_pad = np.concatenate([x_real, x_real[-1] + dx * np.arange(1, pad + 1)])
+        y_pad = np.concatenate([y_real, np.zeros((pad, m))])
+        mask = np.concatenate([np.ones(n_real, bool), np.zeros(pad, bool)])
+        vec = rng.normal(size=2 + 3 + 1) * 0.4
+        p = lmc.unpack(jnp.asarray(vec), m)
+        ll_real = float(lmc.log_lik(p, FullData(jnp.asarray(x_real), jnp.asarray(y_real))))
+        ll_masked = float(
+            lmc.log_lik(p, FullData(jnp.asarray(x_pad), jnp.asarray(y_pad)),
+                        mask=jnp.asarray(mask))
+        )
+        np.testing.assert_allclose(ll_masked, ll_real, rtol=1e-9)
