@@ -245,3 +245,31 @@ class TestEvaluate:
         hist = jnp.stack([vec, vec + 0.02, vec - 0.02])
         dic = evaluate.get_dic(hist, dev)
         assert np.isfinite(dic)
+
+
+class TestPredictiveConsistency:
+    def test_map_sampling_mean_approaches_predict_map(self, small_data):
+        # with many latent draws, sampling-based predictive mean should agree
+        # with the plug-in predictive mean to sampling error
+        d = small_data
+        n, m = d.y.shape
+        vec = jnp.zeros(2 * n + 4)
+        data = FullData(d.x, d.y)
+        grid = jnp.linspace(0.2, 0.8, 6)
+        det = pred_snmgp.predict_map(vec, data, grid)
+        sp = pred_snmgp.predict_map_sampling(jax.random.PRNGKey(0), 400, vec, data, grid)
+        err = np.abs(np.asarray(sp.mean) - np.asarray(det.mean))
+        scale = np.asarray(det.std) / np.sqrt(400) * 6  # 6-sigma of the MC error
+        assert np.all(err < scale + 0.05)
+
+    def test_gnmgp_sampling_mean_consistency(self, small_data):
+        d = small_data
+        n, m = d.y.shape
+        t = 3
+        vec = jnp.zeros(n + n * t + 1)
+        data = FullData(d.x, d.y)
+        grid = jnp.linspace(0.2, 0.8, 5)
+        det = pred_gnmgp.predict_map(vec, data, grid)
+        sp = pred_gnmgp.predict_map_sampling(jax.random.PRNGKey(1), 400, vec, data, grid)
+        err = np.abs(np.asarray(sp.mean) - np.asarray(det.mean))
+        assert np.all(err < 6 * np.asarray(det.std) / np.sqrt(400) + 0.1)
