@@ -108,3 +108,24 @@ class TestArtifacts:
         ran = store.run_missing([k1, k2], lambda k: {"vec": np.ones(3)})
         assert ran == [k2]
         assert store.missing([k1, k2]) == []
+
+
+class TestFleetPredict:
+    def test_vmapped_predict_matches_single(self, batch):
+        from nonstationary_multivariate_gaussian_process_tpu.models import FullData
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet_predict
+        from nonstationary_multivariate_gaussian_process_tpu.predict import gnmgp as pred_gnmgp
+
+        s, n = 4, 16
+        vecs = jnp.zeros((s, n + n * 3 + 1))
+        grids = jnp.tile(jnp.linspace(0.2, 0.8, 5)[None, :], (s, 1))
+        out = fleet_predict.fleet_predict_map(
+            "gnmgp", vecs, batch.x[:s], batch.y[:s], grids
+        )
+        assert out.percentiles.shape == (s, 5, 3, 2)
+        solo = pred_gnmgp.predict_map(
+            vecs[0], FullData(batch.x[0], batch.y[0]), grids[0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.mean[0]), np.asarray(solo.mean), rtol=1e-8, atol=1e-10
+        )
