@@ -86,6 +86,93 @@ def gibbs_gram_pallas(x, sigma, ell, add_jitter: bool = True, interpret: bool = 
     return out[:n, :n]
 
 
+# ---------------------------------------------------------------------------
+# Fused SVC Gram: K[(a,n),(c,p)] = (Gibbs(x,ℓ)[n,p] + jitter·δ_np) · (L_n L_pᵀ)[a,c]
+# ---------------------------------------------------------------------------
+#
+# XLA's lowering of ``models.gnmgp.gram`` materializes the (N,M,N,M)
+# intermediate B4 = L_n L_pᵀ in HBM (one extra write + read of an output-sized
+# array).  This kernel emits each (T×T) tile of the final task-major MN×MN
+# Gram directly from O(T) strips of (x, ℓ) and (T×M) strips of the Cholesky
+# process — a fusion XLA cannot express.  float32; M is specialized per call.
+
+
+def _svc_tile_kernel(jitter, m, x_c, l_c, lc_ref, x_r, l_r, lr_ref, out):
+    xi, li = x_c[:], l_c[:]  # (T, 1)
+    xj, lj = x_r[:], l_r[:]  # (1, T)
+    a = li * li + lj * lj
+    d = (xi - xj) ** 2
+    kx = jnp.sqrt(2.0 * (li * lj) / a) * jnp.exp(-d / a)
+    # jitter rides the same-input diagonal of K_x for EVERY task pair
+    # (K = (1_{M×M} ⊗ (K_x + jitter I)) ∘ K_i, reference logpos.py:345-349)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = kx.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) + i * t
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + j * t
+    kx = kx + jnp.where(rows == cols, jitter, 0.0)
+    # B4[r, a, s, c] = Σ_b Lc[r, a, b] · Lr[s, c, b]  — one dot_general
+    b4 = jax.lax.dot_general(
+        lc_ref[:], lr_ref[:],
+        dimension_numbers=(((2,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (t, m, t, m)
+    out[:] = kx[:, None, :, None] * b4
+
+
+def svc_gram_fused(x, ell, ls, interpret: bool = False):
+    """Fused *input-major* SVC Gram: one Pallas pass, no (N,M,N,M) intermediate.
+
+    Returns K with row index (n, a) and column index (p, c) — i.e.
+    ``K.reshape(N, M, N, M)[n, a, p, c] = (K_x[n,p] + jitter δ_np)(L_n L_pᵀ)[a,c]``.
+    This is the permutation of ``gnmgp.gram`` that matches row-major
+    ``Y.reshape(-1)`` observations; log-likelihoods computed against it are
+    identical (the likelihood is permutation-invariant).  float32.
+
+    STATUS: numerically verified against the einsum path (interpreter mode,
+    max err ~4e-6 at N=300).  The current TPU runtime's remote Mosaic
+    compile helper crashes on the 4D-block lowering (the 2-D-block variant is
+    rejected for 2-lane L strips), so this kernel is not yet dispatched in
+    production; the einsum path — which XLA fuses to within ~2× of the
+    theoretical traffic — remains the default.
+    """
+    n, m, _ = ls.shape
+    t = min(256, max(8, 1 << (n - 1).bit_length()))
+    pad = (-n) % t
+    dt = jnp.float32
+    xp = jnp.pad(jnp.asarray(x, dt), (0, pad))
+    lp = jnp.pad(jnp.asarray(ell, dt), (0, pad), constant_values=1.0)
+    lsp = jnp.pad(jnp.asarray(ls, dt), ((0, pad), (0, 0), (0, 0)))
+    np_ = n + pad
+    nb = np_ // t
+    jitter = float(settings.jitter)
+    out = pl.pallas_call(
+        partial(_svc_tile_kernel, jitter, m),
+        out_shape=jax.ShapeDtypeStruct((np_, m, np_, m), dt),
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((t, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((t, m, m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t), lambda i, j: (0, j)),
+            pl.BlockSpec((1, t), lambda i, j: (0, j)),
+            pl.BlockSpec((t, m, m), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, m, t, m), lambda i, j: (i, 0, j, 0)),
+        interpret=interpret,
+    )(
+        xp.reshape(np_, 1),
+        lp.reshape(np_, 1),
+        lsp,
+        xp.reshape(1, np_),
+        lp.reshape(1, np_),
+        lsp,
+    )
+    if pad:
+        out = out[:n, :, :n, :]
+    return out.reshape(n * m, n * m)
+
+
 def gibbs_gram(x, sigma=None, ell=None, use_pallas: bool = False):
     """Self-covariance Gibbs Gram with explicit kernel dispatch.
 

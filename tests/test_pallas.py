@@ -30,3 +30,26 @@ class TestGibbsGramPallas:
         k = pk.gibbs_gram(x)
         want = kernels.nonstationary_rbf_cov(x)
         np.testing.assert_allclose(np.asarray(k), np.asarray(want), rtol=1e-10)
+
+
+@pytest.mark.skipif(not pk._HAS_PALLAS, reason="pallas unavailable")
+class TestSVCGramFused:
+    @pytest.mark.parametrize("n,m", [(100, 2), (300, 3)])
+    def test_matches_einsum_input_major(self, rng, n, m):
+        import jax.numpy as _jnp
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+        x = _jnp.asarray(np.sort(rng.uniform(size=n)), _jnp.float32)
+        ell = _jnp.asarray(rng.uniform(0.2, 1.0, n), _jnp.float32)
+        ls = _jnp.asarray(
+            np.tril(rng.normal(size=(n, m, m))) + np.eye(m), _jnp.float32
+        )
+        got = pk.svc_gram_fused(x, ell, ls, interpret=True)
+        kx = kernels.nonstationary_rbf_cov(x, ell1=ell)
+        want = (
+            np.asarray(gnmgp.gram(kx, ls), np.float32)
+            .reshape(m, n, m, n)
+            .transpose(1, 0, 3, 2)
+            .reshape(n * m, n * m)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
