@@ -19,7 +19,7 @@ model module additionally exposes:
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 

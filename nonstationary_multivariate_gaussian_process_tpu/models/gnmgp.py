@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import dists, settings
+from .. import dists
 from ..ops import chol, kernels, transforms
 from .base import FullData, HadamardData, task_major
 

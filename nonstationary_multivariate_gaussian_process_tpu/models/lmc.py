@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import dists
-from ..ops import chol, kernels, transforms
+from ..ops import kernels, transforms
 from .base import FullData, HadamardData, task_major
 
 #: Reference default hyper-parameters (Stationary_model.py:80).

@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .. import dists, settings
+from .. import dists
 from ..ops import chol, kernels, kron, transforms
 from .base import FullData, HadamardData, task_major
 

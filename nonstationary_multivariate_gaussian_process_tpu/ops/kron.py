@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import settings
 
 
 def kron(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

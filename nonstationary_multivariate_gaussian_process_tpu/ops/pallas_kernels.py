@@ -28,7 +28,6 @@ from . import kernels as _jnp_kernels
 
 try:  # pallas requires a TPU-capable lowering; keep import soft for CPU wheels
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover

@@ -22,8 +22,7 @@ length and running one fleet per bucket (see ``parallel.buckets``).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

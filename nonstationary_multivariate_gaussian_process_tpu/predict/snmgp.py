@@ -32,7 +32,7 @@ from .. import settings
 from ..ops import kernels, kron
 from ..models import snmgp as model
 from ..models.base import FullData, task_major
-from .latent import krige_rbf, LatentConditional
+from .latent import krige_rbf
 
 
 class GridPrediction(NamedTuple):

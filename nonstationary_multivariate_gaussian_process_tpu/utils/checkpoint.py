@@ -10,9 +10,7 @@ so a multi-thousand-iteration MAP run or a long HMC chain survives preemption
 from __future__ import annotations
 
 import os
-from typing import Any
 
-import jax
 import numpy as np
 
 
