@@ -201,9 +201,14 @@ def hmc_fleet(
     n_leapfrog: int = 20,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
+    n_warmup: int = 0,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.75,
 ) -> jnp.ndarray:
     """HMC chains for a fleet of subjects, sharded over the mesh.
 
+    Per-subject dual-averaging step-size adaptation is available via
+    ``adapt_step_size``/``n_warmup`` (each subject adapts independently).
     Returns (S, n_samples, P) posterior draws.
     """
     from ..inference import hmc as hmc_mod
@@ -229,7 +234,9 @@ def hmc_fleet(
     def chain_one(vec0, x, y, p1, p2, k):
         pot = lambda v: nlp(v, x, y, p1, p2)
         res = hmc_mod.hmc_sample(
-            pot, vec0, n_samples, k, step_size=step_size, n_leapfrog=n_leapfrog
+            pot, vec0, n_samples, k, step_size=step_size, n_leapfrog=n_leapfrog,
+            n_warmup=n_warmup, adapt_step_size=adapt_step_size,
+            target_accept=target_accept,
         )
         return res.samples
 
