@@ -189,3 +189,34 @@ class TestDeviance:
         dev = snmgp.deviance(vec, jnp.asarray(y), jnp.asarray(x))
         nlp_nopr = snmgp.nlogpos(vec, jnp.asarray(y), jnp.asarray(x), prior=False)
         np.testing.assert_allclose(float(dev), 2 * float(nlp_nopr), rtol=1e-10)
+
+
+class TestVerboseComponents:
+    def test_snmgp_component_decomposition_matches_reference(self, reference, rng):
+        n, m = 10, 2
+        x = np.sort(rng.uniform(size=n))
+        y = rng.normal(size=(n, m))
+        t = transforms.tri_size(m)
+        vec = rng.normal(size=2 * n + t + 1) * 0.5
+        ref = reference["logpos"].nlogpos_obj(
+            _t(reference, vec), _t(reference, y), _t(reference, x), verbose=True
+        )
+        got = snmgp.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x), verbose=True)
+        # (-res, loglik, lp_tilde_l, lp_tilde_sigma, lp_uL, lp_sigma2_err)
+        for i, (g, r) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(float(g), float(r), rtol=1e-6,
+                                       err_msg=f"component {i}")
+
+    def test_gnmgp_component_decomposition_matches_reference(self, reference, rng):
+        n, m = 9, 2
+        x = np.sort(rng.uniform(size=n))
+        y = rng.normal(size=(n, m))
+        t = transforms.tri_size(m)
+        vec = rng.normal(size=n + n * t + 1) * 0.5
+        ref = reference["logpos"].nlogpos_obj_SVC(
+            _t(reference, vec), _t(reference, y), _t(reference, x), verbose=True
+        )
+        got = gnmgp.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x), verbose=True)
+        for i, (g, r) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(float(g), float(r), rtol=1e-6,
+                                       err_msg=f"component {i}")
