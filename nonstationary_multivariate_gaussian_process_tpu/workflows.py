@@ -47,6 +47,7 @@ class PipelineConfig:
     hyper: dict = dataclasses.field(default_factory=dict)
     do_empirical: bool = True
     do_map: bool = True
+    do_map_analysis: bool = True  # latent-process summaries from the MAP/chain
     do_hmc: bool = False
     do_pred_grid: bool = True
     do_pred_test: bool = True
@@ -190,6 +191,23 @@ def run_subject(
         result["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
         if store is not None:
             store.save(_key("hmc"), samples=np.asarray(chain.samples))
+
+    if cfg.do_map_analysis and map_vec is not None and cfg.model == "gnmgp":
+        # latent-process analysis: MAP point processes + posterior bands
+        # (the reference's do_map_analysis / do_post_analysis stages,
+        # Nonseparable_model.py:290-299 and posterior_analysis.visualization_pos)
+        from .postprocess import analysis as analysis_mod
+
+        tilde_l, b_proc, cor_proc, std_proc = analysis_mod.gnmgp_map_latents(
+            np.asarray(map_vec), n, m
+        )
+        result["map_latents"] = {
+            "tilde_l": tilde_l, "B": b_proc, "R": cor_proc, "stds": std_proc,
+        }
+        if "hmc_samples" in result:
+            result["latent_summary"] = analysis_mod.gnmgp_latent_summary(
+                result["hmc_samples"], n, m
+            )
 
     pred = _PREDICT[cfg.model]
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)

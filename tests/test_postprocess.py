@@ -156,3 +156,17 @@ class TestWorkflows:
         out = workflows.run_sim_fleet(n_replicates=4, n=16, cfg=cfg)
         assert out["fleet"].vecs.shape[0] == 4
         assert np.isfinite(out["tilde_l_rmse"])
+
+
+class TestMapAnalysisStage:
+    def test_run_subject_gnmgp_latent_analysis(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(7), n=18)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=40, n_grid=6, do_hmc=True, n_hmc=8,
+            hmc_step_size=1e-4, hmc_leapfrog=2,
+        )
+        res = workflows.run_subject(np.asarray(d.x), np.asarray(d.y), cfg)
+        lat = res["map_latents"]
+        assert lat["R"].shape == (18, 2, 2)
+        np.testing.assert_allclose(np.diagonal(lat["R"], axis1=1, axis2=2), 1.0, rtol=1e-9)
+        assert res["latent_summary"].cor_q.shape == (3, 18, 2, 2)
