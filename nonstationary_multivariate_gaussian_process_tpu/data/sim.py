@@ -59,11 +59,22 @@ def _chol_process_from_std_cor(stds: jnp.ndarray, cors: jnp.ndarray) -> jnp.ndar
 
 
 def _draw_y(key, x, ell, ls, sigma2_err):
-    """Draw y ~ MVN(0, K + σ²I) with the GNMGP Gram (sim.py:256-263)."""
+    """Draw y ~ MVN(0, K + σ²I) with the GNMGP Gram (sim.py:256-263).
+
+    Uses the robust Cholesky: in float32 the kernel's 1e-6 nugget is below
+    machine epsilon relative to O(1) diagonals, so near-duplicate inputs can
+    make the plain factorization fail.
+    """
     n, m, _ = ls.shape
     k_x = kernels.nonstationary_rbf_cov(x, ell1=ell)
-    cov = gnmgp.gram(k_x, ls) + sigma2_err * jnp.eye(n * m, dtype=x.dtype)
-    chol = jnp.linalg.cholesky(cov)
+    eye = jnp.eye(n * m, dtype=x.dtype)
+    cov = gnmgp.gram(k_x, ls) + sigma2_err * eye
+    # two-attempt robust factorization, independent of the global
+    # robust-cholesky switch (a sampler must never emit NaN data)
+    chol0 = jnp.linalg.cholesky(cov)
+    ok = jnp.all(jnp.isfinite(chol0))
+    jit_val = jnp.where(ok, 0.0, 1e-3).astype(x.dtype)
+    chol = jnp.linalg.cholesky(cov + jit_val * eye)
     z = jax.random.normal(key, (n * m,), dtype=x.dtype)
     y_flat = chol @ z  # task-major (M, N)
     return y_flat.reshape(m, n).T  # (N, M)
