@@ -43,19 +43,28 @@ class SimData(NamedTuple):
 
 
 def _chol_process_from_std_cor(stds: jnp.ndarray, cors: jnp.ndarray) -> jnp.ndarray:
-    """Per-point Cholesky factors of B_f(x) = D R D for M=2 (sim.py:240-249)."""
+    """Per-point Cholesky factors of B_f(x) = D R D for M=2 (sim.py:240-249).
+
+    Closed form instead of a batched ``cholesky``: the truth correlation
+    ``cos(πx)`` reaches ±1 at the boundary, where the numeric factorization
+    fails in float32; ``1 − c²`` is computed as ``(1−c)(1+c)`` to avoid the
+    catastrophic cancellation.
+    """
     n, m = stds.shape
     assert m == 2, "reference truth processes are bivariate"
-    r = jnp.stack(
+    s1, s2 = stds[:, 0], stds[:, 1]
+    c = cors
+    l11 = s1
+    l21 = s2 * c
+    l22 = s2 * jnp.sqrt(jnp.maximum((1.0 - c) * (1.0 + c), 0.0))
+    zeros = jnp.zeros_like(s1)
+    return jnp.stack(
         [
-            jnp.stack([jnp.ones_like(cors), cors], axis=-1),
-            jnp.stack([cors, jnp.ones_like(cors)], axis=-1),
+            jnp.stack([l11, zeros], axis=-1),
+            jnp.stack([l21, l22], axis=-1),
         ],
         axis=-2,
     )  # (N, 2, 2)
-    d = jax.vmap(jnp.diag)(stds)
-    b = d @ r @ d
-    return jax.vmap(jnp.linalg.cholesky)(b)  # (N, 2, 2)
 
 
 def _draw_y(key, x, ell, ls, sigma2_err):
