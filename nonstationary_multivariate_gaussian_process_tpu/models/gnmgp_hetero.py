@@ -143,11 +143,11 @@ def deviance(vec, y, x):
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     x = data.x
-    pc_l = chol.safe_cholesky(
+    pc_l = chol.prior_cholesky(
         kernels.rbf_cov(x, alpha=hp["alpha_tilde_l"], beta=hp["beta_tilde_l"])
     )
-    pc_L = chol.safe_cholesky(kernels.rbf_cov(x, alpha=hp["alpha_L"], beta=hp["beta_L"]))
-    pc_e = chol.safe_cholesky(kernels.rbf_cov(x, alpha=hp["alpha_err"], beta=hp["beta_err"]))
+    pc_L = chol.prior_cholesky(kernels.rbf_cov(x, alpha=hp["alpha_L"], beta=hp["beta_L"]))
+    pc_e = chol.prior_cholesky(kernels.rbf_cov(x, alpha=hp["alpha_err"], beta=hp["beta_err"]))
     n, m = data.y.shape
 
     def nlp(vec):

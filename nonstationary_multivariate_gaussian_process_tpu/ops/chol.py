@@ -19,18 +19,21 @@ import jax.numpy as jnp
 
 from .. import settings
 
-#: Fallback jitter (multiple of settings.precision) when the plain Cholesky fails.
-FALLBACK_JITTER = 1e2
+#: Relative fallback jitter (fraction of the mean diagonal) when the plain
+#: Cholesky fails: f64 keeps the reference-scale 1e-4; f32 needs ~1e-3 of the
+#: diagonal for smooth-RBF Grams whose spectrum spans > f32 range.
+FALLBACK_REL_F64 = 1e-4
+FALLBACK_REL_F32 = 1e-3
 
 
-def safe_cholesky(a: jnp.ndarray, fallback=FALLBACK_JITTER) -> jnp.ndarray:
+def safe_cholesky(a: jnp.ndarray, fallback: float | None = None) -> jnp.ndarray:
     """Cholesky of a symmetric PSD matrix with deterministic jitter escalation.
 
     Two factorizations are lowered (XLA compiles Cholesky once per call site,
     so a longer ladder multiplies compile time — measured 4× on a 2000×2000
     float64 problem): the plain factor, and a retry whose jitter is a
     *data-dependent scalar* — zero when the plain factor is finite (the retry
-    then recomputes the same factor), ``fallback · precision`` otherwise.
+    then recomputes the same factor), ``fallback · mean(diag)`` otherwise.
     Fully differentiable; gradients flow through the selected factorization.
     If even the fallback fails, NaNs surface to the caller rather than being
     hidden.
@@ -38,11 +41,42 @@ def safe_cholesky(a: jnp.ndarray, fallback=FALLBACK_JITTER) -> jnp.ndarray:
     chol0 = jnp.linalg.cholesky(a)
     if not settings.robust_cholesky:
         return chol0
+    if fallback is None:
+        fallback = (
+            FALLBACK_REL_F32 if a.dtype == jnp.float32 else FALLBACK_REL_F64
+        )
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
     ok = jnp.all(jnp.isfinite(chol0))
-    jit_val = jnp.where(ok, 0.0, fallback * settings.precision).astype(a.dtype)
+    scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1))
+    jit_val = jnp.where(ok, 0.0, fallback * scale).astype(a.dtype)
     return jnp.linalg.cholesky(a + jit_val * eye)
+
+
+def prior_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Host-side float64 Cholesky for *loop-invariant prior Grams*.
+
+    Smooth-RBF prior covariances are catastrophically ill-conditioned
+    (spectrum spanning ~1e18): in float32 no reasonable jitter preserves the
+    distribution.  These factorizations happen ONCE per objective (hoisted by
+    ``make_objective``), so they are computed eagerly on the host in float64
+    with an escalating relative-jitter ladder and cast to the working dtype —
+    the "f64 islands" strategy (DESIGN §4).  Must be called outside jit.
+    """
+    import numpy as np
+
+    if isinstance(a, jax.core.Tracer):
+        # inside a trace there is no host path; fall back to the traced version
+        return safe_cholesky(a)
+    host = np.asarray(a, np.float64)
+    scale = float(np.mean(np.diag(host)))
+    for rel in (0.0, 1e-10, 1e-8, 1e-6, 1e-4):
+        try:
+            c = np.linalg.cholesky(host + rel * scale * np.eye(host.shape[0]))
+            return jnp.asarray(c, a.dtype)
+        except np.linalg.LinAlgError:
+            continue
+    raise np.linalg.LinAlgError("prior covariance is not positive definite")
 
 
 def chol_logdet(chol: jnp.ndarray):

@@ -47,24 +47,27 @@ class FleetResult(NamedTuple):
 
 
 def _prior_chols(model_name: str, x: jnp.ndarray, hp: dict):
-    """Per-subject prior Cholesky factors, batched over the subject axis."""
+    """Per-subject prior Cholesky factors (host-f64 islands, DESIGN §4)."""
     if model_name == "snmgp":
-        pc1 = chol_ops.safe_cholesky(
-            kernels.rbf_cov(x, alpha=hp["alpha_tilde_l"], beta=hp["beta_tilde_l"])
-        )
-        pc2 = chol_ops.safe_cholesky(
-            kernels.rbf_cov(x, alpha=hp["alpha_tilde_sigma"], beta=hp["beta_tilde_sigma"])
-        )
-        return pc1, pc2
-    if model_name == "gnmgp":
-        pc1 = chol_ops.safe_cholesky(
-            kernels.rbf_cov(x, alpha=hp["alpha_tilde_l"], beta=hp["beta_tilde_l"])
-        )
-        pc2 = chol_ops.safe_cholesky(
-            kernels.rbf_cov(x, alpha=hp["alpha_L"], beta=hp["beta_L"])
-        )
-        return pc1, pc2
-    return jnp.zeros((0,)), jnp.zeros((0,))  # lmc has no GP priors
+        a1, b1 = hp["alpha_tilde_l"], hp["beta_tilde_l"]
+        a2, b2 = hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"]
+    elif model_name == "gnmgp":
+        a1, b1 = hp["alpha_tilde_l"], hp["beta_tilde_l"]
+        a2, b2 = hp["alpha_L"], hp["beta_L"]
+    else:
+        return jnp.zeros((0,)), jnp.zeros((0,))  # lmc has no GP priors
+    pc1 = chol_ops.prior_cholesky(kernels.rbf_cov(x, alpha=a1, beta=b1))
+    pc2 = chol_ops.prior_cholesky(kernels.rbf_cov(x, alpha=a2, beta=b2))
+    return pc1, pc2
+
+
+def _batched_prior_chols(model_name: str, xs: jnp.ndarray, hp: dict):
+    """Stack per-subject prior factors, computed eagerly on the host."""
+    if model_name == "lmc":
+        s = xs.shape[0]
+        return jnp.zeros((s, 0)), jnp.zeros((s, 0))
+    pcs = [_prior_chols(model_name, xs[i], hp) for i in range(xs.shape[0])]
+    return jnp.stack([p[0] for p in pcs]), jnp.stack([p[1] for p in pcs])
 
 
 def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
@@ -129,7 +132,7 @@ def fit_fleet_map(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    pc1, pc2 = jax.vmap(lambda x: _prior_chols(model_name, x, hp))(xs)
+    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=True)
     optimizer = optax.adam(lr)
 
@@ -228,7 +231,7 @@ def hmc_fleet(
     map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
     keys = jax.random.split(key, xs.shape[0])
 
-    pc1, pc2 = jax.vmap(lambda x: _prior_chols(model_name, x, hp))(xs)
+    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp)
 
     def chain_one(vec0, x, y, p1, p2, k):
