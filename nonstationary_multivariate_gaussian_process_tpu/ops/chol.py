@@ -26,7 +26,9 @@ FALLBACK_REL_F64 = 1e-4
 FALLBACK_REL_F32 = 1e-3
 
 
-def safe_cholesky(a: jnp.ndarray, fallback: float | None = None) -> jnp.ndarray:
+def safe_cholesky(
+    a: jnp.ndarray, fallback: float | None = None, force_robust: bool = False
+) -> jnp.ndarray:
     """Cholesky of a symmetric PSD matrix with deterministic jitter escalation.
 
     Two factorizations are lowered (XLA compiles Cholesky once per call site,
@@ -39,7 +41,7 @@ def safe_cholesky(a: jnp.ndarray, fallback: float | None = None) -> jnp.ndarray:
     hidden.
     """
     chol0 = jnp.linalg.cholesky(a)
-    if not settings.robust_cholesky:
+    if not settings.robust_cholesky and not force_robust:
         return chol0
     if fallback is None:
         fallback = (
@@ -66,8 +68,9 @@ def prior_cholesky(a: jnp.ndarray) -> jnp.ndarray:
     import numpy as np
 
     if isinstance(a, jax.core.Tracer):
-        # inside a trace there is no host path; fall back to the traced version
-        return safe_cholesky(a)
+        # inside a trace there is no host path; prior factors must stay
+        # robust even when the global fast-path switch disables retries
+        return safe_cholesky(a, force_robust=True)
     host = np.asarray(a, np.float64)
     scale = float(np.mean(np.diag(host)))
     for rel in (0.0, 1e-10, 1e-8, 1e-6, 1e-4):

@@ -43,14 +43,34 @@ def krige_rbf(
     ``values`` may carry leading batch axes (e.g. the T L-entry processes of
     the GNMGP, which share one projection).  Returns means (…, G) and the
     shared marginal variances (G,).
+
+    Numerics: the smooth-RBF prior Gram has condition ~1e18, so the entire
+    projection ``Σ⁻¹ K_cross`` is an f64 *island* — computed on the host in
+    float64 when inputs are concrete (the projection itself is smooth and
+    bounded, hence safe to cast back to the working dtype).  Under a trace
+    the robust in-graph factorization is used instead.
     """
+    import numpy as np
+
+    k_self = alpha**2 + settings.jitter
+    if not isinstance(x, jax.core.Tracer) and not isinstance(grid, jax.core.Tracer):
+        x64 = np.asarray(x, np.float64)
+        g64 = np.asarray(grid, np.float64)
+        d2 = (x64[:, None] - x64[None, :]) ** 2
+        sigma = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
+        k_cross_64 = alpha**2 * np.exp(-0.5 * (x64[:, None] - g64[None, :]) ** 2 / beta**2)
+        proj64 = np.linalg.solve(sigma, k_cross_64)  # (N, G)
+        var64 = k_self - np.sum(k_cross_64 * proj64, axis=0)
+        proj = jnp.asarray(proj64, settings.dtype)
+        var = jnp.asarray(np.maximum(var64, settings.precision), settings.dtype)
+        mean = mu + (values - mu) @ proj
+        return LatentConditional(mean=mean, var=var)
+
     sigma = kernels.rbf_cov(x, alpha=alpha, beta=beta)
     k_cross = kernels.rbf_cov(x, grid, alpha=alpha, beta=beta)  # (N, G)
-    c = chol_ops.safe_cholesky(sigma)
+    c = chol_ops.prior_cholesky(sigma)  # forced-robust under trace
     proj = chol_ops.chol_solve(c, k_cross)  # (N, G) = Σ⁻¹ K_cross
     mean = mu + (values - mu) @ proj  # (..., G)
-    # RBF self-covariance of a single point includes the nugget (kernels.py:35)
-    k_self = alpha**2 + settings.jitter
     var = k_self - jnp.sum(k_cross * proj, axis=0)
     var = jnp.maximum(var, settings.precision)
     return LatentConditional(mean=mean, var=var)
