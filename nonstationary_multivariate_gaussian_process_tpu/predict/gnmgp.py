@@ -81,7 +81,8 @@ def _moments(data, grid, l_star, ls_star, factors):
     b_star_diag = jnp.sum(ls_star**2, axis=-1)  # (G, M) = diag(L* L*ᵀ)
     sigma2_f = k_self_star * b_star_diag - d
     sigma2_y = sigma2_f + sigma2_err
-    sigma2_y = jnp.where(sigma2_y <= 0, settings.precision, sigma2_y)
+    # noise-variance floor (see predict/snmgp._moments)
+    sigma2_y = jnp.maximum(sigma2_y, sigma2_err)
     return mu_f, sigma2_y
 
 

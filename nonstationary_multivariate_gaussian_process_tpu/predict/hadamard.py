@@ -51,7 +51,8 @@ def _solve_moments(r, beta, k_cross_full, self_var, sigma2_err):
     )
     d = jnp.sum(s * s, axis=0).reshape(g, m)
     sigma2_y = self_var - d + sigma2_err
-    return mu, jnp.where(sigma2_y <= 0, settings.precision, sigma2_y)
+    # noise-variance floor (see predict/snmgp._moments)
+    return mu, jnp.maximum(sigma2_y, sigma2_err)
 
 
 # ---------------------------------------------------------------------------

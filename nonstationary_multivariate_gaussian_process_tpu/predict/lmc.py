@@ -51,7 +51,8 @@ def _moments(p, data, grid, factors):
     # self term σ²·diag(B_f), no nugget (prediction.py:1594)
     sigma2_f = (sigma**2) * jnp.diag(b_f)[None, :] - d
     sigma2_y = sigma2_f + sigma2_err
-    return jnp.where(sigma2_y <= 0, settings.precision, sigma2_y), mu_f
+    # noise-variance floor (see predict/snmgp._moments)
+    return jnp.maximum(sigma2_y, sigma2_err), mu_f
 
 
 def predict_map(vec, data: FullData, grid) -> GridPrediction:

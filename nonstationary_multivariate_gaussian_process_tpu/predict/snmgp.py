@@ -77,7 +77,10 @@ def _moments(p, data, grid, l_star, sigma_star, factors):
     k_self_star = sigma_star**2 + settings.jitter  # Gibbs self-cov (kernels.py:64)
     sigma2_f = k_self_star[:, None] * jnp.diag(b_f)[None, :] - d
     sigma2_y = sigma2_f + sigma2_err
-    sigma2_y = jnp.where(sigma2_y <= 0, settings.precision, sigma2_y)
+    # floor at the noise variance: the predictive variance cannot fall below
+    # sigma2_err; float32 cancellation in sigma2_f otherwise produces
+    # near-zero (overconfident) variances (the reference clips to 1e-6)
+    sigma2_y = jnp.maximum(sigma2_y, sigma2_err)
     return mu_f, sigma2_y
 
 
