@@ -71,15 +71,46 @@ def prior_cholesky(a: jnp.ndarray) -> jnp.ndarray:
         # inside a trace there is no host path; prior factors must stay
         # robust even when the global fast-path switch disables retries
         return safe_cholesky(a, force_robust=True)
-    host = np.asarray(a, np.float64)
+    c = _host_chol_ladder(np.asarray(a, np.float64))
+    return jnp.asarray(c, a.dtype)
+
+
+def _host_chol_ladder(host):
+    """numpy-f64 Cholesky with escalating relative jitter."""
+    import numpy as np
+
     scale = float(np.mean(np.diag(host)))
-    for rel in (0.0, 1e-10, 1e-8, 1e-6, 1e-4):
+    for rel in (0.0, 1e-10, 1e-8, 1e-6, 1e-4, 1e-3, 1e-2):
         try:
-            c = np.linalg.cholesky(host + rel * scale * np.eye(host.shape[0]))
-            return jnp.asarray(c, a.dtype)
+            return np.linalg.cholesky(host + rel * scale * np.eye(host.shape[0]))
         except np.linalg.LinAlgError:
             continue
     raise np.linalg.LinAlgError("prior covariance is not positive definite")
+
+
+def prior_rbf_cholesky(x, alpha, beta):
+    """Host-f64 RBF prior Gram *construction* + factorization.
+
+    In float32 mode the Gram itself loses the precision the factorization
+    needs (rounding perturbs eigenvalues by ~eps·λ_max, beyond any
+    distribution-preserving jitter), so the Gram is built in float64 from the
+    raw inputs before factoring, then the factor is cast to the working
+    dtype.  Falls back to the traced robust path when ``x`` is abstract.
+    Reference prior covariances: ``RBF_cov`` with the self-nugget
+    (kernels.py:24-43).
+    """
+    import numpy as np
+
+    if isinstance(x, jax.core.Tracer):
+        from . import kernels as _kernels
+
+        return safe_cholesky(
+            _kernels.rbf_cov(x, alpha=alpha, beta=beta), force_robust=True
+        )
+    x64 = np.asarray(x, np.float64)
+    d2 = (x64[:, None] - x64[None, :]) ** 2
+    gram = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
+    return jnp.asarray(_host_chol_ladder(gram), settings.dtype)
 
 
 def chol_logdet(chol: jnp.ndarray):

@@ -56,8 +56,8 @@ def _prior_chols(model_name: str, x: jnp.ndarray, hp: dict):
         a2, b2 = hp["alpha_L"], hp["beta_L"]
     else:
         return jnp.zeros((0,)), jnp.zeros((0,))  # lmc has no GP priors
-    pc1 = chol_ops.prior_cholesky(kernels.rbf_cov(x, alpha=a1, beta=b1))
-    pc2 = chol_ops.prior_cholesky(kernels.rbf_cov(x, alpha=a2, beta=b2))
+    pc1 = chol_ops.prior_rbf_cholesky(x, a1, b1)
+    pc2 = chol_ops.prior_rbf_cholesky(x, a2, b2)
     return pc1, pc2
 
 

@@ -53,7 +53,7 @@ class TestSNMGPParity:
         data = snmgp.FullData(jnp.asarray(x), jnp.asarray(y))
         nlp = snmgp.make_objective(data)
         np.testing.assert_allclose(
-            float(nlp(vec)), float(snmgp.nlogpos(vec, jnp.asarray(y), jnp.asarray(x))), rtol=1e-10
+            float(nlp(vec)), float(snmgp.nlogpos(vec, jnp.asarray(y), jnp.asarray(x))), rtol=1e-8
         )
 
     def test_gradient_finite(self, rng):
@@ -113,8 +113,10 @@ class TestGNMGPParity:
         vec = jnp.asarray(rng.normal(size=n + n * transforms.tri_size(m) + 1) * 0.5)
         data = gnmgp.FullData(jnp.asarray(x), jnp.asarray(y))
         nlp = gnmgp.make_objective(data)
+        # the closure factors prior Grams on the host (f64 island); tiny
+        # factorization-order differences vs the in-graph path are expected
         np.testing.assert_allclose(
-            float(nlp(vec)), float(gnmgp.nlogpos(vec, jnp.asarray(y), jnp.asarray(x))), rtol=1e-10
+            float(nlp(vec)), float(gnmgp.nlogpos(vec, jnp.asarray(y), jnp.asarray(x))), rtol=1e-8
         )
 
     def test_gradient_finite(self, rng):
