@@ -1,22 +1,26 @@
 """Headline benchmark (BASELINE.json): nonseparable (GNMGP) model at N=1000.
 
-Two measurement passes:
+Three measurement passes (each a subprocess — dtype is process-global):
 
-* **float32 probe (headline)** — the TPU-native performance path, run in a
-  subprocess (dtype is process-global): jitted log-posterior gradient
-  evaluations/sec, real HMC iterations/sec at the reference budget
-  (20 leapfrog steps, ``Nonseparable_model.py:229``), MN×MN Cholesky ms.
-* **float64 pass (parity dtype)** — same gradient-rate and Cholesky
-  measurements in the reference's precision.  The HMC figure for f64 is
-  derived from the gradient rate (an HMC iteration costs ``n_leapfrog`` grad
-  evals): the monolithic f64 scan program trips a device fault on the current
-  TPU runtime, so it is never executed.
+* **float32 probe (headline)** — the TPU-native performance path: jitted
+  log-posterior gradient evaluations/sec, real HMC iterations/sec at the
+  reference budget (20 leapfrog steps, ``Nonseparable_model.py:229``),
+  MN×MN Cholesky ms, vmapped fleet throughput.
+* **mixed probe (parity configuration)** — NMGP_PRECISION=mixed: f64 values
+  (1e-6-rtol log-posterior parity with the reference holds in this mode,
+  ``tests/test_mixed.py::TestMixedModeObjectiveParity``) with the O(n^3)
+  solves done by the f32-preconditioned corrected kernel (``ops/mixed.py``).
+  Real HMC runs in this mode.  ``parity_dtype_vs_baseline`` is this probe's
+  gradient rate over the baseline — the BASELINE.md "20x at 1e-6 rtol" box.
+* **float64 pass** — the reference's exact dtype, for the record.  Its HMC
+  figure is derived from the gradient rate: the monolithic f64 scan program
+  trips a device fault on the current TPU runtime, so it is never executed.
 
-``vs_baseline`` compares the f32 headline against a torch-CPU float64
-implementation of the same objective (the reference's execution model: pure
-Python + torch CPU double precision, SURVEY §0) measured in-process.
-Log-posterior parity with the reference at 1e-6 rtol is established
-separately, in float64, by ``tests/test_models_parity.py``.
+``vs_baseline`` denominates against the **genuine reference objective**
+(``/root/reference/Utility/logpos.py:299`` ``nlogpos_obj_SVC``, imported live
+with torch>=2 shims) timed on this host's CPU in float64 — the reference's
+execution model (SURVEY §0).  A faithful torch reimplementation is also timed
+as a cross-check (``torch_cpu_f64_reimpl_evals_per_sec``).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -65,7 +69,7 @@ def bench_jax(x, y, vec, run_hmc: bool):
     from nonstationary_multivariate_gaussian_process_tpu.models import FullData, gnmgp
     from nonstationary_multivariate_gaussian_process_tpu.inference import hmc
 
-    dtype_name = jnp.dtype(settings.dtype).name
+    dtype_name = settings.precision_mode
     xd = jnp.asarray(x, settings.dtype)
     yd = jnp.asarray(y, settings.dtype)
     vd = jnp.asarray(vec, settings.dtype)
@@ -177,6 +181,47 @@ def bench_jax(x, y, vec, run_hmc: bool):
     }
 
 
+def bench_reference_baseline(x, y, vec):
+    """Time the GENUINE reference objective (``Utility/logpos.nlogpos_obj_SVC``,
+    ``/root/reference/Utility/logpos.py:299``) — value + backward per eval,
+    torch CPU float64, with torch>=2 shims for removed ops (as in
+    tests/conftest.py)."""
+    import sys as _sys
+    import warnings
+
+    ref = os.environ.get("NMGP_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(os.path.join(ref, "Utility")):
+        raise FileNotFoundError(f"reference not mounted at {ref}")
+    if ref not in _sys.path:
+        _sys.path.insert(0, ref)
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+
+    def _symeig(a, eigenvectors=False, upper=False):
+        w, v = torch.linalg.eigh(a, UPLO="U" if upper else "L")
+        return (w, v) if eigenvectors else (w, torch.zeros_like(a))
+
+    torch.symeig = _symeig
+    torch.solve = lambda input, A: (torch.linalg.solve(A, input), None)
+    torch.cholesky = torch.linalg.cholesky
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from Utility import logpos
+
+    v = torch.as_tensor(vec).clone().requires_grad_(True)
+    xt = torch.as_tensor(x)
+    yt = torch.as_tensor(y)
+    logpos.nlogpos_obj_SVC(v, yt, xt).backward()  # warm up
+    t0 = time.perf_counter()
+    for _ in range(BASELINE_EVALS):
+        v.grad = None
+        logpos.nlogpos_obj_SVC(v, yt, xt).backward()
+    eps = BASELINE_EVALS / (time.perf_counter() - t0)
+    _log(f"[reference-cpu-f64] grad evals/sec {eps:.3f}")
+    return eps
+
+
 def bench_torch_baseline(x, y, vec):
     """Reference-style objective in torch CPU float64: dense MN×MN Gram,
     ``inverse`` + ``logdet`` likelihood, full GP priors, one backward/eval."""
@@ -233,15 +278,17 @@ def main():
     x, y, vec = _problem()
 
     if "--probe" in sys.argv:
-        res = bench_jax(x, y, vec, run_hmc=os.environ.get("NMGP_X64") == "0")
+        mode = os.environ.get("NMGP_PRECISION", "f64")
+        res = bench_jax(x, y, vec, run_hmc=mode in ("f32", "mixed"))
         print(json.dumps(res))
         return
 
-    def probe(x64: str):
-        """Run one dtype pass in a subprocess.  The parent never initializes
-        jax: the single TPU is exclusive-access, and sequential full-process
-        exits hand it off reliably where an in-process re-claim can hang."""
-        env = dict(os.environ, NMGP_X64=x64)
+    def probe(mode: str):
+        """Run one precision pass in a subprocess.  The parent never
+        initializes jax: the single TPU is exclusive-access, and sequential
+        full-process exits hand it off reliably where an in-process re-claim
+        can hang."""
+        env = dict(os.environ, NMGP_PRECISION=mode)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--probe"],
@@ -253,20 +300,32 @@ def main():
                 if line.startswith("{"):
                     return json.loads(line)
         except Exception as e:
-            _log(f"probe (x64={x64}) failed: {type(e).__name__}: {e}")
+            _log(f"probe ({mode}) failed: {type(e).__name__}: {e}")
         return None
 
-    f32 = probe("0")  # headline: TPU performance path (runs real HMC)
-    f64 = probe("1")  # parity dtype (HMC derived, never executed)
+    f32 = probe("f32")      # headline: TPU performance path (runs real HMC)
+    mixed = probe("mixed")  # parity configuration (runs real HMC)
+    f64 = probe("f64")      # reference dtype (HMC derived, never executed)
+    nanrow = {"grad_evals_per_sec": float("nan"), "cholesky_ms": float("nan"),
+              "hmc_iters_per_sec": float("nan"), "hmc_estimated": True}
     if f64 is None:
-        f64 = {"grad_evals_per_sec": float("nan"), "cholesky_ms": float("nan")}
+        f64 = dict(nanrow)
+    if mixed is None:
+        mixed = dict(nanrow)
 
     try:
-        base_eps = bench_torch_baseline(x, y, vec)
-    except Exception:
+        base_eps = bench_reference_baseline(x, y, vec)
+    except Exception as e:
+        _log(f"genuine-reference baseline failed: {type(e).__name__}: {e}")
         base_eps = float("nan")
+    try:
+        reimpl_eps = bench_torch_baseline(x, y, vec)
+    except Exception:
+        reimpl_eps = float("nan")
+    if base_eps != base_eps:
+        base_eps = reimpl_eps
 
-    head = f32 or f64
+    head = f32 or mixed
 
     def r(v, nd=3):
         try:
@@ -275,8 +334,16 @@ def main():
             return None
         return round(v, nd) if v == v else None
 
-    vs = head["grad_evals_per_sec"] / base_eps if base_eps == base_eps else float("nan")
-    f64_vs = f64["grad_evals_per_sec"] / base_eps if base_eps == base_eps else float("nan")
+    def ratio(num):
+        try:
+            return float(num) / base_eps if base_eps == base_eps else float("nan")
+        except (TypeError, ValueError):
+            return float("nan")
+
+    vs = ratio(head["grad_evals_per_sec"])
+    mixed_vs = ratio(mixed.get("grad_evals_per_sec"))
+    f64_vs = ratio(f64.get("grad_evals_per_sec"))
+    base_hmc = base_eps / 20.0 if base_eps == base_eps else float("nan")
     print(
         json.dumps(
             {
@@ -290,13 +357,21 @@ def main():
                 "fleet_grad_evals_per_sec_f32": r(head.get("fleet_grad_evals_per_sec")),
                 "fleet_size": head.get("fleet_size"),
                 "fleet_n": head.get("fleet_n"),
+                "parity_dtype_vs_baseline": r(mixed_vs, 2),
+                "mixed_grad_evals_per_sec": r(mixed.get("grad_evals_per_sec")),
+                "mixed_hmc_iters_per_sec_20leapfrog": r(mixed.get("hmc_iters_per_sec")),
+                "mixed_hmc_estimated": mixed.get("hmc_estimated"),
+                "mixed_hmc_vs_baseline_hmc": r(
+                    float(mixed.get("hmc_iters_per_sec") or "nan") / base_hmc
+                    if base_hmc == base_hmc else float("nan"), 2),
                 "f64_grad_evals_per_sec": r(f64.get("grad_evals_per_sec")),
                 "f64_vs_baseline": r(f64_vs, 2),
                 "f64_cholesky_mnxmn_ms": r(f64.get("cholesky_ms")),
-                "torch_cpu_f64_baseline_evals_per_sec": r(base_eps),
+                "reference_cpu_f64_baseline_evals_per_sec": r(base_eps),
+                "torch_cpu_f64_reimpl_evals_per_sec": r(reimpl_eps),
                 "n": N,
                 "m": M,
-                "parity": "log-posterior matches reference at 1e-6 rtol in f64 (tests/test_models_parity.py)",
+                "parity": "log-posterior matches reference at 1e-6 rtol in f64 AND mixed (tests/test_models_parity.py, tests/test_mixed.py)",
             }
         )
     )

@@ -17,6 +17,8 @@ values agree to float tolerance:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
@@ -73,22 +75,37 @@ def mvn_logpdf(y, mu, cov):
     return -0.5 * n * _LOG2PI - 0.5 * logdet - 0.5 * quad
 
 
+class TriInv(NamedTuple):
+    """Hoisted prior factor: ``w = chol(Σ)^{-1}`` plus ``logdet(Σ)``.
+
+    Loop-invariant prior Grams are factored AND inverted once on the host
+    (f64); inside the jitted objective the prior solve is then a matvec
+    (``w @ (y-mu)``) instead of a sequential triangular substitution — on TPU
+    the emulated-f64 trsm is latency-bound at ~tens of us per column, which
+    would otherwise dominate the mixed-precision objective.
+    """
+
+    w: jnp.ndarray
+    logdet: jnp.ndarray
+
+
 def mvn_logpdf_chol(y, mu, chol):
-    """Normalized MVN log-pdf given a precomputed Cholesky factor.
+    """Normalized MVN log-pdf given a precomputed Cholesky factor or TriInv.
 
     Lets a jitted objective reuse one prior-covariance factorization across
     many latent processes (the reference refactors Σ_L once per L-column at
-    logpos.py:362-365).
+    logpos.py:362-365).  When given a :class:`TriInv` the solve is a matvec.
     """
     import jax
 
     n = y.shape[-1]
-    sol = jax.scipy.linalg.solve_triangular(chol, y - mu, lower=True)
-    return (
-        -0.5 * n * _LOG2PI
-        - _chol.chol_logdet(chol) * 0.5
-        - 0.5 * jnp.sum(sol * sol, axis=-1)
-    )
+    if isinstance(chol, TriInv):
+        sol = (y - mu) @ chol.w.T
+        logdet = chol.logdet
+    else:
+        sol = jax.scipy.linalg.solve_triangular(chol, y - mu, lower=True)
+        logdet = _chol.chol_logdet(chol)
+    return -0.5 * n * _LOG2PI - 0.5 * logdet - 0.5 * jnp.sum(sol * sol, axis=-1)
 
 
 # -- scalar densities --------------------------------------------------------

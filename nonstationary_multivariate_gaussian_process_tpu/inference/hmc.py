@@ -93,35 +93,49 @@ def _run(
         mass if (mass_is_dense or mass_is_diag) else None, dim, dtype
     )
     grad_u = jax.grad(potential_fn)
+    val_grad_u = jax.value_and_grad(potential_fn)
 
-    def leapfrog(q, p, eps):
+    def leapfrog(q, p, g_q, eps):
+        """Fused leapfrog: n_leapfrog steps cost n_leapfrog gradient evals.
+
+        The textbook half-kick/drift/half-kick form costs 2 grads per step;
+        chaining adjacent half-kicks into full kicks and re-using the cached
+        gradient at the entry point brings it to one grad per step plus the
+        final value_and_grad (whose value the Metropolis test needs anyway).
+        Bit-wise this differs from the two-half-kick form only in rounding.
+        """
+        p = p - 0.5 * eps * g_q
+        q = q + eps * minv(p)
+
         def body(_, carry):
             q, p = carry
-            p = p - 0.5 * eps * grad_u(q)
+            p = p - eps * grad_u(q)
             q = q + eps * minv(p)
-            p = p - 0.5 * eps * grad_u(q)
             return (q, p)
 
-        return jax.lax.fori_loop(0, n_leapfrog, body, (q, p))
+        q, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (q, p))
+        u, g = val_grad_u(q)
+        p = p - 0.5 * eps * g
+        return q, p, u, g
 
     # dual-averaging state: (log_eps, log_eps_bar, h_bar)
     mu = jnp.log(10.0 * step_size0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def step(carry, inp):
-        q, u_q, da_state, eps = carry
+        q, u_q, g_q, da_state, eps = carry
         i, k = inp
         k_mom, k_acc = jax.random.split(k)
         p = sample_p(k_mom)
         h0 = u_q + kinetic(p)
-        q_new, p_new = leapfrog(q, p, eps)
-        u_new = potential_fn(q_new)
+        q_new, p_new, u_new, g_new = leapfrog(q, p, g_q, eps)
         h1 = u_new + kinetic(p_new)
         log_accept = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf)
         accept_prob = jnp.exp(log_accept)
         accept = jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_accept
         q = jnp.where(accept, q_new, q)
         u_q = jnp.where(accept, u_new, u_q)
+        g_q = jnp.where(accept, g_new, g_q)
 
         if adapt_step_size:
             log_eps, log_eps_bar, h_bar = da_state
@@ -139,13 +153,14 @@ def _run(
             )
             eps = jnp.where(in_warmup, jnp.exp(da_state[0]), jnp.exp(da_state[1]))
 
-        return (q, u_q, da_state, eps), (q, u_q, accept_prob, accept)
+        return (q, u_q, g_q, da_state, eps), (q, u_q, accept_prob, accept)
 
     n_total = n_warmup + n_samples
     keys = jax.random.split(key, n_total)
     da0 = (jnp.log(step_size0), jnp.log(step_size0), jnp.asarray(0.0, dtype))
-    init = (q0, potential_fn(q0), da0, jnp.asarray(step_size0, dtype))
-    (qf, uf, daf, epsf), (qs, us, aps, accs) = jax.lax.scan(
+    u0, g0 = val_grad_u(q0)
+    init = (q0, u0, g0, da0, jnp.asarray(step_size0, dtype))
+    (qf, uf, gf, daf, epsf), (qs, us, aps, accs) = jax.lax.scan(
         step, init, (jnp.arange(n_total), keys)
     )
     return qs, us, aps, accs, epsf

@@ -175,8 +175,8 @@ def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True
     """Jit-friendly negative-log-posterior closure with hoisted prior factors."""
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
-    pc_l = chol.prior_rbf_cholesky(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-    pc_sigma = chol.prior_rbf_cholesky(data.x, hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"])
+    pc_l = chol.prior_rbf_inv(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    pc_sigma = chol.prior_rbf_inv(data.x, hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"])
 
     def nlp(vec: jnp.ndarray) -> jnp.ndarray:
         p = unpack(vec, n, m)

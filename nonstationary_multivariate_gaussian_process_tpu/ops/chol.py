@@ -14,10 +14,50 @@ through the selected branch only).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .. import settings
+from . import blocked
+
+#: Optionally route float64 factorizations/solves of at least this size
+#: through the blocked matmul-based implementations (ops/blocked.py).
+#: Off by default: measured on TPU, the emulated f64 Cholesky is *latency-
+#: bound per column* (~64us/col, linear in n), so blocking does not reduce
+#: the sequential column count and loses slightly (193 vs 148 ms at n=2048).
+#: The fast parity path is the mixed kernel (ops/mixed.py) instead; the
+#: blocked ops remain as the building block for the mesh-sharded Cholesky.
+#: NMGP_BLOCKED_CHOL=1 enables.
+BLOCKED_MIN_N = 512
+_BLOCKED_ENABLED = os.environ.get("NMGP_BLOCKED_CHOL", "0") not in ("0", "false")
+
+#: Minimum size for the mixed-precision logdet+quad kernel (below it the
+#: emulated f64 Cholesky's per-column latency is tolerable).
+MIXED_MIN_N = 192
+
+
+def _use_blocked(a: jnp.ndarray) -> bool:
+    return (
+        _BLOCKED_ENABLED
+        and a.dtype == jnp.float64
+        and a.shape[-1] >= BLOCKED_MIN_N
+    )
+
+
+def best_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky via the fastest correct path for the dtype/size."""
+    if _use_blocked(a):
+        return blocked.blocked_cholesky(a)
+    return jnp.linalg.cholesky(a)
+
+
+def tri_solve(l: jnp.ndarray, b: jnp.ndarray, trans: bool = False) -> jnp.ndarray:
+    """Lower-triangular solve via the fastest correct path for the dtype/size."""
+    if _use_blocked(l):
+        return blocked.blocked_trsm(l, b, trans)
+    return jax.scipy.linalg.solve_triangular(l, b, lower=True, trans=1 if trans else 0)
 
 #: Relative fallback jitter (fraction of the mean diagonal) when the plain
 #: Cholesky fails: f64 keeps the reference-scale 1e-4; f32 needs ~1e-3 of the
@@ -40,7 +80,7 @@ def safe_cholesky(
     If even the fallback fails, NaNs surface to the caller rather than being
     hidden.
     """
-    chol0 = jnp.linalg.cholesky(a)
+    chol0 = best_cholesky(a)
     if not settings.robust_cholesky and not force_robust:
         return chol0
     if fallback is None:
@@ -52,7 +92,7 @@ def safe_cholesky(
     ok = jnp.all(jnp.isfinite(chol0))
     scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1))
     jit_val = jnp.where(ok, 0.0, fallback * scale).astype(a.dtype)
-    return jnp.linalg.cholesky(a + jit_val * eye)
+    return best_cholesky(a + jit_val * eye)
 
 
 def prior_cholesky(a: jnp.ndarray) -> jnp.ndarray:
@@ -113,6 +153,37 @@ def prior_rbf_cholesky(x, alpha, beta):
     return jnp.asarray(_host_chol_ladder(gram), settings.dtype)
 
 
+def prior_rbf_inv(x, alpha, beta):
+    """Host-f64 RBF prior Gram → hoisted ``TriInv`` (inverse factor + logdet).
+
+    Like :func:`prior_rbf_cholesky` but additionally inverts the triangular
+    factor on the host, so the per-evaluation prior solve inside jitted
+    objectives is a matvec (see ``dists.TriInv``).  Falls back to the traced
+    robust Cholesky (no inversion) when ``x`` is abstract.
+    """
+    import numpy as np
+
+    from .. import dists as _dists
+
+    if isinstance(x, jax.core.Tracer):
+        from . import kernels as _kernels
+
+        return safe_cholesky(
+            _kernels.rbf_cov(x, alpha=alpha, beta=beta), force_robust=True
+        )
+    import scipy.linalg
+
+    x64 = np.asarray(x, np.float64)
+    d2 = (x64[:, None] - x64[None, :]) ** 2
+    gram = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
+    c = _host_chol_ladder(gram)
+    w = scipy.linalg.solve_triangular(c, np.eye(len(x64)), lower=True)
+    logdet = 2.0 * float(np.sum(np.log(np.diag(c))))
+    return _dists.TriInv(
+        jnp.asarray(w, settings.dtype), jnp.asarray(logdet, settings.dtype)
+    )
+
+
 def chol_logdet(chol: jnp.ndarray):
     """``logdet(A)`` from its Cholesky factor."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
@@ -120,6 +191,8 @@ def chol_logdet(chol: jnp.ndarray):
 
 def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve ``A x = b`` given ``chol(A)``."""
+    if _use_blocked(chol):
+        return blocked.blocked_chol_solve(chol, b)
     return jax.scipy.linalg.cho_solve((chol, True), b)
 
 
@@ -130,8 +203,17 @@ def psd_logdet_quad(a: jnp.ndarray, y: jnp.ndarray):
     the MN×MN GNMGP Gram (``Utility/logpos.py:352-353``) — one factorization
     instead of two O(n³) ops, with strictly better numerics.
     """
+    if (
+        settings.mixed_solves
+        and a.dtype == jnp.float64
+        and a.shape[-1] >= MIXED_MIN_N
+        and y.ndim == 1
+    ):
+        from . import mixed
+
+        return mixed.mixed_logdet_quad(a, y)
     c = safe_cholesky(a)
-    sol = jax.scipy.linalg.solve_triangular(c, y, lower=True)
+    sol = tri_solve(c, y)
     return chol_logdet(c), jnp.sum(sol * sol, axis=-1)
 
 

@@ -1,0 +1,157 @@
+"""Mixed-precision PSD logdet + quadratic form with float64-accurate values.
+
+The parity target (BASELINE.md) is a 1e-6-rtol log-posterior match against the
+reference's float64 CPU code *and* a >=20x speedup in the same configuration.
+Pure f32 misses the accuracy (Gram rounding alone shifts the logdet by
+~n*eps32); pure f64 misses the speed (TPU-emulated f64 Cholesky is
+latency-bound at ~64us per column — measured 148 ms at n=2048, linear in n,
+and blocking cannot reduce the sequential column count).
+
+This module gets both by using the f32 Cholesky only as a *preconditioner*
+and restoring f64 accuracy with matmul/matvec-only corrections (f64 GEMM
+emulation rides the MXU at ~2.3x f32; measured 17 ms at n=2048):
+
+* ``L = chol(f32(K))``, ``W = L^{-1}`` (f32, one triangular solve vs I),
+  ``G = W^T W ~= K^{-1}`` (f32 matmul).
+* **logdet**: exact residual ``E = K - L L^T`` in f64 (one f64-accumulated
+  GEMM — the only f64 O(n^3) op), then the similarity-invariant series
+
+      logdet(K) = 2 sum(log diag L) + tr(D) - tr(D^2)/2 + tr(D^3)/3 - ...
+
+  with ``D = G E`` (``||D|| ~ eps32 * cond(K)``, so three terms reach f64
+  accuracy for cond up to ~1e5; term magnitudes shrink geometrically).
+  Traces are computed as f64 Frobenius pairings of f32 matmul outputs.
+* **quadratic form**: preconditioned iterative refinement — f64 residuals
+  ``r = y - K z`` (f64 matvec) corrected by ``z += W^T (W r)`` (f32 matvecs,
+  no sequential substitution).  Converges at rate ||D|| per sweep.
+
+A custom VJP makes gradients f32-class and cheap (``dlogdet/dK ~= G``,
+``dquad/dK = -z z^T``): parity is claimed on *values*; gradients only steer
+MAP/HMC dynamics (HMC acceptance re-uses the exact values, so integrator-level
+gradient error is Metropolis-corrected, like any discretization error).
+
+Replaces the reference's f64 ``torch.inverse`` + ``torch.logdet``
+(``Utility/logpos.py:352-353``) in the NMGP_PRECISION=mixed configuration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+#: Iterative-refinement cap for the quadratic form.  Error contracts by
+#: ~||D|| ~ eps32*cond per sweep; well-conditioned systems converge in ~4-6
+#: sweeps and exit early on the residual test, the cap covers cond ~ 1e6.
+IR_MAX_SWEEPS = 20
+
+#: Early-exit threshold: stop when ||r||^2 <= IR_RTOL^2 * ||y||^2.
+IR_RTOL = 1e-13
+
+#: Relative diagonal jitter for the f32 retry (mirrors chol.FALLBACK_REL_F32).
+FALLBACK_REL = 1e-3
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _f32_factor(a64: jnp.ndarray):
+    """f32 Cholesky of the f64 matrix with the two-attempt jitter ladder.
+
+    Returns (l32, jit_val64): the factor and the f64 jitter actually applied —
+    the corrections target ``a64 + jit_val*I`` so mixed mode degrades exactly
+    like the f64 path does when robustness jitter engages.
+    """
+    from .. import settings
+
+    a32 = a64.astype(jnp.float32)
+    l0 = jnp.linalg.cholesky(a32)
+    if not settings.robust_cholesky:
+        return l0, jnp.zeros((), jnp.float64)
+    ok = jnp.all(jnp.isfinite(l0))
+    scale = jnp.mean(jnp.diagonal(a32, axis1=-2, axis2=-1))
+    jit32 = jnp.where(ok, 0.0, FALLBACK_REL * scale).astype(jnp.float32)
+    n = a64.shape[-1]
+    l32 = jnp.linalg.cholesky(a32 + jit32 * jnp.eye(n, dtype=jnp.float32))
+    return l32, jit32.astype(jnp.float64)
+
+
+def _fwd_core(a64: jnp.ndarray, y64: jnp.ndarray):
+    n = a64.shape[-1]
+    l32, jit64 = _f32_factor(a64)
+    eye32 = jnp.eye(n, dtype=jnp.float32)
+    w32 = jax.scipy.linalg.solve_triangular(l32, eye32, lower=True)
+    g32 = jax.lax.dot(w32.T, w32, precision=_HI)  # ~= K^{-1}, f32
+
+    # exact factorization residual in f64 (the one f64 GEMM)
+    l64 = l32.astype(jnp.float64)
+    target = a64 + jit64 * jnp.eye(n, dtype=jnp.float64)
+    e64 = target - jax.lax.dot(l64, l64.T, precision=_HI)
+
+    # logdet series in the similar matrix X = G E  (tr(D^k) = tr(X^k))
+    e32 = e64.astype(jnp.float32)
+    x32 = jax.lax.dot(g32, e32, precision=_HI)
+    x2 = jax.lax.dot(x32, x32, precision=_HI)
+    tr1 = jnp.sum(g32.astype(jnp.float64) * e64)  # tr(GE), f64 pairing
+    tr2 = jnp.sum(x32.astype(jnp.float64) * x32.T.astype(jnp.float64))
+    tr3 = jnp.sum(x2.astype(jnp.float64) * x32.T.astype(jnp.float64))
+    logdet = (
+        2.0 * jnp.sum(jnp.log(jnp.diagonal(l64, axis1=-2, axis2=-1)))
+        + tr1 - 0.5 * tr2 + tr3 / 3.0
+    )
+
+    # quadratic form: preconditioned iterative refinement, f64 residuals
+    def prec(r64):
+        r32 = r64.astype(jnp.float32)
+        t = w32 @ r32
+        return (w32.T @ t).astype(jnp.float64)
+
+    # while_loop is fine here: this runs inside the custom_vjp forward, so it
+    # is never differentiated through; vmap batches it (all lanes run until
+    # the slowest converges).  Exit on EITHER the target tolerance or
+    # stagnation (residual no longer contracting fast ⇒ at the attainable
+    # floor ~eps64*cond, which the fixed tolerance cannot see).
+    z0 = prec(y64)
+    tol2 = (IR_RTOL**2) * jnp.sum(y64 * y64)
+    inf = jnp.asarray(jnp.inf, jnp.float64)
+
+    def cond(state):
+        _, r2_last, r2_prev, it = state
+        contracting = jnp.logical_or(it < 2, r2_last < 0.02 * r2_prev)
+        return (it < IR_MAX_SWEEPS) & (r2_last > tol2) & contracting
+
+    def body(state):
+        z, r2_last, _, it = state
+        r = y64 - target @ z
+        return z + prec(r), jnp.sum(r * r), r2_last, it + 1
+
+    z, _, _, _ = lax.while_loop(cond, body, (z0, inf, inf, 0))
+    quad = jnp.sum(y64 * z)
+    return logdet, quad, z, g32
+
+
+@jax.custom_vjp
+def mixed_logdet_quad(a64: jnp.ndarray, y64: jnp.ndarray):
+    """``(logdet A, y^T A^{-1} y)`` for SPD f64 ``A`` at f64 value accuracy,
+    with all O(n^3) work in f32 except one f64-accumulated GEMM."""
+    logdet, quad, _, _ = _fwd_core(a64, y64)
+    return logdet, quad
+
+
+def _mixed_fwd(a64, y64):
+    logdet, quad, z, g32 = _fwd_core(a64, y64)
+    return (logdet, quad), (z, g32)
+
+
+def _mixed_bwd(res, cotangents):
+    z, g32 = res
+    ld_bar, q_bar = cotangents
+    ginv = g32.astype(jnp.float64)
+    ginv = 0.5 * (ginv + ginv.T)
+    a_bar = ld_bar * ginv - q_bar * (z[:, None] * z[None, :])
+    y_bar = 2.0 * q_bar * z
+    return a_bar, y_bar
+
+
+mixed_logdet_quad.defvjp(_mixed_fwd, _mixed_bwd)

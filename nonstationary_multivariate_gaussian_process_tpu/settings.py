@@ -23,8 +23,23 @@ import jax
 import jax.numpy as jnp
 
 _X64 = os.environ.get("NMGP_X64", "1") not in ("0", "false", "False")
+
+#: Precision mode: "f64" (default — reference parity dtype), "f32" (headline
+#: speed), or "mixed" — f64 arrays/values with the O(n^3) solve work done by
+#: the f32-preconditioned corrected kernel (ops/mixed.py): f64-accurate
+#: *values* (parity holds, tests/test_mixed.py) at near-f32 speed.
+precision_mode = os.environ.get(
+    "NMGP_PRECISION", "f64" if _X64 else "f32"
+).lower()
+if precision_mode not in ("f64", "f32", "mixed"):
+    raise ValueError(f"NMGP_PRECISION must be f64|f32|mixed, got {precision_mode}")
+_X64 = precision_mode in ("f64", "mixed")
 if _X64:
     jax.config.update("jax_enable_x64", True)
+
+#: True in the "mixed" mode: large f64 PSD solves route through
+#: ops.mixed.mixed_logdet_quad.
+mixed_solves = precision_mode == "mixed"
 
 # Persistent XLA compilation cache: float64 linear-algebra gradients are
 # expensive to compile (minutes on TPU); cache them across processes.

@@ -1,0 +1,128 @@
+"""Mixed-precision solve kernel: f64-accurate values at f32 speed.
+
+The NMGP_PRECISION=mixed configuration is the one that simultaneously holds
+the 1e-6-rtol log-posterior parity with the reference (float64 CPU torch,
+``/root/reference/Utility/settings.py:3``) and the >=20x TPU speedup target
+(BASELINE.md).  These tests pin the accuracy claims:
+
+* ``mixed_logdet_quad`` matches the exact f64 Cholesky logdet/quadform to
+  ~1e-9 rtol across realistic conditionings (the parity budget is 1e-6),
+* the full GNMGP objective in mixed mode matches the live reference oracle
+  at the same 1e-6 rtol as the f64 path,
+* gradients are f32-class (by design — values carry the parity claim).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu import settings
+from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+from nonstationary_multivariate_gaussian_process_tpu.ops import chol, kernels, mixed
+
+
+def _gnmgp_gram(rng, n=300, m=2, s2=-4.0):
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    t = m * (m + 1) // 2
+    vec = np.concatenate(
+        [-1.0 + 0.1 * rng.normal(size=n), 0.3 * rng.normal(size=n * t), [s2]]
+    )
+    p = gnmgp.unpack(jnp.asarray(vec), n, m)
+    ls = gnmgp.chol_process(p.ul_vecs, n, m)
+    k_x = kernels.nonstationary_rbf_cov(x, ell1=jnp.exp(p.tilde_l))
+    cov = gnmgp.gram(k_x, ls) + jnp.exp(p.tilde_sigma2_err) * jnp.eye(n * m)
+    y = jnp.asarray(rng.normal(size=(n * m,)))
+    return cov, y
+
+
+class TestMixedLogdetQuad:
+    @pytest.mark.parametrize("s2", [-2.0, -4.0, -7.0])
+    def test_matches_f64_cholesky(self, rng, s2):
+        cov, y = _gnmgp_gram(rng, n=300, m=2, s2=s2)
+        l = jnp.linalg.cholesky(cov)
+        ld_ref = 2.0 * jnp.sum(jnp.log(jnp.diag(l)))
+        q_ref = jnp.sum(y * jax.scipy.linalg.cho_solve((l, True), y))
+        ld, q = jax.jit(mixed.mixed_logdet_quad)(cov, y)
+        # parity budget is 1e-6; the kernel holds ~1e-9 even at cond ~ 1e6
+        np.testing.assert_allclose(float(ld), float(ld_ref), rtol=1e-8)
+        np.testing.assert_allclose(float(q), float(q_ref), rtol=1e-8)
+
+    def test_gradients_f32_class(self, rng):
+        cov, y = _gnmgp_gram(rng, n=150, m=2)
+        # below MIXED_MIN_N the psd path would not route here; call directly
+        def f_mixed(a, yy):
+            ld, q = mixed.mixed_logdet_quad(a, yy)
+            return -0.5 * (ld + q)
+
+        def f_ref(a, yy):
+            l = jnp.linalg.cholesky(a)
+            sol = jax.scipy.linalg.solve_triangular(l, yy, lower=True)
+            return -0.5 * (2.0 * jnp.sum(jnp.log(jnp.diag(l))) + jnp.sum(sol * sol))
+
+        ga, gy = jax.grad(f_mixed, (0, 1))(cov, y)
+        ga_r, gy_r = jax.grad(f_ref, (0, 1))(cov, y)
+        assert jnp.all(jnp.isfinite(ga)) and jnp.all(jnp.isfinite(gy))
+        # gradients are f32-class approximations (G ~= K^{-1}); require ~1e-3
+        scale = float(jnp.max(jnp.abs(ga_r)))
+        assert float(jnp.max(jnp.abs(ga - ga_r))) < 5e-3 * scale
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_r), rtol=1e-6, atol=1e-9 * float(jnp.max(jnp.abs(gy_r))))
+
+    def test_robust_jitter_matches_f64_semantics(self, rng):
+        # a PSD-but-near-singular matrix whose f32 cast fails to factor:
+        # the mixed kernel must fall back like safe_cholesky (jitter) and
+        # still produce finite values
+        n = 256
+        u = np.linalg.qr(rng.normal(size=(n, n)))[0]
+        w = np.concatenate([np.full(n - 3, 1.0), np.full(3, 1e-9)])
+        a = jnp.asarray(u @ np.diag(w) @ u.T)
+        a = 0.5 * (a + a.T)
+        y = jnp.asarray(rng.normal(size=n))
+        ld, q = mixed.mixed_logdet_quad(a, y)
+        assert np.isfinite(float(ld)) and np.isfinite(float(q))
+
+    def test_vmap_batches(self, rng):
+        covs, ys = [], []
+        for _ in range(3):
+            c, y = _gnmgp_gram(rng, n=120, m=2)
+            covs.append(c)
+            ys.append(y)
+        covs = jnp.stack(covs)
+        ys = jnp.stack(ys)
+        lds, qs = jax.vmap(mixed.mixed_logdet_quad)(covs, ys)
+        for i in range(3):
+            ld_i, q_i = mixed.mixed_logdet_quad(covs[i], ys[i])
+            np.testing.assert_allclose(float(lds[i]), float(ld_i), rtol=1e-10)
+            np.testing.assert_allclose(float(qs[i]), float(q_i), rtol=1e-10)
+
+
+class TestMixedModeObjectiveParity:
+    """Full-objective parity in the mixed configuration, vs the live oracle."""
+
+    @pytest.fixture
+    def mixed_mode(self, monkeypatch):
+        monkeypatch.setattr(settings, "mixed_solves", True)
+        # n*m in these tests is >= MIXED_MIN_N so the gate engages
+        yield
+
+    def test_gnmgp_nlogpos_matches_reference(self, reference, rng, mixed_mode):
+        n, m = 128, 2  # MN = 256 >= MIXED_MIN_N
+        x = np.sort(rng.uniform(size=n))
+        y = rng.normal(size=(n, m))
+        t = m * (m + 1) // 2
+        vec = np.concatenate(
+            [-1.0 + 0.1 * rng.normal(size=n), 0.3 * rng.normal(size=n * t), [-4.0]]
+        )
+        torch = reference["torch"]
+        want = reference["logpos"].nlogpos_obj_SVC(
+            torch.as_tensor(vec), torch.as_tensor(y), torch.as_tensor(x)
+        )
+        got = gnmgp.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+    def test_gate_routes_through_mixed(self, rng, mixed_mode):
+        cov, y = _gnmgp_gram(rng, n=150, m=2)  # MN = 300 >= gate
+        ld, q = chol.psd_logdet_quad(cov, y)
+        l = jnp.linalg.cholesky(cov)
+        ld_ref = 2.0 * jnp.sum(jnp.log(jnp.diag(l)))
+        np.testing.assert_allclose(float(ld), float(ld_ref), rtol=1e-8)
