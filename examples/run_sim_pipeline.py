@@ -26,7 +26,8 @@ from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="gnmgp", choices=["lmc", "snmgp", "gnmgp"])
+    ap.add_argument("--model", default="gnmgp",
+                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--n-opt", type=int, default=1000)
     ap.add_argument("--n-hmc", type=int, default=0)
@@ -41,7 +42,8 @@ def main():
         loaded = data_io.load_sim_pickle(args.data)
         x, y = loaded["x"], loaded["y"]
     else:
-        d = sim.sim_mnts(jax.random.PRNGKey(args.seed), n=args.n)
+        gen = sim.sim_mnts_hetero if args.model == "gnmgp_hetero" else sim.sim_mnts
+        d = gen(jax.random.PRNGKey(args.seed), n=args.n)
         x, y = np.asarray(d.x), np.asarray(d.y)
 
     hyper = (

@@ -118,6 +118,49 @@ def sim_mnts_s(key, n: int = 200, m: int = 2, sigma2_err: float = 1e-2) -> SimDa
     return SimData(x, ell, l_vecs, sigma2_err, y, stds, cors)
 
 
+class HeteroSimData(NamedTuple):
+    """A heteroscedastic-noise synthetic subject with ground-truth latents."""
+
+    x: jnp.ndarray  # (N,)
+    l: jnp.ndarray  # (N,) true lengthscale process
+    l_vecs: jnp.ndarray  # (N*T,) true per-point Cholesky vectors
+    tilde_sigma2_err: jnp.ndarray  # (N*M,) task-major true log noise variances
+    y: jnp.ndarray  # (N, M)
+    stds: jnp.ndarray  # (N, M)
+    cors: jnp.ndarray  # (N,)
+
+
+def sim_mnts_hetero(key, n: int = 200, m: int = 2) -> HeteroSimData:
+    """SIM_MNTS with input-dependent noise (the extended driver's model:
+    ``Nonseparable_model_mpiKAISER_extended.py:155-247``).
+
+    Truth noise log-variance processes (task-major): task 0 rises from −5 to
+    −2 across the input range, task 1 falls from −2 to −5 — smooth, strongly
+    identified against the O(1) signal processes.
+    """
+    assert m == 2, "reference truth processes are bivariate"
+    k_x, k_y = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k_x, (n,), dtype=settings.dtype))
+    tilde_l = 3.0 * (x - 1.0) ** 3 - 3.0
+    ell = jnp.exp(tilde_l)
+    stds = jnp.stack([1.0 + x**2, 2.0 - x**2], axis=1)
+    cors = jnp.cos(x * jnp.pi)
+    ls = _chol_process_from_std_cor(stds, cors)
+    ts2 = jnp.concatenate([-5.0 + 3.0 * x, -2.0 - 3.0 * x])  # task-major (N*M,)
+
+    k_xk = kernels.nonstationary_rbf_cov(x, ell1=ell)
+    eye = jnp.eye(n * m, dtype=x.dtype)
+    cov = gnmgp.gram(k_xk, ls) + jnp.diag(jnp.exp(ts2))
+    chol0 = jnp.linalg.cholesky(cov)
+    ok = jnp.all(jnp.isfinite(chol0))
+    jit_val = jnp.where(ok, 0.0, 1e-3).astype(x.dtype)
+    chol = jnp.linalg.cholesky(cov + jit_val * eye)
+    z = jax.random.normal(k_y, (n * m,), dtype=x.dtype)
+    y = (chol @ z).reshape(m, n).T
+    l_vecs = transforms.tril_to_vec(ls, m).reshape(-1)
+    return HeteroSimData(x, ell, l_vecs, ts2, y, stds, cors)
+
+
 def _block_rbf(x, split: float, hyp0, hyp1):
     """Block-diagonal RBF covariance with different (log ℓ, log sf) per block.
 

@@ -143,9 +143,9 @@ def deviance(vec, y, x):
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     x = data.x
-    pc_l = chol.prior_rbf_cholesky(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-    pc_L = chol.prior_rbf_cholesky(x, hp["alpha_L"], hp["beta_L"])
-    pc_e = chol.prior_rbf_cholesky(x, hp["alpha_err"], hp["beta_err"])
+    pc_l = chol.prior_rbf_inv(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    pc_L = chol.prior_rbf_inv(x, hp["alpha_L"], hp["beta_L"])
+    pc_e = chol.prior_rbf_inv(x, hp["alpha_err"], hp["beta_err"])
     n, m = data.y.shape
 
     def nlp(vec):

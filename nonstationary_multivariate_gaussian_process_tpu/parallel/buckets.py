@@ -4,10 +4,12 @@ KAISER-style cohorts have a different number of observations per patient
 (SURVEY §7 "ragged subjects").  XLA needs static shapes, so subjects are
 grouped into size buckets; within a bucket every subject is right-padded to
 the bucket length by *repeating its last observation* and the padded tail is
-then **truncated before scoring** — but for the likelihood itself padding
-must not bias the fit, so each bucket simply truncates to its minimum length
-by default (``mode="truncate"``) or pads with replicated endpoints
-(``mode="pad"``), trading a small amount of data for shape uniformity.
+then **truncated before scoring**.  For the likelihood itself padding must
+not bias the fit: the default ``mode="pad"`` pairs padded inputs with a
+boolean mask that the model likelihoods honor *exactly* (masked entries
+contribute nothing to logdet or the quadratic form — all three models), so no
+observation is ever dropped.  ``mode="truncate"`` (crop every subject to the
+bucket minimum) remains as a cheaper approximation that does lose data.
 
 The reference sidesteps this entirely by giving every subject its own MPI
 process; bucketing is the price of batched SPMD, paid once at staging time.
@@ -32,13 +34,13 @@ def assign_buckets(lengths: Sequence[int], n_buckets: int = 4) -> dict[int, list
     return dict(buckets)
 
 
-def stage_bucket(xs: list, ys: list, idxs: list[int], mode: str = "truncate"):
+def stage_bucket(xs: list, ys: list, idxs: list[int], mode: str = "pad"):
     """Stack a bucket's subjects into dense (S, N) / (S, N, M) arrays.
 
+    ``mode="pad"`` (default): right-pad to the bucket maximum (strictly
+    increasing x extension, zero y, mask marking real rows); callers crop
+    per-subject outputs back via the returned ``true_lengths``.
     ``mode="truncate"``: crop every subject to the bucket minimum length.
-    ``mode="pad"``: right-pad to the bucket maximum by repeating the last
-    observation (callers must crop per-subject outputs back via the returned
-    ``true_lengths``).
     """
     lens = [xs[i].shape[0] for i in idxs]
     if mode == "truncate":
@@ -65,7 +67,7 @@ def stage_bucket(xs: list, ys: list, idxs: list[int], mode: str = "truncate"):
 
 
 def run_bucketed(xs: list, ys: list, fit_bucket, n_buckets: int = 4,
-                 mode: str = "truncate") -> dict[int, dict]:
+                 mode: str = "pad") -> dict[int, dict]:
     """Bucket a ragged cohort and run ``fit_bucket(x, y, subject_idxs, mask)``
     per bucket.
 

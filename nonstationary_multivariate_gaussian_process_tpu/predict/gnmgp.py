@@ -55,13 +55,17 @@ def _factorize(p: model.Params, data: FullData):
     return ls, ell, sigma2_err, r, c
 
 
-def _moments(data, grid, l_star, ls_star, factors):
+def _moments(data, grid, l_star, ls_star, factors, noise_var=None):
     """Predictive mean/variance at all grid points given latent values there.
 
     ``l_star``: (G,) lengthscales at the grid; ``ls_star``: (G, M, M) Cholesky
-    factors of B_f(x*).
+    factors of B_f(x*).  ``noise_var`` ((G, M) or scalar) overrides the
+    training noise in the predictive variance — the heteroscedastic model
+    passes its kriged noise process here.
     """
     ls, ell, sigma2_err, r, c = factors
+    if noise_var is not None:
+        sigma2_err = noise_var
     n, m, _ = ls.shape
     g = grid.shape[0]
     ones_n = jnp.ones((n,), grid.dtype)

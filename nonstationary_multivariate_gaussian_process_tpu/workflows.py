@@ -28,14 +28,20 @@ import jax.numpy as jnp
 from . import evaluate, settings
 from .data import preprocess, sim
 from .inference import diagnostics, empirical, hmc as hmc_mod, init as init_mod, map as map_mod
-from .models import FullData, gnmgp, lmc, snmgp
+from .models import FullData, gnmgp, gnmgp_hetero, lmc, snmgp
 from .parallel import fleet as fleet_mod
 from .parallel.mesh import make_mesh
 from .predict import gnmgp as pred_gnmgp, lmc as pred_lmc, snmgp as pred_snmgp
+from .predict import gnmgp_hetero as pred_gnmgp_hetero
 from .utils.artifacts import ArtifactStore
 
-_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}
-_PREDICT = {"lmc": pred_lmc, "snmgp": pred_snmgp, "gnmgp": pred_gnmgp}
+_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp, "gnmgp_hetero": gnmgp_hetero}
+_PREDICT = {
+    "lmc": pred_lmc,
+    "snmgp": pred_snmgp,
+    "gnmgp": pred_gnmgp,
+    "gnmgp_hetero": pred_gnmgp_hetero,
+}
 
 
 @dataclasses.dataclass
@@ -100,15 +106,23 @@ def _build_inits(cfg, emp, x, y, key):
             "empirical": init_mod.snmgp_from_empirical(emp, n, m),
             "combined": init_mod.snmgp_combined(lmc_res.vec, emp, n, m),
         }
-    # gnmgp: warm-start from a short separable fit + empirical
+    # gnmgp / gnmgp_hetero: warm-start from a short separable fit + empirical
     sn_nlp = snmgp.make_objective(FullData(x, y))
     sn_res = map_mod.fit_map(
         sn_nlp, init_mod.snmgp_from_empirical(emp, n, m), n_iters=min(cfg.n_opt, 500), lr=0.2
     )
-    return {
+    inits = {
         "separable": init_mod.gnmgp_from_separable(sn_res.vec, n, m),
         "empirical": init_mod.gnmgp_from_empirical(emp, n, m),
     }
+    if model == "gnmgp_hetero":
+        # broadcast the homoscedastic noise over the (input x task) process
+        # (the extended driver warm-starts from the homoscedastic MAP,
+        # Nonseparable_model_mpiKAISER_extended.py:317-328)
+        inits = {
+            name: gnmgp_hetero.init_from_gnmgp(v, n, m) for name, v in inits.items()
+        }
+    return inits
 
 
 def run_subject(
@@ -421,7 +435,7 @@ def run_cohort(
     n_buckets: int = 4,
     extrapolation_size: int = 0,
     mesh=None,
-    mode: str = "truncate",
+    mode: str = "pad",
 ) -> dict:
     """Ragged multi-subject cohort pipeline (KAISER-style drivers:
     ``*_mpiKAISER``, ``*_distributed``, ``*_personalized``).
@@ -456,9 +470,6 @@ def run_cohort(
         tests.append((x_te, y_te))
         norms.append((trend, scale))
 
-    if mode == "pad" and cfg.model != "gnmgp":
-        raise NotImplementedError("mode='pad' (masked likelihood) supports gnmgp only")
-
     def fit_bucket(x, y, idxs, mask):
         s, n = x.shape
         m = y.shape[-1]
@@ -470,25 +481,21 @@ def run_cohort(
                 window_size=min(cfg.window_size, max(2, n_real // 3)),
             )
             if cfg.model == "gnmgp":
-                init_j = _pad_gnmgp_vec(
-                    init_mod.gnmgp_from_empirical(emp, n_real, m), n_real, n, m
-                )
+                init_j = init_mod.gnmgp_from_empirical(emp, n_real, m)
             elif cfg.model == "snmgp":
-                init_j = init_mod.snmgp_from_empirical(emp, n, m)
+                init_j = init_mod.snmgp_from_empirical(emp, n_real, m)
             else:
                 init_j = init_mod.lmc_from_empirical(emp, n_real, m)
-            inits.append(init_j)
+            inits.append(_pad_vec(cfg.model, init_j, n_real, n, m))
         res = fleet_mod.fit_fleet_map(
             cfg.model, jnp.asarray(x), jnp.asarray(y), jnp.stack(inits),
             hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
-            masks=jnp.asarray(mask) if cfg.model == "gnmgp" else None,
+            masks=jnp.asarray(mask),
         )
         return {
             "vec": np.asarray(res.vecs),
             "final_nlp": np.asarray(res.final_nlp),
-            "n_train": np.asarray(mask).sum(axis=1).astype(int)
-            if cfg.model == "gnmgp"
-            else np.full(s, n, dtype=int),
+            "n_train": np.asarray(mask).sum(axis=1).astype(int),
         }
 
     per_subject = buckets_mod.run_bucketed(
@@ -512,12 +519,15 @@ def run_cohort(
                 jnp.asarray(x_used, settings.dtype), jnp.asarray(y_used, settings.dtype)
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
+            m_tasks = y_used.shape[1]
+            t = m_tasks * (m_tasks + 1) // 2
             if cfg.model == "gnmgp":
-                m_tasks = y_used.shape[1]
-                t = m_tasks * (m_tasks + 1) // 2
                 n_pad_fit = (vec.shape[0] - 1) // (1 + t)
-                if n_pad_fit != n_bucket:
-                    vec = _crop_gnmgp_vec(vec, n_pad_fit, n_bucket, m_tasks)
+            elif cfg.model == "snmgp":
+                n_pad_fit = (vec.shape[0] - t - 1) // 2
+            else:
+                n_pad_fit = n_bucket
+            vec = _crop_vec(cfg.model, vec, n_pad_fit, n_bucket, m_tasks)
             if cfg.model == "lmc":
                 tp = pred_mod.predict_map(vec, data, jnp.asarray(x_te, settings.dtype))
             else:
@@ -569,3 +579,48 @@ def _crop_gnmgp_vec(vec, n_pad: int, n_real: int, m: int):
     tilde_l = vec[:n_real]
     ul = vec[n_pad : n_pad + n_real * t]
     return jnp.concatenate([tilde_l, ul, vec[-1:]])
+
+
+def _pad_snmgp_vec(vec, n_real: int, n_pad: int, m: int):
+    """Extend an SNMGP vector's per-input latents (tilde_l, tilde_sigma) from
+    n_real to n_pad inputs by repeating the edge values (layout:
+    ``[tilde_l(N), tilde_sigma(N), uL_vec(T), tilde_sigma2_err]``,
+    reference ``vec2pars``, logpos.py:17-29)."""
+    import jax.numpy as jnp
+
+    vec = jnp.asarray(vec)
+    pad = n_pad - n_real
+    tilde_l = vec[:n_real]
+    tilde_sigma = vec[n_real : 2 * n_real]
+    tail = vec[2 * n_real :]  # uL_vec + tilde_sigma2_err (N-independent)
+    tilde_l = jnp.concatenate([tilde_l, jnp.repeat(tilde_l[-1:], pad)])
+    tilde_sigma = jnp.concatenate([tilde_sigma, jnp.repeat(tilde_sigma[-1:], pad)])
+    return jnp.concatenate([tilde_l, tilde_sigma, tail])
+
+
+def _crop_snmgp_vec(vec, n_pad: int, n_real: int, m: int):
+    """Inverse of :func:`_pad_snmgp_vec`."""
+    import jax.numpy as jnp
+
+    vec = jnp.asarray(vec)
+    return jnp.concatenate(
+        [vec[:n_real], vec[n_pad : n_pad + n_real], vec[2 * n_pad :]]
+    )
+
+
+def _pad_vec(model: str, vec, n_real: int, n_pad: int, m: int):
+    """Model-dispatching latent-slot padding (LMC has no per-input latents)."""
+    if n_pad == n_real or model == "lmc":
+        return vec
+    if model == "snmgp":
+        return _pad_snmgp_vec(vec, n_real, n_pad, m)
+    return _pad_gnmgp_vec(vec, n_real, n_pad, m)
+
+
+def _crop_vec(model: str, vec, n_pad: int, n_real: int, m: int):
+    """Inverse of :func:`_pad_vec`."""
+    if n_pad == n_real or model == "lmc":
+        return vec
+    if model == "snmgp":
+        return _crop_snmgp_vec(vec, n_pad, n_real, m)
+    return _crop_gnmgp_vec(vec, n_pad, n_real, m)

@@ -126,3 +126,108 @@ class TestMaskedKron:
                         mask=jnp.asarray(mask))
         )
         np.testing.assert_allclose(ll_masked, ll_real, rtol=1e-9)
+
+
+class TestPaddedFitEqualsUnpadded:
+    """Cohort-level exactness: a padded+masked fleet fit finds the same
+    optimum as the unpadded fit, for every model (VERDICT r1 item 3).
+
+    For LMC the equality is *bitwise-trajectory* exact: no prior touches the
+    per-input axis, so masked-padded gradients equal unpadded gradients at
+    every Adam step.  For SNMGP/GNMGP the GP priors extend over the padded
+    latent slots; maximizing jointly profiles them out exactly (Gaussian
+    conditional-mode constant), so the *optima* over real slots coincide —
+    asserted through the unpadded objective value at the cropped fit.
+    """
+
+    def _padded_problem(self, rng, n_real, pad, m):
+        x_real = np.sort(rng.uniform(size=n_real))
+        y_real = rng.normal(size=(n_real, m))
+        dx = np.mean(np.diff(x_real))
+        x_pad = np.concatenate([x_real, x_real[-1] + dx * np.arange(1, pad + 1)])
+        y_pad = np.concatenate([y_real, np.zeros((pad, m))])
+        mask = np.concatenate([np.ones(n_real, bool), np.zeros(pad, bool)])
+        return x_real, y_real, x_pad, y_pad, mask
+
+    def test_lmc_padded_fit_exact(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        n_real, pad, m = 12, 5, 2
+        x_r, y_r, x_p, y_p, mask = self._padded_problem(rng, n_real, pad, m)
+        t = transforms.tri_size(m)
+        init = jnp.asarray(rng.normal(size=3 + t) * 0.3)[None, :]
+        res_r = fleet.fit_fleet_map(
+            "lmc", jnp.asarray(x_r)[None], jnp.asarray(y_r)[None], init,
+            n_iters=60, lr=0.1,
+        )
+        res_p = fleet.fit_fleet_map(
+            "lmc", jnp.asarray(x_p)[None], jnp.asarray(y_p)[None], init,
+            n_iters=60, lr=0.1, masks=jnp.asarray(mask)[None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_p.vecs[0]), np.asarray(res_r.vecs[0]), rtol=1e-8
+        )
+
+    def _converged_fit(self, model, x, y, init, mask=None, iters=2000):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        vec = jnp.asarray(init)[None]
+        for lr in (0.1, 0.02, 0.004):  # annealed restarts to tighten the MAP
+            res = fleet.fit_fleet_map(
+                model, jnp.asarray(x)[None], jnp.asarray(y)[None],
+                vec, n_iters=iters, lr=lr,
+                masks=None if mask is None else jnp.asarray(mask)[None],
+            )
+            vec = res.vecs
+        return np.asarray(res.vecs[0])
+
+    def test_gnmgp_padded_fit_same_optimum(self, rng):
+        n_real, pad, m = 12, 4, 2
+        n = n_real + pad
+        x_r, y_r, x_p, y_p, mask = self._padded_problem(rng, n_real, pad, m)
+        t = transforms.tri_size(m)
+        init_r = rng.normal(size=n_real + n_real * t + 1) * 0.2
+        init_p = np.asarray(workflows._pad_vec("gnmgp", jnp.asarray(init_r), n_real, n, m))
+        fit_r = self._converged_fit("gnmgp", x_r, y_r, init_r)
+        fit_p = self._converged_fit("gnmgp", x_p, y_p, init_p, mask=mask)
+        crop = np.asarray(workflows._crop_vec("gnmgp", jnp.asarray(fit_p), n, n_real, m))
+        nlp = gnmgp.make_objective(FullData(jnp.asarray(x_r), jnp.asarray(y_r)))
+        v_r, v_c = float(nlp(jnp.asarray(fit_r))), float(nlp(jnp.asarray(crop)))
+        # same optimum: unpadded objective at the cropped padded fit matches
+        assert abs(v_c - v_r) < 1e-2 * max(1.0, abs(v_r))
+
+    def test_snmgp_padded_fit_same_optimum(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu.models import snmgp
+
+        n_real, pad, m = 12, 4, 2
+        n = n_real + pad
+        x_r, y_r, x_p, y_p, mask = self._padded_problem(rng, n_real, pad, m)
+        t = transforms.tri_size(m)
+        init_r = rng.normal(size=2 * n_real + t + 1) * 0.2
+        init_p = np.asarray(workflows._pad_vec("snmgp", jnp.asarray(init_r), n_real, n, m))
+        assert init_p.shape[0] == 2 * n + t + 1
+        fit_r = self._converged_fit("snmgp", x_r, y_r, init_r)
+        fit_p = self._converged_fit("snmgp", x_p, y_p, init_p, mask=mask)
+        crop = np.asarray(workflows._crop_vec("snmgp", jnp.asarray(fit_p), n, n_real, m))
+        nlp = snmgp.make_objective(FullData(jnp.asarray(x_r), jnp.asarray(y_r)))
+        v_r, v_c = float(nlp(jnp.asarray(fit_r))), float(nlp(jnp.asarray(crop)))
+        assert abs(v_c - v_r) < 1e-2 * max(1.0, abs(v_r))
+
+    def test_run_cohort_pad_all_models_no_data_loss(self, tmp_path):
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        lengths = [14, 17, 20]
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, lengths)):
+            d = sim.sim_mnts(k, n=n)
+            subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        for model in ("lmc", "snmgp", "gnmgp"):
+            cfg = workflows.PipelineConfig(model=model, n_opt=20, window_size=5)
+            out = workflows.run_cohort(
+                subjects, cfg, store=ArtifactStore(str(tmp_path / model)),
+                n_buckets=1, extrapolation_size=3,
+            )  # default mode is now "pad"
+            assert out["reduction"]["n_valid"] == 3
+            for pos, sid in enumerate(out["ids"]):
+                rec = out["subjects"][sid]
+                assert np.isfinite(rec["final_nlp"]), model
+                assert np.isfinite(rec["test_rmse"]), model
