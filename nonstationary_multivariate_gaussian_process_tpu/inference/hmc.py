@@ -157,9 +157,14 @@ def _run(
 
     n_total = n_warmup + n_samples
     keys = jax.random.split(key, n_total)
-    da0 = (jnp.log(step_size0), jnp.log(step_size0), jnp.asarray(0.0, dtype))
+    # tie the scalar carries to q0 so that under shard_map they carry the
+    # same varying-axes type as the evolving state (the adapted step size is
+    # per-subject data-dependent; a plain constant init trips the scan
+    # varying-manual-axes check)
+    zero = jnp.asarray(0.0, dtype) * q0[0]
+    da0 = (jnp.log(step_size0) + zero, jnp.log(step_size0) + zero, zero)
     u0, g0 = val_grad_u(q0)
-    init = (q0, u0, g0, da0, jnp.asarray(step_size0, dtype))
+    init = (q0, u0, g0, da0, jnp.asarray(step_size0, dtype) + zero)
     (qf, uf, gf, daf, epsf), (qs, us, aps, accs) = jax.lax.scan(
         step, init, (jnp.arange(n_total), keys)
     )

@@ -67,3 +67,18 @@ def task_major(y: jnp.ndarray) -> jnp.ndarray:
 
 
 Objective = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def mask_dense_gram(gram, sigma2_err, y, mask):
+    """Project masked observations exactly out of a dense likelihood.
+
+    ``gram``: (N, N) noiseless Gram, ``mask``: (N,) bool (True = real).
+    Masked rows/cols are zeroed with a unit diagonal and the observation
+    zeroed, so they contribute exactly nothing to logdet or the quadratic
+    form — the shape-static equivalent of dropping them (same construction as
+    the FullData GNMGP masked likelihood).  Returns (cov, y_masked).
+    """
+    mv = jnp.asarray(mask, y.dtype)
+    cov = gram * (mv[:, None] * mv[None, :])
+    cov = cov + jnp.diag(jnp.where(mv > 0, sigma2_err, 1.0))
+    return cov, y * mv

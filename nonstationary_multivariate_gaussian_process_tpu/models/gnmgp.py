@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .. import dists
 from ..ops import chol, kernels, transforms
-from .base import FullData, HadamardData, task_major
+from .base import FullData, HadamardData, mask_dense_gram, task_major
 
 #: Reference default hyper-parameters (logpos.py:299 signature defaults).
 DEFAULT_HYPERS = {
@@ -248,6 +248,7 @@ def log_posterior_hadamard(
     prior: bool = True,
     prior_chol_l=None,
     prior_chol_L=None,
+    mask=None,
 ):
     """Mirrors reference ``logpos_hadamard_SVC`` (logpos.py:588-659).
 
@@ -262,9 +263,11 @@ def log_posterior_hadamard(
     ell = jnp.exp(p.tilde_l)
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
     k_x = kernels.nonstationary_rbf_cov(x, ell1=ell)
-    cov = hadamard_gram(p.ul_vecs.reshape(n, t), indx, k_x, m) + sigma2_err * jnp.eye(
-        n, dtype=y.dtype
-    )
+    gram_h = hadamard_gram(p.ul_vecs.reshape(n, t), indx, k_x, m)
+    if mask is None:
+        cov = gram_h + sigma2_err * jnp.eye(n, dtype=y.dtype)
+    else:
+        cov, y = mask_dense_gram(gram_h, sigma2_err, y, mask)
     loglik = dists.mvn_logpdf_dense_unnorm(y, 0.0, cov)
 
     if prior_chol_l is None:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .. import dists
 from ..ops import kernels, transforms
-from .base import FullData, HadamardData, task_major
+from .base import FullData, HadamardData, mask_dense_gram, task_major
 
 #: Reference default hyper-parameters (Stationary_model.py:80).
 DEFAULT_HYPERS = {
@@ -150,12 +150,13 @@ def log_posterior_hadamard(
     b=1.0,
     c=10.0,
     prior: bool = True,
+    mask=None,
 ):
     """Mirrors reference ``logpos_hadamard_S`` (logpos.py:676-716).
 
     As in the other Hadamard objectives the task-Cholesky vector enters
     untransformed (logpos.py:679) and the stationary ``rbf_cov`` (with nugget)
-    builds K_x (logpos.py:685).
+    builds K_x (logpos.py:685).  ``mask`` excludes padded observations.
     """
     x, indx, y = data
     n = y.shape[0]
@@ -166,7 +167,10 @@ def log_posterior_hadamard(
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
     k_x = kernels.rbf_cov(x, alpha=sigma, beta=ell)
     k_i = b_f[indx[:, None], indx[None, :]]
-    cov = k_x * k_i + sigma2_err * jnp.eye(n, dtype=y.dtype)
+    if mask is None:
+        cov = k_x * k_i + sigma2_err * jnp.eye(n, dtype=y.dtype)
+    else:
+        cov, y = mask_dense_gram(k_x * k_i, sigma2_err, y, mask)
     loglik = dists.mvn_logpdf_dense_unnorm(y, 0.0, cov)
 
     lp_l = dists.normal_logpdf(p.tilde_l, mu_tilde_l, sigma_tilde_l)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .. import dists
 from ..ops import chol, kernels, kron, transforms
-from .base import FullData, HadamardData, task_major
+from .base import FullData, HadamardData, mask_dense_gram, task_major
 
 #: Reference default hyper-parameters (logpos.py:14).
 DEFAULT_HYPERS = {
@@ -225,13 +225,20 @@ def log_posterior_hadamard(
     prior: bool = True,
     prior_chol_l=None,
     prior_chol_sigma=None,
+    mask=None,
 ):
-    """Mirrors reference ``logpos_hadamard`` (logpos.py:502-563)."""
+    """Mirrors reference ``logpos_hadamard`` (logpos.py:502-563).
+
+    ``mask`` (N,) bool excludes padded observations exactly (ragged Hadamard
+    cohorts; see ``models.base.mask_dense_gram``)."""
     x, indx, y = data
     n = y.shape[0]
     sigma2_err = jnp.exp(p.tilde_sigma2_err)
-    gram = hadamard_gram(p, x, indx, m) + sigma2_err * jnp.eye(n, dtype=y.dtype)
-    loglik = dists.mvn_logpdf_dense_unnorm(y, 0.0, gram)
+    if mask is None:
+        cov = hadamard_gram(p, x, indx, m) + sigma2_err * jnp.eye(n, dtype=y.dtype)
+    else:
+        cov, y = mask_dense_gram(hadamard_gram(p, x, indx, m), sigma2_err, y, mask)
+    loglik = dists.mvn_logpdf_dense_unnorm(y, 0.0, cov)
 
     if prior_chol_l is None:
         prior_chol_l = chol.safe_cholesky(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -207,11 +208,15 @@ def hmc_fleet(
     n_warmup: int = 0,
     adapt_step_size: bool = False,
     target_accept: float = 0.75,
+    masses=None,
 ) -> jnp.ndarray:
     """HMC chains for a fleet of subjects, sharded over the mesh.
 
     Per-subject dual-averaging step-size adaptation is available via
     ``adapt_step_size``/``n_warmup`` (each subject adapts independently).
+    ``masses``: optional per-subject mass matrices — (S, P) diagonal or
+    (S, P, P) dense (the reference's preconditioned KAISER HMC,
+    ``Stationary_model_mpiKAISER.py:205``; see :func:`pilot_mass_fleet`).
     Returns (S, n_samples, P) posterior draws.
     """
     from ..inference import hmc as hmc_mod
@@ -230,27 +235,351 @@ def hmc_fleet(
     ys, _ = pad_to_multiple(ys, n_dev)
     map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
     keys = jax.random.split(key, xs.shape[0])
+    if masses is None:
+        masses_arr = jnp.zeros((xs.shape[0], 0), settings.dtype)
+    else:
+        masses_arr = jnp.asarray(masses, settings.dtype)
+        masses_arr, _ = pad_to_multiple(masses_arr, n_dev)
 
     pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp)
 
-    def chain_one(vec0, x, y, p1, p2, k):
+    def chain_one(vec0, x, y, p1, p2, k, mass):
         pot = lambda v: nlp(v, x, y, p1, p2)
         res = hmc_mod.hmc_sample(
             pot, vec0, n_samples, k, step_size=step_size, n_leapfrog=n_leapfrog,
             n_warmup=n_warmup, adapt_step_size=adapt_step_size,
             target_accept=target_accept,
+            mass_matrix=None if mass.shape[-1] == 0 else mass,
         )
         return res.samples
 
-    def shard_fn(vec0, x, y, p1, p2, k):
-        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k)
+    def shard_fn(vec0, x, y, p1, p2, k, mass):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mass)
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
         out_specs=P(SUBJECT_AXIS),
     )
-    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys)
+    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masses_arr)
     return samples[:s_real]
+
+
+# ---------------------------------------------------------------------------
+# Hadamard-layout fleets (one observation per (input, task) pair).
+# ---------------------------------------------------------------------------
+
+#: Reference Hadamard hyper defaults (alpha=1 family, logpos.py:566-585, :465).
+_HADAMARD_HYPERS = {
+    "lmc": {"mu_tilde_l": 0.0, "sigma_tilde_l": 1.0, "a": 1.0, "b": 1.0, "c": 10.0},
+    "snmgp": {
+        "mu_tilde_l": 0.0, "alpha_tilde_l": 1.0, "beta_tilde_l": 1.0,
+        "mu_tilde_sigma": 0.0, "alpha_tilde_sigma": 1.0, "beta_tilde_sigma": 1.0,
+        "a": 1.0, "b": 1.0, "c": 10.0,
+    },
+    "gnmgp": {
+        "mu_tilde_l": 0.0, "alpha_tilde_l": 1.0, "beta_tilde_l": 1.0,
+        "mu_L": 0.0, "alpha_L": 1.0, "beta_L": 1.0, "a": 1.0, "b": 1.0,
+    },
+}
+
+
+def _hadamard_prior_alphas(model_name: str, hp: dict):
+    if model_name == "snmgp":
+        return (hp["alpha_tilde_l"], hp["beta_tilde_l"],
+                hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"])
+    if model_name == "gnmgp":
+        return (hp["alpha_tilde_l"], hp["beta_tilde_l"], hp["alpha_L"], hp["beta_L"])
+    return None
+
+
+def _subject_nlp_hadamard(model_name: str, m: int, hp: dict):
+    """Per-subject Hadamard objective fn(vec, x, indx, y, pc1, pc2, mask)."""
+    from ..models.base import HadamardData
+
+    model = _MODELS[model_name]
+
+    def nlp(vec, x, indx, y, pc1, pc2, mask):
+        data = HadamardData(x, indx, y)
+        if model_name == "lmc":
+            p = model.unpack(vec, m)
+            res, _ = model.log_posterior_hadamard(p, data, m, mask=mask, **hp)
+        elif model_name == "snmgp":
+            p = model.unpack(vec, y.shape[0], m)
+            res, _ = model.log_posterior_hadamard(
+                p, data, m, prior_chol_l=pc1, prior_chol_sigma=pc2, mask=mask, **hp
+            )
+        else:
+            p = model.unpack(vec, y.shape[0], m)
+            res, _ = model.log_posterior_hadamard(
+                p, data, m, prior_chol_l=pc1, prior_chol_L=pc2, mask=mask, **hp
+            )
+        return -res
+
+    return nlp
+
+
+def fit_fleet_map_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    init_vecs: jnp.ndarray,  # (S, P)
+    hyper: dict | None = None,
+    n_iters: int = 1000,
+    lr: float = 2e-1,
+    mesh: Mesh | None = None,
+    masks: jnp.ndarray | None = None,
+) -> FleetResult:
+    """MAP-fit a fleet of Hadamard-layout subjects, sharded over the mesh.
+
+    The reference's distributed drivers run this layout one subject per MPI
+    rank with ``data_split_non`` (``Separable_model_distributed.py:221-259``);
+    here it is one shard_map program, with ``masks`` making padded ragged
+    subjects exact (``models.base.mask_dense_gram``).
+    """
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    init_vecs = jnp.asarray(init_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    alphas = _hadamard_prior_alphas(model_name, hp)
+    if alphas is None:
+        s = xs.shape[0]
+        pc1 = jnp.zeros((s, 0))
+        pc2 = jnp.zeros((s, 0))
+    else:
+        a1, b1, a2, b2 = alphas
+        pcs = [
+            (chol_ops.prior_rbf_cholesky(xs[i], a1, b1),
+             chol_ops.prior_rbf_cholesky(xs[i], a2, b2))
+            for i in range(xs.shape[0])
+        ]
+        pc1 = jnp.stack([p[0] for p in pcs])
+        pc2 = jnp.stack([p[1] for p in pcs])
+
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+    optimizer = optax.adam(lr)
+
+    def fit_one(vec0, x, indx, y, p1, p2, mask):
+        obj = lambda v: nlp(v, x, indx, y, p1, p2, mask)
+
+        def step(carry, _):
+            v, s = carry
+            val, grad = jax.value_and_grad(obj)(v)
+            ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
+            grad = jnp.where(ok, grad, jnp.zeros_like(grad))
+            updates, s_new = optimizer.update(grad, s, v)
+            v_new = optax.apply_updates(v, updates)
+            v_new = jnp.where(ok, v_new, v)
+            s_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                s_new,
+                s,
+            )
+            return (v_new, s_new), -val
+
+        (v, _), hist = jax.lax.scan(
+            step, (vec0, optimizer.init(vec0)), None, length=n_iters
+        )
+        return v, obj(v), hist
+
+    def shard_fn(vec0, x, indx, y, p1, p2, mask):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, indx, y, p1, p2, mask)
+        total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
+        lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
+        hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
+        return vecs, finals, hists, total, lo, hi
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(), P(), P()),
+    )
+    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
+        init_vecs, xs, indxs, ys, pc1, pc2, masks
+    )
+    s_total = xs.shape[0]
+    return FleetResult(
+        vecs=vecs[:s_real],
+        final_nlp=finals[:s_real],
+        target_hist=hists[:s_real],
+        fleet_metrics={
+            "mean_final_nlp": float(total) / s_total,
+            "min_final_nlp": float(lo),
+            "max_final_nlp": float(hi),
+        },
+    )
+
+
+def pilot_mass_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,
+    key,
+    n_pilot: int = 50,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 10,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    dense: bool = False,
+    reg: float = 1e-10,
+):
+    """Per-subject pilot-chain mass matrices for preconditioned fleet HMC.
+
+    The reference's recipe (``Stationary_model_mpiKAISER.py:205``,
+    ``Nonseparable_model_mpiKAISER_extended.py:542-570``): run a short pilot
+    chain from the MAP, set the mass to the inverse of the regularized sample
+    covariance.  ``dense=False`` (default) keeps the diagonal — O(P) per
+    subject instead of O(P^2), which is what a 1000-subject fleet can afford;
+    ``dense=True`` reproduces the reference's full matrix.
+    Returns (S, P) inverse variances or (S, P, P) inverse covariances.
+    """
+    pilots = hmc_fleet(
+        model_name, xs, ys, map_vecs, key, n_samples=n_pilot,
+        step_size=step_size, n_leapfrog=n_leapfrog, hyper=hyper, mesh=mesh,
+    )  # (S, n_pilot, P)
+    pilots = np.asarray(pilots)
+    if dense:
+        masses = []
+        for s in range(pilots.shape[0]):
+            cov = np.cov(pilots[s].T) + reg * np.eye(pilots.shape[-1])
+            masses.append(np.linalg.inv(cov))
+        return jnp.asarray(np.stack(masses), settings.dtype)
+    var = pilots.var(axis=1, ddof=1) + reg
+    return jnp.asarray(1.0 / var, settings.dtype)
+
+
+def hessian_mass_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,
+    hyper: dict | None = None,
+    floor: float = 1e-2,
+):
+    """Per-subject diagonal Hessian mass matrices at the MAP.
+
+    A deterministic, sharper alternative to the reference's pilot-chain
+    covariance (``Stationary_model_mpiKAISER.py:205``): the mass is the
+    clipped diagonal of the negative-log-posterior Hessian — one vmapped
+    batch of Hessian-vector products per subject, no sampling.  GNMGP
+    posteriors span ~5 orders of magnitude in curvature across slots
+    (measured 6.5 to 7.8e5 at N=16), which is exactly what identity-mass HMC
+    cannot traverse.  Returns (S, P) diagonal masses.
+    """
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    p_dim = map_vecs.shape[1]
+    eye = jnp.eye(p_dim, dtype=settings.dtype)
+    nlp = _subject_nlp(model_name, hp)
+
+    rows = []
+    for i in range(xs.shape[0]):
+        pc1, pc2 = _prior_chols(model_name, xs[i], hp)
+        obj = lambda v: nlp(v, xs[i], ys[i], pc1, pc2)
+
+        def hvp_diag(e, vec=map_vecs[i], obj=obj):
+            return jax.jvp(jax.grad(obj), (vec,), (e,))[1] @ e
+
+        rows.append(jax.jit(jax.vmap(hvp_diag))(eye))
+    return jnp.clip(jnp.stack(rows), floor, None)
+
+
+def hmc_fleet_multichain(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,  # (S, P)
+    key,
+    n_chains: int = 4,
+    chunk_size: int = 100,
+    max_chunks: int = 10,
+    rhat_target: float = 1.05,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 20,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    masses=None,
+    init_jitter: float = 0.05,
+):
+    """Multi-chain fleet HMC with split-R̂-driven stopping.
+
+    Runs ``n_chains`` jittered chains per subject (vmapped into the sharded
+    fleet as S*C units), in chunks of ``chunk_size`` draws; after each chunk
+    the per-subject split-R̂ (max over parameters) is computed on the host and
+    sampling stops when every subject is below ``rhat_target`` (or at
+    ``max_chunks``).  ``masses``: optional (S, P) diag or (S, P, P) dense
+    per-subject mass matrices (see :func:`pilot_mass_fleet`).
+
+    Returns (samples (S, C, T, P), rhat (S,), n_chunks_used).
+    """
+    from ..inference import diagnostics
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real, p_dim = map_vecs.shape
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+
+    # tile subjects across chains: unit i*C+c is chain c of subject i
+    xs_t = jnp.repeat(xs, n_chains, axis=0)
+    ys_t = jnp.repeat(ys, n_chains, axis=0)
+    q = jnp.repeat(map_vecs, n_chains, axis=0)
+    jit_mask = (jnp.arange(q.shape[0]) % n_chains) > 0  # chain 0 starts at MAP
+    q = q + jnp.where(
+        jit_mask[:, None],
+        init_jitter * jax.random.normal(k_init, q.shape, q.dtype),
+        0.0,
+    )
+    masses_t = None if masses is None else jnp.repeat(
+        jnp.asarray(masses, settings.dtype), n_chains, axis=0
+    )
+
+    chunks = []
+    rhats = np.full(s_real, np.inf)
+    used = 0
+    for round_i in range(max_chunks):
+        k_run, k_chunk = jax.random.split(k_run)
+        samples = hmc_fleet(
+            model_name, xs_t, ys_t, q, k_chunk, n_samples=chunk_size,
+            step_size=step_size, n_leapfrog=n_leapfrog, hyper=hyper, mesh=mesh,
+            masses=masses_t,
+        )  # (S*C, chunk, P)
+        chunks.append(np.asarray(samples))
+        q = samples[:, -1, :]  # warm resume
+        used = round_i + 1
+        all_draws = np.concatenate(chunks, axis=1)  # (S*C, T, P)
+        per_subject = all_draws.reshape(s_real, n_chains, -1, p_dim)
+        rhats = np.array(
+            [float(np.max(diagnostics.rhat(per_subject[s]))) for s in range(s_real)]
+        )
+        if np.all(rhats < rhat_target):
+            break
+    all_draws = np.concatenate(chunks, axis=1).reshape(s_real, n_chains, -1, p_dim)
+    return jnp.asarray(all_draws), jnp.asarray(rhats), used

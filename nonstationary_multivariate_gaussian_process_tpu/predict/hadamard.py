@@ -277,3 +277,79 @@ def svc_predict_sample(
     keys = jax.random.split(key, hist_vecs.shape[0])
     ys = jax.vmap(draw)(hist_vecs, keys)
     return jnp.moveaxis(ys, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Indexed (x*, task*) chain-sample prediction — the KAISER scoring path.
+# ---------------------------------------------------------------------------
+
+
+def _select_indexed(ys, indx_test):
+    """(G, S, M) grid-draws → (G, S) draws at each point's own task index."""
+    idx = jnp.asarray(indx_test)
+    return jnp.take_along_axis(ys, idx[:, None, None], axis=2)[:, :, 0]
+
+
+def snmgp_predict_test_sample(
+    key, hist_vecs, data: HadamardData, x_test, indx_test, m: int,
+    hyper=None, n_sample=None,
+):
+    """Posterior-draw predictions at indexed (x*, task*) test pairs over a
+    chain — ``indexedpoint_predsample_hadamard``/``test_predsample_hadamard``
+    (prediction.py:585-708).  Returns (G_test, S) y-draws.
+
+    The reference loops test points and chain draws in Python, re-sampling
+    the latent conditionals per point (independent normals per point, their
+    marginal variances only — prediction.py:600-625); sampling all points
+    jointly with independent per-point normals has identical marginals, so
+    this is one vmapped pass per chain draw.
+    """
+    ys = snmgp_predict_sample(key, hist_vecs, data, x_test, m, hyper, n_sample)
+    return _select_indexed(ys, indx_test)
+
+
+def svc_predict_test_sample(
+    key, hist_vecs, data: HadamardData, x_test, indx_test, m: int,
+    hyper=None, n_sample=None,
+):
+    """GNMGP-Hadamard analogue of :func:`snmgp_predict_test_sample`
+    (completes the surface around prediction.py:1480-1563).  (G_test, S)."""
+    ys = svc_predict_sample(key, hist_vecs, data, x_test, m, hyper, n_sample)
+    return _select_indexed(ys, indx_test)
+
+
+def lmc_predict_sample(
+    key, hist_vecs, data: HadamardData, grid, m: int, n_sample=None
+):
+    """Chain-sample Hadamard-LMC prediction, (G, S, M) draws.
+
+    The reference ships only MAP prediction for Hadamard-LMC
+    (prediction.py:1695-1792); this extends the family so all three models
+    expose the same sample-based scoring surface.
+    """
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+    grid = jnp.asarray(grid, data.x.dtype)
+
+    def draw(vec, k):
+        p, b_f, ell, sigma, sigma2_err, r, beta = _lmc_setup(vec, data, m)
+        k_cross = kernels.rbf_cov(data.x, grid, alpha=sigma, beta=ell)
+        cv = b_f[data.indx, :]
+        k_full = k_cross[:, :, None] * cv[:, None, :]
+        self_var = (sigma**2 + settings.jitter) * jnp.diag(b_f)[None, :]
+        self_var = jnp.broadcast_to(self_var, (grid.shape[0], m))
+        mu, s2 = _solve_moments(r, beta, k_full, self_var, sigma2_err)
+        return mu + jnp.sqrt(s2) * jax.random.normal(k, mu.shape, mu.dtype)
+
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = jax.vmap(draw)(hist_vecs, keys)
+    return jnp.moveaxis(ys, 0, 1)
+
+
+def lmc_predict_test_sample(
+    key, hist_vecs, data: HadamardData, x_test, indx_test, m: int, n_sample=None
+):
+    """(G_test, S) indexed chain-sample draws for Hadamard-LMC."""
+    ys = lmc_predict_sample(key, hist_vecs, data, x_test, m, n_sample)
+    return _select_indexed(ys, indx_test)

@@ -210,3 +210,108 @@ def annotated_heatmap(path, values, row_labels, col_labels, cmap="coolwarm",
                 ax.text(j, i, fmt.format(v[i, j]), ha="center", va="center", fontsize=8)
     fig.colorbar(im, ax=ax, shrink=0.8)
     _save(fig, path)
+
+
+def synthetic_comparison_figure(
+    path,
+    x,
+    truth,
+    emp=None,
+    map_vec=None,
+    m: int = 2,
+):
+    """Truth vs empirical-init vs MAP latent-process figure.
+
+    TPU-native analogue of ``SIM_code/synthetic_plot.py``: one panel per
+    latent process — log-lengthscale, per-task std processes, and the (0,1)
+    correlation process — each overlaying the simulation truth, the
+    empirical initializer, and the GNMGP MAP estimate.
+
+    ``truth``: a ``data.sim.SimData`` (or HeteroSimData); ``emp``: an
+    ``inference.empirical.EmpiricalEstimate`` (optional); ``map_vec``: a
+    fitted GNMGP parameter vector (optional).
+    """
+    import jax.numpy as jnp
+
+    from .ops import transforms
+    from .postprocess import analysis as analysis_mod
+
+    x = np.asarray(x)
+    n = x.shape[0]
+    panels = 2 + m
+    fig, axes = plt.subplots(panels, 1, figsize=(8, 2.6 * panels), sharex=True)
+
+    def _latents_from_lvecs(l_vecs):
+        ls = np.asarray(transforms.vec_to_tril(
+            jnp.asarray(np.asarray(l_vecs).reshape(n, -1)), m))
+        b = np.einsum("nab,ncb->nac", ls, ls)
+        stds = np.sqrt(np.einsum("naa->na", b))
+        cors = b[:, 0, 1] / (stds[:, 0] * stds[:, 1])
+        return stds, cors
+
+    # truth
+    axes[0].plot(x, np.log(np.asarray(truth.l)), "k-", label="truth")
+    t_stds, t_cors = _latents_from_lvecs(truth.l_vecs)
+    for a in range(m):
+        axes[1 + a].plot(x, t_stds[:, a], "k-", label="truth")
+    axes[-1].plot(x, t_cors, "k-", label="truth")
+
+    if emp is not None:
+        axes[0].plot(x, np.log(np.asarray(emp.est_ls)), "g--", label="empirical init")
+        e_stds, e_cors = _latents_from_lvecs(emp.est_l_vecs)
+        for a in range(m):
+            axes[1 + a].plot(x, e_stds[:, a], "g--", label="empirical init")
+        axes[-1].plot(x, e_cors, "g--", label="empirical init")
+
+    if map_vec is not None:
+        tilde_l, _, cor_proc, std_proc = analysis_mod.gnmgp_map_latents(
+            np.asarray(map_vec), n, m
+        )
+        axes[0].plot(x, tilde_l, "b-.", label="MAP")
+        for a in range(m):
+            axes[1 + a].plot(x, std_proc[:, a], "b-.", label="MAP")
+        axes[-1].plot(x, cor_proc[:, 0, 1], "b-.", label="MAP")
+
+    axes[0].set_ylabel("log lengthscale")
+    for a in range(m):
+        axes[1 + a].set_ylabel(f"std task {a}")
+    axes[-1].set_ylabel("correlation")
+    axes[-1].set_xlabel("x")
+    axes[0].legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    _save(fig, path)
+
+
+def extrapolation_figure(
+    path, x_train, y_train, x_test, y_test, grid, percentiles, attributes=None
+):  # noqa: D401
+    """Extrapolation-holdout prediction figure (one panel per task).
+
+    The reference's extrapolation-mode evidence
+    (``Post_Process/past/kaiser_extrapolation_plot.py`` around the
+    ``data_split_extrapolation`` drivers): predictive bands over the full
+    grid, training points, held-out future points, and a vertical line at
+    the train/test boundary.
+    """
+    grid = np.asarray(grid)
+    pct = np.asarray(percentiles)  # (G, 3, M)
+    m = pct.shape[-1]
+    x_train = np.asarray(x_train)
+    y_train = np.asarray(y_train)
+    fig, axes = plt.subplots(m, 1, figsize=(8, 2.6 * m), sharex=True)
+    axes = np.atleast_1d(axes)
+    boundary = float(x_train.max())
+    for a in range(m):
+        ax = axes[a]
+        plot_mean_and_ci(ax, grid, pct[:, 1, a], pct[:, 0, a], pct[:, 2, a])
+        ax.plot(x_train, y_train[:, a], "k.", ms=3, label="train")
+        if x_test is not None and len(np.asarray(x_test)) > 0:
+            ax.plot(np.asarray(x_test), np.asarray(y_test)[:, a], "rx", ms=4,
+                    label="held-out")
+        ax.axvline(boundary, color="gray", ls=":", lw=1)
+        name = attributes[a] if attributes else f"task {a}"
+        ax.set_ylabel(name)
+    axes[-1].set_xlabel("x")
+    axes[0].legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    _save(fig, path)

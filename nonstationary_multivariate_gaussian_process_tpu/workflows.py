@@ -91,6 +91,24 @@ def _validate_subject(x, y):
         raise ValueError("x/Y contain non-finite values")
 
 
+def _validate_hadamard(x, indx, y, m):
+    if x.ndim != 1 or indx.ndim != 1 or y.ndim != 1:
+        raise ValueError(
+            f"Hadamard layout needs 1-D x/indx/y, got {x.shape}/{indx.shape}/{y.shape}"
+        )
+    if not (x.shape[0] == indx.shape[0] == y.shape[0]):
+        raise ValueError(
+            f"x/indx/y lengths differ: {x.shape[0]}/{indx.shape[0]}/{y.shape[0]}"
+        )
+    if x.shape[0] < 4:
+        raise ValueError(f"need at least 4 observations, got {x.shape[0]}")
+    if indx.min() < 0 or indx.max() >= m:
+        raise ValueError(f"task indices must lie in [0, {m}), got "
+                         f"[{indx.min()}, {indx.max()}]")
+    if not np.all(np.isfinite(x)) or not np.all(np.isfinite(y)):
+        raise ValueError("x/y contain non-finite values")
+
+
 def _build_inits(cfg, emp, x, y, key):
     n, m = y.shape
     model = cfg.model
@@ -287,6 +305,7 @@ def run_subject_hadamard(
     x = np.asarray(x, float)
     indx = np.asarray(indx, int)
     y = np.asarray(y, float)
+    _validate_hadamard(x, indx, y, m)
     if cfg.test_size > 0:
         x, x_te, indx_tr, indx_te, y_tr, y_te = preprocess.data_split_non(
             x, indx, y, test_size=cfg.test_size
@@ -330,6 +349,15 @@ def run_subject_hadamard(
         out["pred_grid"] = gp
         out["grid"] = np.asarray(grid)
 
+    if cfg.do_hmc:
+        chain = hmc_mod.hmc_sample(
+            nlp, res.vec, cfg.n_hmc, jax.random.fold_in(key, 3),
+            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+            adapt_step_size=cfg.hmc_adapt, n_warmup=cfg.hmc_warmup,
+        )
+        out["hmc_samples"] = np.asarray(chain.samples)
+        out["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
+
     if x_te is not None and cfg.do_pred_test:
         xt = jnp.asarray(x_te, settings.dtype)
         it = jnp.asarray(indx_te, jnp.int32)
@@ -341,6 +369,161 @@ def run_subject_hadamard(
             mean, std = pred_h.svc_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
         out["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
         out["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
+        if "hmc_samples" in out:
+            # sample-based indexed scoring over the chain — the KAISER path
+            # (reference test_predsample_hadamard, prediction.py:678-708)
+            hv = jnp.asarray(out["hmc_samples"])
+            ks = jax.random.fold_in(key, 9)
+            if cfg.model == "lmc":
+                draws = pred_h.lmc_predict_test_sample(ks, hv, data, xt, it, m)
+            elif cfg.model == "snmgp":
+                draws = pred_h.snmgp_predict_test_sample(ks, hv, data, xt, it, m, hyper=cfg.hyper)
+            else:
+                draws = pred_h.svc_predict_test_sample(ks, hv, data, xt, it, m, hyper=cfg.hyper)
+            d = np.asarray(draws)  # (G_test, S)
+            out["test_sample_rmse"] = evaluate.rmse(d.mean(axis=1), y_te)
+            out["test_sample_lpd"] = evaluate.lpd(
+                d.mean(axis=1), np.maximum(d.std(axis=1), 1e-8), y_te
+            )
+    return out
+
+
+def run_cohort_hadamard(
+    subjects: dict,
+    m: int,
+    cfg: PipelineConfig | None = None,
+    store: ArtifactStore | None = None,
+    dataset: str = "cohort_h",
+    n_buckets: int = 4,
+    split: str = "random",
+    test_size: float = 0.25,
+    chunk_size: float = 0.2,
+    mesh=None,
+) -> dict:
+    """Ragged multi-subject cohort for Hadamard-layout data.
+
+    ``subjects``: {ID: (x, indx, y)} with one observation per (input, task)
+    pair — the reference's distributed one-obs layout
+    (``Separable_model_distributed.py:221-259`` with ``utils.data_split_non``).
+    ``split``: "none", "random" (``data_split_non``) or "chunk"
+    (``data_split_non_chunk`` — contiguous held-out windows).  Subjects are
+    standardized per task, split, bucketed by observation count, MAP-fitted
+    as masked shard_map fleets (exact ragged likelihoods), test-scored at
+    their (x*, task*) pairs, and reduced to fleet RMSE/LPD summaries.
+    """
+    from .parallel import buckets as buckets_mod
+    from .parallel import fleet as fleet_mod
+    from .postprocess import summary as summary_mod
+    from .predict import hadamard as pred_h
+    from .models import HadamardData
+    from .ops import transforms
+
+    cfg = cfg or PipelineConfig()
+    mesh = mesh or make_mesh()
+    t = transforms.tri_size(m)
+    ids = sorted(subjects.keys(), key=str)
+    xs, indxs, ys, tests = [], [], [], []
+    for sid in ids:
+        x_i, i_i, y_i = subjects[sid]
+        x_i = np.asarray(x_i, float)
+        i_i = np.asarray(i_i, int)
+        y_i = np.asarray(y_i, float)
+        # per-task detrend/standardize (the reference's orig2adj_non on the
+        # per-task list layout)
+        adj = y_i.astype(float).copy()
+        for task in range(m):
+            sel = i_i == task
+            if sel.sum() >= 2:
+                mu, sd = adj[sel].mean(), max(adj[sel].std(), 1e-12)
+                adj[sel] = (adj[sel] - mu) / sd
+        if split == "random":
+            x_tr, x_te, i_tr, i_te, y_tr, y_te = preprocess.data_split_non(
+                x_i, i_i, adj, test_size=test_size
+            )
+        elif split == "chunk":
+            x_tr, x_te, i_tr, i_te, y_tr, y_te = preprocess.data_split_non_chunk(
+                x_i, i_i, adj, chunk_size=chunk_size
+            )
+        else:
+            x_tr, i_tr, y_tr, x_te, i_te, y_te = x_i, i_i, adj, None, None, None
+        order = np.argsort(x_tr)
+        xs.append(x_tr[order])
+        indxs.append(i_tr[order])
+        ys.append(y_tr[order])
+        tests.append((x_te, i_te, y_te))
+
+    def fit_bucket(x, y_pair, idxs, mask):
+        # y_pair stacks (indx, y) along the last axis to ride the generic
+        # bucket stager; unstack here
+        indx = y_pair[..., 0].astype(np.int64)
+        y = y_pair[..., 1]
+        s, n = x.shape
+        rng_init = np.random.default_rng(0)
+        dims = {"lmc": 2 + t + 1, "snmgp": 2 * n + t + 1, "gnmgp": n + n * t + 1}
+        inits = 0.1 * rng_init.standard_normal((s, dims[cfg.model]))
+        inits[:, -1] = -2.0
+        res = fleet_mod.fit_fleet_map_hadamard(
+            cfg.model, jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y), m,
+            jnp.asarray(inits), hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr,
+            mesh=mesh, masks=jnp.asarray(mask),
+        )
+        return {
+            "vec": np.asarray(res.vecs),
+            "final_nlp": np.asarray(res.final_nlp),
+            "n_train": np.asarray(mask).sum(axis=1).astype(int),
+        }
+
+    y_pairs = [np.stack([indxs[i], ys[i]], axis=-1) for i in range(len(ids))]
+    per_subject = buckets_mod.run_bucketed(
+        xs, y_pairs, fit_bucket, n_buckets=n_buckets, mode="pad"
+    )
+
+    results = {}
+    for pos, sid in enumerate(ids):
+        entry = per_subject[pos]
+        rec = {"final_nlp": float(entry["final_nlp"])}
+        n_real = int(entry["n_train"])
+        x_u = xs[pos][:n_real]
+        i_u = indxs[pos][:n_real]
+        y_u = ys[pos][:n_real]
+        vec = jnp.asarray(entry["vec"], settings.dtype)
+        if cfg.model == "gnmgp":
+            n_fit = (vec.shape[0] - 1) // (1 + t)
+        elif cfg.model == "snmgp":
+            n_fit = (vec.shape[0] - t - 1) // 2
+        else:
+            n_fit = n_real
+        vec = _crop_vec(cfg.model, vec, n_fit, n_real, m)
+        rec["map_vec"] = np.asarray(vec)
+        x_te, i_te, y_te = tests[pos]
+        if x_te is not None and cfg.do_pred_test and len(np.asarray(x_te)) > 0:
+            data = HadamardData(
+                jnp.asarray(x_u, settings.dtype), jnp.asarray(i_u, jnp.int32),
+                jnp.asarray(y_u, settings.dtype),
+            )
+            xt = jnp.asarray(x_te, settings.dtype)
+            it = jnp.asarray(i_te, jnp.int32)
+            if cfg.model == "lmc":
+                mean, std = pred_h.lmc_predict_test(vec, data, xt, it, m)
+            elif cfg.model == "snmgp":
+                mean, std = pred_h.snmgp_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
+            else:
+                mean, std = pred_h.svc_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
+            rec["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
+            rec["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
+            if store is not None:
+                store.save(
+                    ArtifactStore.key(cfg.model, dataset, sid, "scores"),
+                    rmse=rec["test_rmse"], lpd=rec["test_lpd"],
+                )
+        if store is not None:
+            store.save(ArtifactStore.key(cfg.model, dataset, sid, "map"), vec=rec["map_vec"])
+        results[sid] = rec
+
+    out = {"subjects": results, "ids": ids}
+    if store is not None:
+        keys = [ArtifactStore.key(cfg.model, dataset, sid, "scores") for sid in ids]
+        out["reduction"] = summary_mod.reduce_fleet_metrics(store, keys)
     return out
 
 

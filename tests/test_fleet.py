@@ -129,3 +129,79 @@ class TestFleetPredict:
         np.testing.assert_allclose(
             np.asarray(out.mean[0]), np.asarray(solo.mean), rtol=1e-8, atol=1e-10
         )
+
+
+class TestPreconditionedFleetHMC:
+    """VERDICT r1 item 8: preconditioned fleet HMC + R-hat multi-chain."""
+
+    def _stiff_fleet(self):
+        from nonstationary_multivariate_gaussian_process_tpu.data import sim
+        from nonstationary_multivariate_gaussian_process_tpu.inference import init as init_mod
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        S, n = 2, 16
+        ds = [
+            sim.sim_mnts(k, n=n, sigma2_err=1e-4)
+            for k in jax.random.split(jax.random.PRNGKey(0), S)
+        ]
+        xs = jnp.stack([d.x for d in ds])
+        ys = jnp.stack([d.y for d in ds])
+        keys = jax.random.split(jax.random.PRNGKey(1), S)
+        inits = jnp.stack([init_mod.gnmgp_random(k, n, 2) for k in keys])
+        res = fleet.fit_fleet_map("gnmgp", xs, ys, inits, n_iters=600, lr=0.1)
+        return xs, ys, res.vecs
+
+    def test_hessian_mass_improves_ess(self):
+        from nonstationary_multivariate_gaussian_process_tpu.inference import diagnostics
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        xs, ys, vecs = self._stiff_fleet()
+        md = fleet.hessian_mass_fleet("gnmgp", xs, ys, vecs)
+        # the GNMGP posterior is genuinely stiff: curvature spans orders of
+        # magnitude, the regime where identity-mass HMC mixes worst
+        assert float(md.max() / md.min()) > 1e3
+
+        def mean_ess(samples):
+            s = np.asarray(samples)
+            return np.array(
+                [
+                    [diagnostics.ess(s[i, :, j]) for j in range(s.shape[2])]
+                    for i in range(s.shape[0])
+                ]
+            ).mean(axis=1)
+
+        common = dict(
+            n_samples=200, n_leapfrog=5, adapt_step_size=True, n_warmup=80,
+            step_size=1e-3,
+        )
+        s_id = fleet.hmc_fleet("gnmgp", xs, ys, vecs, jax.random.PRNGKey(2), **common)
+        s_pre = fleet.hmc_fleet(
+            "gnmgp", xs, ys, vecs, jax.random.PRNGKey(2), masses=md, **common
+        )
+        e_id = mean_ess(s_id[:, 80:])
+        e_pre = mean_ess(s_pre[:, 80:])
+        # measured 1.25-1.27x on this seed; assert a margin below it
+        assert np.mean(e_pre / e_id) > 1.1, (e_id, e_pre)
+
+    def test_pilot_mass_and_multichain_rhat(self):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        xs, ys, vecs = self._stiff_fleet()
+        md = fleet.pilot_mass_fleet(
+            "gnmgp", xs, ys, vecs, jax.random.PRNGKey(3), n_pilot=30,
+            step_size=1e-3, n_leapfrog=3,
+        )
+        assert md.shape == vecs.shape and bool(jnp.all(jnp.isfinite(md)))
+        dense = fleet.pilot_mass_fleet(
+            "gnmgp", xs, ys, vecs, jax.random.PRNGKey(3), n_pilot=30,
+            step_size=1e-3, n_leapfrog=3, dense=True,
+        )
+        assert dense.shape == (2, vecs.shape[1], vecs.shape[1])
+        samp, rh, used = fleet.hmc_fleet_multichain(
+            "gnmgp", xs, ys, vecs, jax.random.PRNGKey(4), n_chains=3,
+            chunk_size=20, max_chunks=2, rhat_target=1.01,
+            step_size=1e-3, n_leapfrog=3, masses=md,
+        )
+        assert samp.shape[:2] == (2, 3)
+        assert rh.shape == (2,) and bool(jnp.all(jnp.isfinite(rh)))
+        assert used == 2  # tight target: runs all chunks

@@ -113,7 +113,9 @@ class TestMap:
         )
         assert name in ("bad", "good")
         assert float(nlp(best.vec)) == min(
-            float(nlp(r.vec)) for r in allr.values() if r is not None
+            float(nlp(r.vec))
+            for k, r in allr.items()
+            if r is not None and k != "__errors__"
         )
 
 
@@ -238,3 +240,17 @@ class TestHMC:
         assert diagnostics.ess(ar) < 500
         q = diagnostics.samples2quantiles(rng.normal(size=(500, 3)))
         assert q.shape == (3, 3)
+
+
+class TestMultiStartErrorRecords:
+    def test_failed_start_is_recorded(self):
+        d = sim.sim_mnts(jax.random.PRNGKey(6), n=12)
+        nlp = lmc.make_objective(FullData(d.x, d.y))
+        good = init_mod.lmc_random(jax.random.PRNGKey(0), 2)
+        bad = jnp.full_like(good, jnp.nan)  # guaranteed non-finite objective
+        name, best, allr = map_mod.multi_start_map(
+            nlp, {"bad": bad, "good": good}, n_iters=30, lr=0.1
+        )
+        assert name == "good"
+        assert "__errors__" in allr and "bad" in allr["__errors__"]
+        assert "FloatingPointError" in allr["__errors__"]["bad"] or allr["__errors__"]["bad"]

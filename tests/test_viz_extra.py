@@ -1,5 +1,7 @@
 """Tests for heatmap sequences, PDF pages, and the SVC hadamard sampler."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -51,3 +53,44 @@ class TestSVCHadamardSample:
         ys = pred_h.svc_predict_sample(jax.random.PRNGKey(0), hist, data, grid, m)
         assert ys.shape == (5, 3, m)
         assert np.all(np.isfinite(np.asarray(ys)))
+
+
+class TestNewFigures:
+    def test_synthetic_comparison_figure(self, tmp_path):
+        import jax
+
+        from nonstationary_multivariate_gaussian_process_tpu import viz
+        from nonstationary_multivariate_gaussian_process_tpu.data import sim
+        from nonstationary_multivariate_gaussian_process_tpu.inference import (
+            empirical,
+            init as init_mod,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(0), n=24)
+        emp = empirical.local_estimation(
+            np.asarray(d.x), np.asarray(d.y), window_size=6
+        )
+        vec = init_mod.gnmgp_from_empirical(emp, 24, 2)
+        path = str(tmp_path / "syn.png")
+        viz.synthetic_comparison_figure(path, d.x, d, emp=emp, map_vec=vec)
+        assert os.path.getsize(path) > 0
+
+    def test_extrapolation_figure(self, tmp_path):
+        from nonstationary_multivariate_gaussian_process_tpu import viz
+
+        g = np.linspace(0, 1, 50)
+        pct = np.stack(
+            [np.zeros((50, 2)) - 1, np.zeros((50, 2)), np.zeros((50, 2)) + 1], axis=1
+        )
+        path = str(tmp_path / "ext.png")
+        viz.extrapolation_figure(
+            path,
+            np.linspace(0, 0.8, 20),
+            np.zeros((20, 2)),
+            np.linspace(0.82, 1, 5),
+            np.zeros((5, 2)),
+            g,
+            pct,
+            attributes=["sbp", "o2"],
+        )
+        assert os.path.getsize(path) > 0
