@@ -71,6 +71,12 @@ precision = 1e-6
 robust_cholesky = os.environ.get("NMGP_ROBUST_CHOL", "1") not in ("0", "false")
 
 
+#: When True, the f32 GNMGP Gram uses the exact broadcast contraction instead
+#: of XLA's default (bf16-pass) einsum — ~8% slower gradients, true-f32 Grams.
+#: f64/mixed always use the exact form.  See models/gnmgp.gram.
+gram_exact = os.environ.get("NMGP_GRAM_EXACT", "0") not in ("0", "false")
+
+
 def asarray(x, dt=None):
     """Convert to a jnp array in the global working dtype."""
     return jnp.asarray(x, dtype=dt or dtype)

@@ -53,3 +53,47 @@ class TestSVCGramFused:
             .reshape(n * m, n * m)
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestSVCFused2D:
+    """The Mosaic-compatible 2-D-block SVC Gram kernel (hardware-verified on
+    TPU; exercised here in interpreter mode on CPU)."""
+
+    def test_matches_einsum_reference(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu.ops import (
+            kernels,
+            pallas_kernels as pk,
+        )
+
+        n, m = 100, 2
+        x = jnp.asarray(np.sort(rng.uniform(size=n)), jnp.float32)
+        ell = jnp.asarray(np.exp(-1 + 0.1 * rng.normal(size=n)), jnp.float32)
+        ls = jnp.asarray(
+            rng.normal(size=(n, m, m)) * np.tril(np.ones((m, m))), jnp.float32
+        )
+        got = pk.svc_gram_fused2d(x, ell, ls, tile=32, interpret=True)
+        k_x = kernels.nonstationary_rbf_cov(
+            jnp.asarray(x, jnp.float64), ell1=jnp.asarray(ell, jnp.float64)
+        )
+        ls64 = jnp.asarray(ls, jnp.float64)
+        b4 = jnp.einsum("nab,pcb->napc", ls64, ls64)
+        # input-major reference
+        ref = (k_x[:, None, :, None] * b4).reshape(n * m, n * m)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), np.asarray(ref), atol=5e-5
+        )
+
+    def test_gram_dtype_dispatch_exactness(self, rng):
+        # f64 gram must use the exact broadcast form (true contraction)
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+        from nonstationary_multivariate_gaussian_process_tpu.ops import kernels
+
+        n, m = 60, 2
+        x = jnp.asarray(np.sort(rng.uniform(size=n)))
+        ell = jnp.exp(jnp.asarray(-1 + 0.1 * rng.normal(size=n)))
+        ls = jnp.asarray(rng.normal(size=(n, m, m)) * np.tril(np.ones((m, m))))
+        k_x = kernels.nonstationary_rbf_cov(x, ell1=ell)
+        got = gnmgp.gram(k_x, ls)
+        b4 = np.einsum("nab,pcb->napc", np.asarray(ls), np.asarray(ls))
+        ref = np.einsum("np,napc->ancp", np.asarray(k_x), b4).reshape(n * m, n * m)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
