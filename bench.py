@@ -169,6 +169,42 @@ def bench_jax(x, y, vec, run_hmc: bool):
             _log(f"[{dtype_name}] fleet({FLEET}, N={fleet_n}) grad evals/sec {fleet_eps:.3f}")
         except Exception as e:
             _log(f"[{dtype_name}] fleet probe failed ({type(e).__name__})")
+    # secondary models at this precision (SNMGP/LMC ride the Kronecker path;
+    # in mixed mode it routes through the corrected per-block solver)
+    other = {}
+    if settings.precision_mode == "mixed":
+        from nonstationary_multivariate_gaussian_process_tpu.models import lmc, snmgp
+
+        t = M * (M + 1) // 2
+        rng2 = np.random.default_rng(2)
+        svec = jnp.asarray(
+            np.concatenate(
+                [-1.0 + 0.1 * rng2.normal(size=N), 0.1 * rng2.normal(size=N),
+                 0.3 * rng2.normal(size=t), [-4.0]]
+            ), settings.dtype,
+        )
+        lvec = jnp.asarray(
+            np.concatenate([[-1.0, 0.0], 0.3 * rng2.normal(size=t), [-4.0]]),
+            settings.dtype,
+        )
+        for name, mod, v0 in (("snmgp", snmgp, svec), ("lmc", lmc, lvec)):
+            try:
+                onlp = mod.make_objective(FullData(xd, yd))
+
+                def scan10(v, onlp=onlp):
+                    def body(c, _):
+                        val, g = jax.value_and_grad(onlp)(c)
+                        return c + 0.0 * g, val
+                    return jax.lax.scan(body, v, None, length=10)[0]
+
+                fn2 = jax.jit(scan10)
+                fn2(v0).block_until_ready()
+                t0 = time.perf_counter()
+                fn2(v0).block_until_ready()
+                other[f"{name}_grad_evals_per_sec"] = 10 / (time.perf_counter() - t0)
+                _log(f"[{dtype_name}] {name} grad evals/sec {other[f'{name}_grad_evals_per_sec']:.1f}")
+            except Exception as e:
+                _log(f"[{dtype_name}] {name} probe failed ({type(e).__name__})")
     return {
         "grad_evals_per_sec": grad_eps,
         "hmc_iters_per_sec": hmc_ips,
@@ -178,6 +214,7 @@ def bench_jax(x, y, vec, run_hmc: bool):
         "fleet_size": FLEET,
         "fleet_n": fleet_n,
         "dtype": dtype_name,
+        **other,
     }
 
 
@@ -364,6 +401,8 @@ def main():
                 "mixed_hmc_vs_baseline_hmc": r(
                     float(mixed.get("hmc_iters_per_sec") or "nan") / base_hmc
                     if base_hmc == base_hmc else float("nan"), 2),
+                "mixed_snmgp_grad_evals_per_sec": r(mixed.get("snmgp_grad_evals_per_sec")),
+                "mixed_lmc_grad_evals_per_sec": r(mixed.get("lmc_grad_evals_per_sec")),
                 "f64_grad_evals_per_sec": r(f64.get("grad_evals_per_sec")),
                 "f64_vs_baseline": r(f64_vs, 2),
                 "f64_cholesky_mnxmn_ms": r(f64.get("cholesky_ms")),

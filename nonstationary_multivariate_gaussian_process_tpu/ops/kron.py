@@ -114,6 +114,27 @@ def kron_chol_logdet_quad(
         mv = jnp.asarray(mask, k.dtype)
         k = k * (mv[:, None] * mv[None, :]) + jnp.diag(1.0 - mv)
         y = y * jnp.tile(mv, m)
+    from .. import settings
+    from . import chol as _chol
+
+    if settings.mixed_solves and k.dtype == jnp.float64 and n >= _chol.MIXED_MIN_N:
+        # parity-precision fast path: the rotation reduces Σ to M independent
+        # N×N SPD blocks w_B[m]·K + σ²I — exactly the shape of the corrected
+        # mixed-precision kernel (ops/mixed.py), vmapped over blocks
+        from . import mixed as _mixed
+
+        w_b, v_b = jnp.linalg.eigh(b)
+        eye = jnp.eye(n, dtype=k.dtype)
+        blocks = w_b[:, None, None] * k[None] + sigma2 * eye[None]
+        z = v_b.T @ y.reshape(m, n)
+        lds, quads = jax.vmap(_mixed.mixed_logdet_quad)(blocks, z)
+        logdet = jnp.sum(lds)
+        quad = jnp.sum(quads)
+        if mask is not None:
+            n_pad = n - jnp.sum(jnp.asarray(mask, k.dtype))
+            logdet = logdet - n_pad * jnp.sum(jnp.log(w_b + sigma2))
+        return logdet, quad
+
     w_b, v_b, chols = kron_chol_factors(b, k, sigma2)
     z = (v_b.T @ y.reshape(m, n))  # rotate task axis: (M, N)
     sol = jax.vmap(

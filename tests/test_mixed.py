@@ -126,3 +126,79 @@ class TestMixedModeObjectiveParity:
         l = jnp.linalg.cholesky(cov)
         ld_ref = 2.0 * jnp.sum(jnp.log(jnp.diag(l)))
         np.testing.assert_allclose(float(ld), float(ld_ref), rtol=1e-8)
+
+
+class TestMixedKronPath:
+    """Mixed-precision Kronecker solver (SNMGP/LMC parity fast path):
+    the rotation reduces Σ = σ²I + B⊗K to M independent N×N blocks, each
+    served by the corrected mixed kernel.  Measured on TPU at N=1000:
+    SNMGP parity-precision gradients 7.7 → 129.4 evals/s."""
+
+    @pytest.fixture
+    def mixed_mode(self, monkeypatch):
+        monkeypatch.setattr(settings, "mixed_solves", True)
+        yield
+
+    def test_kron_values_match_exact(self, rng, mixed_mode):
+        from nonstationary_multivariate_gaussian_process_tpu.ops import kron
+
+        n, m = 256, 2
+        x = np.sort(rng.uniform(size=n))
+        a = rng.normal(size=(m, m))
+        b = jnp.asarray(a @ a.T + np.eye(m))
+        k = jnp.asarray(
+            np.exp(-0.5 * ((x[:, None] - x[None, :]) / 0.1) ** 2) + 1e-6 * np.eye(n)
+        )
+        y = jnp.asarray(rng.normal(size=m * n))
+        mask = np.ones(n, bool)
+        mask[-17:] = False
+        ld1, q1 = kron.kron_chol_logdet_quad(b, k, 0.01, y)
+        ldm1, qm1 = kron.kron_chol_logdet_quad(b, k, 0.01, y, mask=jnp.asarray(mask))
+        settings.mixed_solves = False
+        ld0, q0 = kron.kron_chol_logdet_quad(b, k, 0.01, y)
+        ldm0, qm0 = kron.kron_chol_logdet_quad(b, k, 0.01, y, mask=jnp.asarray(mask))
+        settings.mixed_solves = True
+        np.testing.assert_allclose(float(ld1), float(ld0), rtol=1e-10)
+        np.testing.assert_allclose(float(q1), float(q0), rtol=1e-10)
+        np.testing.assert_allclose(float(ldm1), float(ldm0), rtol=1e-10)
+        np.testing.assert_allclose(float(qm1), float(qm0), rtol=1e-10)
+
+    def test_snmgp_nlogpos_matches_reference(self, reference, rng, mixed_mode):
+        from nonstationary_multivariate_gaussian_process_tpu.models import snmgp
+        from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
+
+        n, m = 256, 2  # N >= MIXED_MIN_N so the kron gate engages
+        x = np.sort(rng.uniform(size=n))
+        y = rng.normal(size=(n, m))
+        t = transforms.tri_size(m)
+        vec = np.concatenate(
+            [
+                -1.0 + 0.1 * rng.normal(size=n),
+                0.1 * rng.normal(size=n),
+                0.3 * rng.normal(size=t),
+                [-4.0],
+            ]
+        )
+        torch = reference["torch"]
+        want = reference["logpos"].nlogpos_obj(
+            torch.as_tensor(vec), torch.as_tensor(y), torch.as_tensor(x)
+        )
+        got = snmgp.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+    def test_lmc_nlogpos_matches_reference(self, reference, rng, mixed_mode):
+        from nonstationary_multivariate_gaussian_process_tpu.models import lmc
+        from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
+
+        n, m = 256, 2
+        x = np.sort(rng.uniform(size=n))
+        y = rng.normal(size=(n, m))
+        t = transforms.tri_size(m)
+        vec = np.concatenate([[-1.0, 0.0], 0.3 * rng.normal(size=t), [-4.0]])
+        torch = reference["torch"]
+        want = reference["logpos"].nlogpos_obj_S(
+            torch.as_tensor(vec), torch.as_tensor(y), torch.as_tensor(x),
+            mu_tilde_l=0.0, sigma_tilde_l=1.0,
+        )
+        got = lmc.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
