@@ -36,6 +36,7 @@ class HMCResult(NamedTuple):
     accepted: jnp.ndarray  # (n_total,) accept indicator
     step_size: jnp.ndarray  # final (possibly adapted) step size
     potentials: jnp.ndarray  # (n_samples,) potential at each kept draw
+    inv_mass: jnp.ndarray | None = None  # (P,) adapted inverse metric (windowed warmup)
 
 
 def estimate_mass_matrix(pilot_samples: jnp.ndarray, reg: float = 1e-10) -> jnp.ndarray:
@@ -171,6 +172,139 @@ def _run(
     return qs, us, aps, accs, epsf
 
 
+@partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_samples", "n_leapfrog", "n_warmup"),
+)
+def _run_adapt(
+    potential_fn,
+    q0,
+    key,
+    n_samples: int,
+    step_size0,
+    n_leapfrog: int,
+    n_warmup: int,
+    target_accept,
+    in_slow,
+    window_end,
+    da_step,
+):
+    """Windowed warmup: joint step-size + diagonal-mass adaptation.
+
+    The Stan-style schedule (see :mod:`.warmup`) rides the scan as
+    precomputed per-iteration arrays; the inverse diagonal metric and the
+    Welford accumulators live in the carry, so the whole warmup+sampling
+    chain stays one fixed-shape XLA program (no host round-trips between
+    adaptation windows).
+    """
+    dim = q0.shape[0]
+    dtype = q0.dtype
+    grad_u = jax.grad(potential_fn)
+    val_grad_u = jax.value_and_grad(potential_fn)
+
+    def leapfrog(q, p, g_q, eps, m_inv):
+        p = p - 0.5 * eps * g_q
+        q = q + eps * m_inv * p
+
+        def body(_, carry):
+            q, p = carry
+            p = p - eps * grad_u(q)
+            q = q + eps * m_inv * p
+            return (q, p)
+
+        q, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (q, p))
+        u, g = val_grad_u(q)
+        p = p - 0.5 * eps * g
+        return q, p, u, g
+
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def step(carry, inp):
+        q, u_q, g_q, da, m_inv, wf = carry
+        log_eps, log_eps_bar, h_bar, mu = da
+        w_count, w_mean, w_m2 = wf
+        i, k, slow_i, wend_i, m_i = inp
+        in_warmup = i < n_warmup
+        eps = jnp.where(in_warmup, jnp.exp(log_eps), jnp.exp(log_eps_bar))
+
+        k_mom, k_acc = jax.random.split(k)
+        p = jax.random.normal(k_mom, (dim,), dtype=dtype) / jnp.sqrt(m_inv)
+        h0 = u_q + 0.5 * jnp.dot(p, m_inv * p)
+        q_new, p_new, u_new, g_new = leapfrog(q, p, g_q, eps, m_inv)
+        h1 = u_new + 0.5 * jnp.dot(p_new, m_inv * p_new)
+        log_accept = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf)
+        accept_prob = jnp.exp(log_accept)
+        accept = jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_accept
+        q = jnp.where(accept, q_new, q)
+        u_q = jnp.where(accept, u_new, u_q)
+        g_q = jnp.where(accept, g_new, g_q)
+
+        # dual averaging within the current epoch (m_i restarts per window)
+        m = m_i.astype(dtype)
+        eta = 1.0 / (m + t0)
+        h_bar_n = (1.0 - eta) * h_bar + eta * (target_accept - accept_prob)
+        log_eps_n = mu - jnp.sqrt(m) / gamma * h_bar_n
+        w = m ** (-kappa)
+        log_eps_bar_n = w * log_eps_n + (1.0 - w) * log_eps_bar
+        log_eps = jnp.where(in_warmup, log_eps_n, log_eps)
+        log_eps_bar = jnp.where(in_warmup, log_eps_bar_n, log_eps_bar)
+        h_bar = jnp.where(in_warmup, h_bar_n, h_bar)
+
+        # Welford accumulation over slow-window draws
+        upd = slow_i.astype(dtype)
+        c_n = w_count + upd
+        delta = q - w_mean
+        mean_n = w_mean + upd * delta / jnp.maximum(c_n, 1.0)
+        m2_n = w_m2 + upd * delta * (q - mean_n)
+
+        # window end: refresh the metric, restart dual averaging around the
+        # averaged step size, reset the accumulators
+        var = m2_n / jnp.maximum(c_n - 1.0, 1.0)
+        shrink = c_n / (c_n + 5.0)
+        m_inv_new = shrink * var + 1e-3 * (1.0 - shrink)
+        m_inv = jnp.where(wend_i, m_inv_new, m_inv)
+        eps_r = jnp.exp(log_eps_bar)
+        log_eps = jnp.where(wend_i, jnp.log(eps_r), log_eps)
+        mu = jnp.where(wend_i, jnp.log(10.0 * eps_r), mu)
+        h_bar = jnp.where(wend_i, 0.0, h_bar)
+        w_count = jnp.where(wend_i, 0.0, c_n)
+        w_mean = jnp.where(wend_i, 0.0, mean_n)
+        w_m2 = jnp.where(wend_i, 0.0, m2_n)
+
+        carry = (
+            q,
+            u_q,
+            g_q,
+            (log_eps, log_eps_bar, h_bar, mu),
+            m_inv,
+            (w_count, w_mean, w_m2),
+        )
+        return carry, (q, u_q, accept_prob, accept)
+
+    n_total = n_warmup + n_samples
+    keys = jax.random.split(key, n_total)
+    pad = n_samples
+    in_slow_a = jnp.concatenate([jnp.asarray(in_slow, bool), jnp.zeros((pad,), bool)])
+    wend_a = jnp.concatenate([jnp.asarray(window_end, bool), jnp.zeros((pad,), bool)])
+    da_a = jnp.concatenate(
+        [jnp.asarray(da_step, jnp.int32), jnp.ones((pad,), jnp.int32)]
+    )
+    zero = jnp.asarray(0.0, dtype) * q0[0]  # ties carry vma under shard_map
+    le0 = jnp.log(jnp.asarray(step_size0, dtype)) + zero
+    da0 = (le0, le0, zero, jnp.log(10.0 * jnp.asarray(step_size0, dtype)) + zero)
+    wf0 = (
+        zero,
+        jnp.zeros((dim,), dtype) + zero,
+        jnp.zeros((dim,), dtype) + zero,
+    )
+    u0, g0 = val_grad_u(q0)
+    init = (q0, u0, g0, da0, jnp.ones((dim,), dtype) + zero, wf0)
+    (qf, uf, gf, daf, m_inv_f, _), (qs, us, aps, accs) = jax.lax.scan(
+        step, init, (jnp.arange(n_total), keys, in_slow_a, wend_a, da_a)
+    )
+    return qs, us, aps, accs, jnp.exp(daf[1]), m_inv_f
+
+
 def hmc_sample(
     potential_fn: Callable,
     init_position: jnp.ndarray,
@@ -182,6 +316,7 @@ def hmc_sample(
     adapt_step_size: bool = False,
     target_accept: float = 0.75,
     mass_matrix=None,
+    adapt_mass: bool = False,
 ) -> HMCResult:
     """Draw ``n_samples`` HMC samples (after ``n_warmup`` adaptation draws).
 
@@ -189,8 +324,41 @@ def hmc_sample(
     vector — exactly the objective the MAP engine minimizes, matching the
     reference's ``potential_func=logpos.nlogpos_obj_SVC`` usage
     (Nonseparable_model.py:228-230).
+
+    ``adapt_mass=True`` runs Stan-style windowed warmup instead of the plain
+    dual-averaging phase: expanding slow windows estimate a diagonal inverse
+    metric from the warmup draws while the step size re-adapts per window
+    (see :mod:`.warmup`); supersedes the reference's manual pilot-run mass
+    recipe.  Mutually exclusive with an explicit ``mass_matrix``.
     """
     q0 = jnp.asarray(init_position)
+    if adapt_mass:
+        if mass_matrix is not None:
+            raise ValueError("adapt_mass=True adapts the metric; drop mass_matrix")
+        from .warmup import window_schedule
+
+        sched = window_schedule(int(n_warmup))
+        qs, us, aps, accs, epsf, m_inv = _run_adapt(
+            potential_fn,
+            q0,
+            key,
+            int(n_samples),
+            float(step_size),
+            int(n_leapfrog),
+            int(n_warmup),
+            float(target_accept),
+            sched.in_slow,
+            sched.window_end,
+            sched.da_step,
+        )
+        return HMCResult(
+            samples=qs[n_warmup:],
+            accept_prob=aps,
+            accepted=accs,
+            step_size=epsf,
+            potentials=us[n_warmup:],
+            inv_mass=m_inv,
+        )
     mass_is_dense = mass_matrix is not None and jnp.ndim(mass_matrix) == 2
     mass_is_diag = mass_matrix is not None and jnp.ndim(mass_matrix) == 1
     mass = jnp.asarray(mass_matrix) if mass_matrix is not None else jnp.zeros((0,), q0.dtype)
