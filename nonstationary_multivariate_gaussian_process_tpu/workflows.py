@@ -62,16 +62,57 @@ class PipelineConfig:
     lr: float = 2e-1
     err_opt: float | None = None
     n_hmc: int = 100
+    sampler: str = "hmc"  # "hmc" (reference contract) | "nuts" (adaptive
+    #                        trajectories + windowed warmup, inference/nuts.py)
     hmc_step_size: float = 1e-4
     hmc_leapfrog: int = 20
     hmc_adapt: bool = False  # dual-averaging step-size adaptation
-    hmc_warmup: int = 0
+    hmc_warmup: int = 0  # for "nuts": 0 means an automatic max(100, n_hmc)
     hmc_mass: str = "none"  # "none" | "pilot" (mass matrix from a pilot run,
     #                          the reference's preconditioning recipe)
+    #                          | "window" (Stan-style windowed warmup)
     n_grid: int = 201
     window_size: int = 30
     test_size: float = 0.0
     seed: int = 0
+
+
+def _run_chain(nlp, map_vec, cfg: PipelineConfig, key):
+    """Posterior sampling stage: reference-contract HMC or adaptive NUTS.
+
+    Returns ``(samples ndarray, mean acceptance)``.  ``cfg.sampler`` picks the
+    engine; ``cfg.hmc_mass`` picks HMC preconditioning ("pilot" = the
+    reference's pilot-covariance recipe, "window" = Stan-style windowed
+    warmup adapting a diagonal metric on the fly).
+    """
+    if cfg.sampler == "nuts":
+        from .inference import nuts as nuts_mod
+
+        n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+        chain = nuts_mod.nuts_sample(
+            nlp, map_vec, cfg.n_hmc, key,
+            step_size=cfg.hmc_step_size, n_warmup=n_warm,
+        )
+        accept = float(np.mean(np.asarray(chain.accept_stat)[n_warm:]))
+        return np.asarray(chain.samples), accept
+    if cfg.sampler != "hmc":
+        raise ValueError(f"unknown sampler {cfg.sampler!r} (want 'hmc' or 'nuts')")
+    mass = None
+    if cfg.hmc_mass == "pilot":
+        # mass matrix from a short pilot chain's sample covariance
+        # (Nonseparable_model_mpiKAISER_extended.py:542-570 recipe)
+        pilot = hmc_mod.hmc_sample(
+            nlp, map_vec, max(20, cfg.n_hmc // 10), jax.random.fold_in(key, 7),
+            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+        )
+        mass = hmc_mod.estimate_mass_matrix(pilot.samples)
+    chain = hmc_mod.hmc_sample(
+        nlp, map_vec, cfg.n_hmc, key, step_size=cfg.hmc_step_size,
+        n_leapfrog=cfg.hmc_leapfrog, adapt_step_size=cfg.hmc_adapt,
+        n_warmup=cfg.hmc_warmup, mass_matrix=mass,
+        adapt_mass=(cfg.hmc_mass == "window"),
+    )
+    return np.asarray(chain.samples), float(np.mean(np.asarray(chain.accept_prob)))
 
 
 def _validate_subject(x, y):
@@ -204,25 +245,12 @@ def run_subject(
 
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
-        mass = None
-        if cfg.hmc_mass == "pilot":
-            # mass matrix from a short pilot chain's sample covariance
-            # (Nonseparable_model_mpiKAISER_extended.py:542-570 recipe)
-            pilot = hmc_mod.hmc_sample(
-                nlp, map_vec, max(20, cfg.n_hmc // 10), jax.random.fold_in(key, 7),
-                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
-            )
-            mass = hmc_mod.estimate_mass_matrix(pilot.samples)
-        chain = hmc_mod.hmc_sample(
-            nlp, map_vec, cfg.n_hmc, key, step_size=cfg.hmc_step_size,
-            n_leapfrog=cfg.hmc_leapfrog, adapt_step_size=cfg.hmc_adapt,
-            n_warmup=cfg.hmc_warmup, mass_matrix=mass,
-        )
+        samples, accept = _run_chain(nlp, map_vec, cfg, key)
         result["timings"]["hmc"] = time.time() - t0
-        result["hmc_samples"] = np.asarray(chain.samples)
-        result["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
+        result["hmc_samples"] = samples
+        result["hmc_accept"] = accept
         if store is not None:
-            store.save(_key("hmc"), samples=np.asarray(chain.samples))
+            store.save(_key("hmc"), samples=samples)
 
     if cfg.do_map_analysis and map_vec is not None and cfg.model == "gnmgp":
         # latent-process analysis: MAP point processes + posterior bands
@@ -350,13 +378,9 @@ def run_subject_hadamard(
         out["grid"] = np.asarray(grid)
 
     if cfg.do_hmc:
-        chain = hmc_mod.hmc_sample(
-            nlp, res.vec, cfg.n_hmc, jax.random.fold_in(key, 3),
-            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
-            adapt_step_size=cfg.hmc_adapt, n_warmup=cfg.hmc_warmup,
-        )
-        out["hmc_samples"] = np.asarray(chain.samples)
-        out["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
+        samples, accept = _run_chain(nlp, res.vec, cfg, jax.random.fold_in(key, 3))
+        out["hmc_samples"] = samples
+        out["hmc_accept"] = accept
 
     if x_te is not None and cfg.do_pred_test:
         xt = jnp.asarray(x_te, settings.dtype)

@@ -84,6 +84,25 @@ def test_dynamic_trajectories_and_chains():
     assert np.all(rh < 1.05), rh
 
 
+def test_workflow_sampler_options(rng):
+    import jax as _jax
+
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    d = sim.sim_mnts(_jax.random.PRNGKey(0), n=24)
+    for sampler, mass in [("nuts", "none"), ("hmc", "window")]:
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=40, do_hmc=True, n_hmc=8,
+            sampler=sampler, hmc_mass=mass, hmc_step_size=5e-3, hmc_warmup=20,
+            do_pred_grid=False, do_pred_test=False, do_evaluation=False,
+            do_map_analysis=False,
+        )
+        res = workflows.run_subject(np.asarray(d.x), np.asarray(d.y), cfg)
+        assert res["hmc_samples"].shape[0] == 8
+        assert np.all(np.isfinite(res["hmc_samples"])), (sampler, mass)
+
+
 def test_gnmgp_posterior_smoke(rng):
     from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
     from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
