@@ -213,6 +213,11 @@ def run_subject(
     def _key(stage):
         return ArtifactStore.key(cfg.model, dataset, subject, stage)
 
+    if store is not None and not store.exists(_key("data")):
+        # conditioning data rides the store so a serving engine can stand up
+        # from the artifact root alone (serving/engine.py)
+        store.save(_key("data"), x=np.asarray(x), y=np.asarray(y))
+
     t0 = time.time()
     emp = empirical.local_estimation(x, y, window_size=min(cfg.window_size, max(2, n // 3)))
     result["timings"]["empirical"] = time.time() - t0
