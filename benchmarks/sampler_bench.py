@@ -1,0 +1,134 @@
+"""Sampler efficiency on the real TPU: NUTS vs the reference-contract HMC.
+
+The reference's sampler budget is fixed-length HMC (20 leapfrog steps,
+hand-tuned step size, ``Nonseparable_model.py:229``).  This bench measures,
+on the GNMGP posterior at the reference scale, what the adaptive samplers
+buy in effective samples per second and per gradient evaluation:
+
+* ``hmc``        — fixed step/length, the reference contract,
+* ``hmc+window`` — same trajectory budget, windowed warmup adapts step size
+  and a diagonal metric,
+* ``nuts``       — dynamic trajectories + windowed warmup.
+
+Run: ``python benchmarks/sampler_bench.py [--n 200] [--draws 400]``.
+Prints one JSON object; per-sampler stderr progress lines.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("NMGP_X64", "0")  # speed tier: float32
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[sampler_bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--draws", type=int, default=400)
+    ap.add_argument("--warmup", type=int, default=400)
+    ap.add_argument("--step-size", type=float, default=2e-3)
+    ap.add_argument("--whiten", action="store_true",
+                    help="sample the prior-whitened space (inference/whiten.py)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.inference import (
+        diagnostics,
+        hmc,
+        map as map_mod,
+        nuts,
+        whiten,
+    )
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+    from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
+
+    log(f"platform={jax.devices()[0].platform} n={args.n} draws={args.draws}")
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=args.n)
+    data = FullData(jnp.asarray(d.x), jnp.asarray(d.y))
+    nlp = gnmgp.make_objective(data)
+    n, m = data.y.shape
+    vec0 = jnp.zeros((gnmgp.n_params(n, m),), data.y.dtype)
+    res = map_mod.fit_map(nlp, vec0, n_iters=400, lr=0.1)
+    map_vec = res.vec
+    log(f"MAP fitted, nlp={float(nlp(map_vec)):.2f}")
+
+    w = None
+    if args.whiten:
+        w = whiten.make_whitener("gnmgp", data.x, n, m)
+        nlp = w.wrap(nlp)
+        map_vec = w.to_white(map_vec)
+        log("sampling the prior-whitened space")
+
+    def score(name, run):
+        t0 = time.time()
+        samples, grads = run()  # (S, P), total gradient evals
+        wall = time.time() - t0
+        if w is not None:
+            samples = w.from_white_batch(samples)
+        s = np.asarray(samples)
+        ess = min(diagnostics.ess(s[:, j]) for j in range(0, s.shape[1], 7))
+        out = {
+            "min_ess": round(ess, 1),
+            "ess_per_sec": round(ess / wall, 3),
+            "ess_per_kgrad": round(1000.0 * ess / grads, 3),
+            "wall_s": round(wall, 2),
+            "grad_evals": int(grads),
+        }
+        log(f"{name}: {out}")
+        return out
+
+    results = {}
+    leap = 20  # the reference budget (Nonseparable_model.py:229)
+
+    def run_hmc():
+        r = hmc.hmc_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            step_size=args.step_size, n_leapfrog=leap,
+            n_warmup=args.warmup, adapt_step_size=True,
+        )
+        jax.block_until_ready(r.samples)
+        return r.samples, (args.draws + args.warmup) * leap
+
+    def run_hmc_window():
+        r = hmc.hmc_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            step_size=args.step_size, n_leapfrog=leap,
+            n_warmup=args.warmup, adapt_mass=True,
+        )
+        jax.block_until_ready(r.samples)
+        return r.samples, (args.draws + args.warmup) * leap
+
+    def run_nuts():
+        r = nuts.nuts_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            step_size=args.step_size, n_warmup=args.warmup, max_depth=7,
+        )
+        jax.block_until_ready(r.samples)
+        return r.samples, int(np.asarray(r.n_leapfrog).sum())
+
+    results["hmc"] = score("hmc", run_hmc)
+    results["hmc_window"] = score("hmc+window", run_hmc_window)
+    results["nuts"] = score("nuts", run_nuts)
+    results["speedup_ess_per_sec_nuts_vs_hmc"] = round(
+        results["nuts"]["ess_per_sec"] / max(results["hmc"]["ess_per_sec"], 1e-9), 2
+    )
+    print(json.dumps(
+        {"n": args.n, "draws": args.draws, "whiten": bool(args.whiten), **results}
+    ))
+
+
+if __name__ == "__main__":
+    main()

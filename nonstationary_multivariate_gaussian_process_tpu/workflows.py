@@ -71,20 +71,32 @@ class PipelineConfig:
     hmc_mass: str = "none"  # "none" | "pilot" (mass matrix from a pilot run,
     #                          the reference's preconditioning recipe)
     #                          | "window" (Stan-style windowed warmup)
+    whiten: bool = False  # sample the prior-whitened latent-GP blocks
+    #                       (inference/whiten.py) — same posterior, far
+    #                       better mixing; samples are returned in the
+    #                       natural space either way
     n_grid: int = 201
     window_size: int = 30
     test_size: float = 0.0
     seed: int = 0
 
 
-def _run_chain(nlp, map_vec, cfg: PipelineConfig, key):
+def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     """Posterior sampling stage: reference-contract HMC or adaptive NUTS.
 
     Returns ``(samples ndarray, mean acceptance)``.  ``cfg.sampler`` picks the
     engine; ``cfg.hmc_mass`` picks HMC preconditioning ("pilot" = the
     reference's pilot-covariance recipe, "window" = Stan-style windowed
-    warmup adapting a diagonal metric on the fly).
+    warmup adapting a diagonal metric on the fly).  With a ``whitener`` the
+    chain runs in the prior-whitened space and samples are mapped back.
     """
+    if whitener is not None:
+        pot = whitener.wrap(nlp)
+        samples, accept = _run_chain(
+            pot, whitener.to_white(map_vec),
+            dataclasses.replace(cfg, whiten=False), key,
+        )
+        return np.asarray(whitener.from_white_batch(samples)), accept
     if cfg.sampler == "nuts":
         from .inference import nuts as nuts_mod
 
@@ -250,7 +262,12 @@ def run_subject(
 
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
-        samples, accept = _run_chain(nlp, map_vec, cfg, key)
+        whitener = None
+        if cfg.whiten:
+            from .inference import whiten as whiten_mod
+
+            whitener = whiten_mod.make_whitener(cfg.model, xd, n, m, cfg.hyper)
+        samples, accept = _run_chain(nlp, map_vec, cfg, key, whitener=whitener)
         result["timings"]["hmc"] = time.time() - t0
         result["hmc_samples"] = samples
         result["hmc_accept"] = accept
@@ -383,7 +400,16 @@ def run_subject_hadamard(
         out["grid"] = np.asarray(grid)
 
     if cfg.do_hmc:
-        samples, accept = _run_chain(nlp, res.vec, cfg, jax.random.fold_in(key, 3))
+        whitener = None
+        if cfg.whiten:
+            from .inference import whiten as whiten_mod
+
+            whitener = whiten_mod.make_whitener(
+                cfg.model, data.x, data.x.shape[0], m, cfg.hyper, hadamard=True
+            )
+        samples, accept = _run_chain(
+            nlp, res.vec, cfg, jax.random.fold_in(key, 3), whitener=whitener
+        )
         out["hmc_samples"] = samples
         out["hmc_accept"] = accept
 

@@ -1,0 +1,106 @@
+"""Whitened parameterization (inference/whiten.py).
+
+Correctness: the map must be an exact bijection (roundtrip), and under it
+the GP-prior terms must become standard normal — checked analytically by
+comparing prior log-density differences.  Efficiency: on a real GNMGP
+posterior, whitened HMC must mix dramatically better than the natural
+parameterization at an identical budget.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.inference import (
+    diagnostics,
+    hmc,
+    whiten,
+)
+from nonstationary_multivariate_gaussian_process_tpu.models import (
+    gnmgp,
+    gnmgp_hetero,
+    snmgp,
+)
+from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
+
+
+def _x(rng, n):
+    return jnp.asarray(np.sort(rng.uniform(size=n)))
+
+
+@pytest.mark.parametrize(
+    "model,n_params",
+    [
+        ("gnmgp", lambda n, m: gnmgp.n_params(n, m)),
+        ("snmgp", lambda n, m: snmgp.n_params(n, m)),
+        ("gnmgp_hetero", lambda n, m: gnmgp_hetero.n_params(n, m)),
+        ("lmc", lambda n, m: 2 + 3 + 1),
+    ],
+)
+def test_roundtrip(rng, model, n_params):
+    n, m = 20, 2
+    x = _x(rng, n)
+    w = whiten.make_whitener(model, x, n, m)
+    vec = jnp.asarray(rng.normal(size=n_params(n, m)))
+    u = w.to_white(vec)
+    np.testing.assert_allclose(np.asarray(w.from_white(u)), np.asarray(vec), atol=1e-9)
+    if model != "lmc":
+        assert not np.allclose(np.asarray(u), np.asarray(vec))  # non-trivial map
+
+
+def test_whitened_prior_is_standard_normal(rng):
+    n, m = 18, 2
+    x = _x(rng, n)
+    y = jnp.asarray(rng.normal(size=(n, m)))
+    w = whiten.make_whitener("gnmgp", x, n, m)
+
+    def log_prior(vec):
+        return -gnmgp.nlogpos(vec, y, x, prior=True) + gnmgp.nlogpos(
+            vec, y, x, prior=False
+        )
+
+    t = 3  # tri_size(2)
+    gp_dim = n + n * t
+    u1 = jnp.asarray(rng.normal(size=gnmgp.n_params(n, m)))
+    u2 = u1.at[:gp_dim].set(jnp.asarray(rng.normal(size=gp_dim)))  # same tail
+    lp_diff = float(log_prior(w.from_white(u1)) - log_prior(w.from_white(u2)))
+    # only the GP blocks changed; prior must behave as N(0, I) on them
+    expect = float(
+        -0.5 * jnp.sum(u1[:gp_dim] ** 2) + 0.5 * jnp.sum(u2[:gp_dim] ** 2)
+    )
+    np.testing.assert_allclose(lp_diff, expect, rtol=1e-6, atol=1e-7)
+
+
+def test_whitened_hmc_mixes(rng):
+    n, m = 32, 2
+    x = _x(rng, n)
+    y = jnp.asarray(rng.normal(size=(n, m)) * 0.5)
+    data = FullData(x, y)
+    nlp = gnmgp.make_objective(data)
+    w = whiten.make_whitener("gnmgp", x, n, m)
+    from nonstationary_multivariate_gaussian_process_tpu.inference import map as map_mod
+
+    map_vec = map_mod.fit_map(nlp, jnp.zeros(gnmgp.n_params(n, m)), n_iters=200, lr=0.1).vec
+
+    kwargs = dict(n_samples=300, n_leapfrog=30, n_warmup=300, adapt_mass=True)
+
+    nat = hmc.hmc_sample(
+        nlp, map_vec, key=jax.random.PRNGKey(0), step_size=2e-3, **kwargs
+    )
+    wht = hmc.hmc_sample(
+        w.wrap(nlp), w.to_white(map_vec), key=jax.random.PRNGKey(0),
+        step_size=2e-2, **kwargs
+    )
+    samples_w = np.asarray(w.from_white_batch(wht.samples))
+    assert np.all(np.isfinite(samples_w))
+
+    def min_ess(s):
+        return min(diagnostics.ess(s[:, j]) for j in range(0, s.shape[1], 5))
+
+    e_nat = min_ess(np.asarray(nat.samples))
+    e_wht = min_ess(samples_w)
+    # the natural chain is pinned near the ESS noise floor by the prior
+    # geometry (measured ~3); whitening must clear it decisively
+    # (measured ~88 at this budget)
+    assert e_wht > 5.0 * e_nat, (e_wht, e_nat)
