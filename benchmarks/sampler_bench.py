@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--step-size", type=float, default=2e-3)
     ap.add_argument("--whiten", action="store_true",
                     help="sample the prior-whitened space (inference/whiten.py)")
+    ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
+                    help="comma-separated subset to run")
     args = ap.parse_args()
 
     import jax
@@ -119,14 +121,20 @@ def main():
         jax.block_until_ready(r.samples)
         return r.samples, int(np.asarray(r.n_leapfrog).sum())
 
-    results["hmc"] = score("hmc", run_hmc)
-    results["hmc_window"] = score("hmc+window", run_hmc_window)
-    results["nuts"] = score("nuts", run_nuts)
-    results["speedup_ess_per_sec_nuts_vs_hmc"] = round(
-        results["nuts"]["ess_per_sec"] / max(results["hmc"]["ess_per_sec"], 1e-9), 2
-    )
+    which = set(args.samplers.split(","))
+    if "hmc" in which:
+        results["hmc"] = score("hmc", run_hmc)
+    if "hmc_window" in which:
+        results["hmc_window"] = score("hmc+window", run_hmc_window)
+    if "nuts" in which:
+        results["nuts"] = score("nuts", run_nuts)
+    if "nuts" in results and "hmc" in results:
+        results["speedup_ess_per_sec_nuts_vs_hmc"] = round(
+            results["nuts"]["ess_per_sec"] / max(results["hmc"]["ess_per_sec"], 1e-9), 2
+        )
     print(json.dumps(
-        {"n": args.n, "draws": args.draws, "whiten": bool(args.whiten), **results}
+        {"n": args.n, "draws": args.draws, "whiten": bool(args.whiten),
+         "precision": os.environ.get("NMGP_PRECISION", "f32"), **results}
     ))
 
 
