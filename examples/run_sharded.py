@@ -1,0 +1,88 @@
+"""Model-parallel GNMGP fit: one subject's Gram sharded across the mesh.
+
+The subject-parallel fleet (examples/run_fleet.py) shards *subjects*; this
+driver shards *one subject's likelihood* — the matrix-free row-band objective
+(parallel/sharded_obj.py) lets MN grow past a single chip's HBM.  MAP runs
+through the ordinary engine (the sharded closure drops into fit_map), and a
+short whitened HMC chain demonstrates sampling through the same path.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/run_sharded.py --n 256 --block 32 --check
+
+``--check`` also evaluates the single-device objective at the fitted point
+and reports the relative difference (only at sizes one device can hold).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--m", type=int, default=2)
+    ap.add_argument("--block", type=int, default=64)
+    ap.add_argument("--n-opt", type=int, default=100)
+    ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
+    ap.add_argument("--check", action="store_true",
+                    help="compare against the single-device objective")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.inference import (
+        hmc, map as map_mod, whiten,
+    )
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+    from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import (
+        make_mesh, sharded_obj,
+    )
+
+    mesh = make_mesh()
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=args.n)
+    data = FullData(jnp.asarray(d.x), jnp.asarray(d.y))
+    n, m = data.y.shape
+    out = {"n": n, "m": m, "mn": n * m, "devices": int(mesh.devices.size),
+           "block": args.block}
+
+    nlp = sharded_obj.make_objective_sharded(data, mesh=mesh, block=args.block)
+    t0 = time.time()
+    res = map_mod.fit_map(nlp, jnp.zeros(gnmgp.n_params(n, m)), n_iters=args.n_opt,
+                          lr=0.1)
+    out["map_seconds"] = round(time.time() - t0, 2)
+    out["final_nlp"] = float(nlp(res.vec))
+    assert np.isfinite(out["final_nlp"])
+
+    if args.check:
+        nlp_single = gnmgp.make_objective(data)
+        ref = float(nlp_single(res.vec))
+        out["single_device_nlp"] = ref
+        out["rel_diff"] = abs(out["final_nlp"] - ref) / max(1.0, abs(ref))
+
+    if args.n_hmc > 0:
+        w = whiten.make_whitener("gnmgp", data.x, n, m)
+        t0 = time.time()
+        chain = hmc.hmc_sample(
+            w.wrap(nlp), w.to_white(res.vec), args.n_hmc, jax.random.PRNGKey(1),
+            step_size=1e-2, n_leapfrog=10, n_warmup=args.n_hmc, adapt_step_size=True,
+        )
+        out["hmc_seconds"] = round(time.time() - t0, 2)
+        out["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
+        samples = np.asarray(w.from_white_batch(chain.samples))
+        assert np.all(np.isfinite(samples))
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
