@@ -37,8 +37,13 @@ def main():
     ap.add_argument("--draws", type=int, default=400)
     ap.add_argument("--warmup", type=int, default=400)
     ap.add_argument("--step-size", type=float, default=2e-3)
-    ap.add_argument("--whiten", action="store_true",
-                    help="sample the prior-whitened space (inference/whiten.py)")
+    ap.add_argument("--whiten", default="off", nargs="?", const="prior",
+                    choices=["off", "prior", "pncp"],
+                    help="sampling reparameterization: prior-whitened latent "
+                         "blocks, or partially non-centered (a pilot chain "
+                         "retunes every eigendirection to its posterior scale)")
+    ap.add_argument("--pilot", type=int, default=200,
+                    help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run")
     args = ap.parse_args()
@@ -68,11 +73,25 @@ def main():
     log(f"MAP fitted, nlp={float(nlp(map_vec)):.2f}")
 
     w = None
-    if args.whiten:
-        w = whiten.make_whitener("gnmgp", data.x, n, m)
+    pilot_cost = None
+    if args.whiten != "off":
+        mode = "eig" if args.whiten == "pncp" else "chol"
+        w = whiten.make_whitener("gnmgp", data.x, n, m, mode=mode)
+        if args.whiten == "pncp":
+            t0 = time.time()
+            pilot = hmc.hmc_sample(
+                w.wrap(nlp), w.to_white(map_vec), args.pilot,
+                jax.random.PRNGKey(9), step_size=args.step_size,
+                n_leapfrog=20, n_warmup=args.pilot, adapt_step_size=True,
+            )
+            w = whiten.retune(w, w.from_white_batch(pilot.samples))
+            pilot_cost = {"wall_s": round(time.time() - t0, 2),
+                          "grad_evals": 2 * args.pilot * 20}
+            log(f"pncp: retuned from {args.pilot}-draw pilot "
+                f"({pilot_cost['wall_s']}s)")
         nlp = w.wrap(nlp)
         map_vec = w.to_white(map_vec)
-        log("sampling the prior-whitened space")
+        log(f"sampling the {args.whiten}-reparameterized space")
 
     def score(name, run):
         t0 = time.time()
@@ -132,10 +151,11 @@ def main():
         results["speedup_ess_per_sec_nuts_vs_hmc"] = round(
             results["nuts"]["ess_per_sec"] / max(results["hmc"]["ess_per_sec"], 1e-9), 2
         )
-    print(json.dumps(
-        {"n": args.n, "draws": args.draws, "whiten": bool(args.whiten),
-         "precision": os.environ.get("NMGP_PRECISION", "f32"), **results}
-    ))
+    out = {"n": args.n, "draws": args.draws, "whiten": args.whiten,
+           "precision": os.environ.get("NMGP_PRECISION", "f32"), **results}
+    if pilot_cost is not None:
+        out["pncp_pilot"] = pilot_cost
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

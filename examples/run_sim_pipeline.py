@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--n-opt", type=int, default=1000)
     ap.add_argument("--n-hmc", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sampler", default="hmc", choices=["hmc", "nuts"])
+    ap.add_argument("--whiten", default="off",
+                    choices=["off", "prior", "pncp"],
+                    help="sampling reparameterization: prior-whitened latent "
+                         "blocks, or partially non-centered (pilot-retuned)")
+    ap.add_argument("--hmc-step-size", type=float, default=1e-4)
     ap.add_argument("--test-size", type=float, default=0.25)
     ap.add_argument("--data", default=None, help="optional sim_MNTS pickle to load")
     ap.add_argument("--out", default="res/sim")
@@ -54,7 +60,9 @@ def main():
     cfg = workflows.PipelineConfig(
         model=args.model, n_opt=args.n_opt, do_hmc=args.n_hmc > 0,
         n_hmc=max(args.n_hmc, 1), test_size=args.test_size, hyper=hyper,
-        seed=args.seed,
+        seed=args.seed, sampler=args.sampler,
+        whiten=False if args.whiten == "off" else args.whiten,
+        hmc_step_size=args.hmc_step_size,
     )
     store = ArtifactStore(args.out)
     res = workflows.run_subject(x, y, cfg, store=store, dataset="sim", subject=args.seed)

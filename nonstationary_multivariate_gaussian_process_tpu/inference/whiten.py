@@ -1,4 +1,4 @@
-"""Whitened (non-centered) parameterization for the latent-GP blocks.
+"""Whitened and partially non-centered parameterizations for the latent-GP blocks.
 
 The dominant obstacle to MCMC mixing in these models is not the likelihood
 but the **prior geometry**: the smooth RBF prior Grams over the latent
@@ -17,11 +17,28 @@ matter what ``L`` is; matching the prior factor is purely an efficiency
 choice.  The reference has no equivalent (its sampler runs in the natural
 space, ``Nonseparable_model.py:228-231``).
 
+Prior whitening serves the *prior-dominated* directions.  Where the
+likelihood concentrates the latents (large N, small noise), the posterior
+scale in a direction shrinks far below the prior scale and the whitened
+chain is again mis-scaled.  :func:`retune` implements the **partially
+non-centered** refinement: with the eigen-mode whitener (``mode="eig"``,
+map ``A = U diag(s)`` per block), warmup draws estimate each direction's
+*posterior* standard deviation and the map scale is interpolated
+``s ← s_prior^(1-interp) · s_posterior^interp``.  At ``interp=0`` this is
+pure prior whitening (non-centered); at ``interp=1`` the map matches the
+posterior's per-direction scales — the optimal fixed diagonal-in-the-
+eigenbasis preconditioner.  Any fixed choice targets the same posterior.
+
 Usage::
 
-    w = make_whitener("gnmgp", x, n, m, hyper)
+    w = make_whitener("gnmgp", x, n, m, hyper)              # prior-whitened
     res = hmc.hmc_sample(w.wrap(nlp), w.to_white(map_vec), ...)
     samples = w.from_white_batch(res.samples)
+
+    w0 = make_whitener("gnmgp", x, n, m, hyper, mode="eig")  # PNCP
+    pilot = hmc.hmc_sample(w0.wrap(nlp), w0.to_white(map_vec), ...)
+    w1 = retune(w0, w0.from_white_batch(pilot.samples))
+    main = hmc.hmc_sample(w1.wrap(nlp), w1.to_white(map_vec), ...)
 """
 
 from __future__ import annotations
@@ -36,24 +53,43 @@ from ..ops import chol, transforms
 
 
 class _Block(NamedTuple):
+    """One latent-GP segment of the packed parameter vector.
+
+    Chol mode (``basis is None``): the map is the triangular prior factor
+    ``l``; its inverse is applied by triangular solve.  Eig mode: the map is
+    ``A = basis · diag-in-layout(scale)`` with orthogonal ``basis`` — the
+    inverse is the cheap ``scale⁻¹ · basisᵀ``, and ``scale`` (stored in the
+    whitened layout, per direction *and* per series) is retunable.
+    """
+
     start: int
     stop: int
     k: int  # number of independent GP series in the block
     rows: bool  # True: reshape(k, n) rows are series; False: reshape(n, k) cols
-    l: jnp.ndarray  # (n, n) lower prior factor
+    l: jnp.ndarray | None  # (n, n) lower prior factor (chol mode)
     mu: float
+    basis: jnp.ndarray | None = None  # (n, n) orthogonal eigenbasis (eig mode)
+    scale: jnp.ndarray | None = None  # whitened-layout map scales (eig mode)
 
 
 class Whitener(NamedTuple):
     blocks: tuple
     n_params: int
+    #: optional per-coordinate scale for the coordinates *outside* the GP
+    #: blocks (raw hypers); entries inside block ranges are ignored.
+    raw_scale: jnp.ndarray | None = None
 
     def from_white(self, u: jnp.ndarray) -> jnp.ndarray:
         """Whitened vector -> natural packed parameter vector."""
-        vec = u
+        vec = u if self.raw_scale is None else u * self.raw_scale
         for b in self.blocks:
             seg = u[b.start : b.stop]
-            if b.rows:
+            if b.basis is not None:
+                if b.rows:
+                    val = b.mu + (seg.reshape(b.k, -1) * b.scale) @ b.basis.T
+                else:
+                    val = b.mu + b.basis @ (b.scale * seg.reshape(-1, b.k))
+            elif b.rows:
                 val = b.mu + seg.reshape(b.k, -1) @ b.l.T
             else:
                 val = b.mu + b.l @ seg.reshape(-1, b.k)
@@ -61,11 +97,17 @@ class Whitener(NamedTuple):
         return vec
 
     def to_white(self, vec: jnp.ndarray) -> jnp.ndarray:
-        """Natural packed vector -> whitened vector (triangular solves)."""
-        u = jnp.asarray(vec)
+        """Natural packed vector -> whitened vector."""
+        vec = jnp.asarray(vec)
+        u = vec if self.raw_scale is None else vec / self.raw_scale
         for b in self.blocks:
-            seg = u[b.start : b.stop]
-            if b.rows:
+            seg = vec[b.start : b.stop]
+            if b.basis is not None:
+                if b.rows:
+                    sol = ((seg.reshape(b.k, -1) - b.mu) @ b.basis) / b.scale
+                else:
+                    sol = (b.basis.T @ (seg.reshape(-1, b.k) - b.mu)) / b.scale
+            elif b.rows:
                 sol = jax.scipy.linalg.solve_triangular(
                     b.l, (seg.reshape(b.k, -1) - b.mu).T, lower=True
                 ).T
@@ -78,6 +120,9 @@ class Whitener(NamedTuple):
 
     def from_white_batch(self, us: jnp.ndarray) -> jnp.ndarray:
         return jax.vmap(self.from_white)(jnp.asarray(us))
+
+    def to_white_batch(self, vecs: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(self.to_white)(jnp.asarray(vecs))
 
     def wrap(self, potential_fn: Callable) -> Callable:
         """Whitened-space potential: same posterior, benign geometry."""
@@ -95,6 +140,16 @@ _GNMGP_HADAMARD_HYPERS = {
 }
 
 
+def _make_block(start, stop, k, rows, x, alpha, beta, mu, mode):
+    if mode == "chol":
+        return _Block(start, stop, k, rows, chol.prior_rbf_cholesky(x, alpha, beta), mu)
+    u, s = chol.prior_rbf_eig(x, alpha, beta)
+    n = u.shape[0]
+    layout = (k, n) if rows else (n, k)
+    scale = jnp.broadcast_to(s if rows else s[:, None], layout)
+    return _Block(start, stop, k, rows, None, mu, basis=u, scale=scale)
+
+
 def make_whitener(
     model_name: str,
     x,
@@ -102,45 +157,50 @@ def make_whitener(
     m: int,
     hyper: dict | None = None,
     hadamard: bool = False,
+    mode: str = "chol",
 ) -> Whitener:
     """Prior-factor whitener for a model's latent-GP blocks.
 
-    Factors are built host-side in float64 (``ops.chol.prior_rbf_cholesky``)
-    with the same hypers the objective uses, so the whitened prior is
-    standard normal to factorization roundoff.  LMC has no latent processes —
-    its whitener is the identity (no blocks).  ``hadamard=True`` selects the
-    Hadamard-layout prior defaults (the latent-block layout is identical).
+    Factors are built host-side in float64 (``ops.chol.prior_rbf_cholesky`` /
+    ``prior_rbf_eig``) with the same hypers the objective uses, so the
+    whitened prior is standard normal to factorization roundoff.  LMC has no
+    latent processes — its whitener is the identity (no blocks).
+    ``hadamard=True`` selects the Hadamard-layout prior defaults (the
+    latent-block layout is identical).  ``mode="eig"`` uses the orthogonal
+    eigenbasis map, required by :func:`retune` (PNCP).
     """
+    if mode not in ("chol", "eig"):
+        raise ValueError(f"mode must be 'chol' or 'eig', got {mode!r}")
     t = transforms.tri_size(m)
     blocks: list[_Block] = []
     if model_name == "gnmgp":
         base_hp = _GNMGP_HADAMARD_HYPERS if hadamard else gnmgp.DEFAULT_HYPERS
         hp = {**gnmgp.DEFAULT_HYPERS, **base_hp, **(hyper or {})}
-        l_l = chol.prior_rbf_cholesky(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-        l_L = chol.prior_rbf_cholesky(x, hp["alpha_L"], hp["beta_L"])
         blocks = [
-            _Block(0, n, 1, False, l_l, hp["mu_tilde_l"]),
-            _Block(n, n + n * t, t, False, l_L, hp["mu_L"]),
+            _make_block(0, n, 1, False, x, hp["alpha_tilde_l"], hp["beta_tilde_l"],
+                        hp["mu_tilde_l"], mode),
+            _make_block(n, n + n * t, t, False, x, hp["alpha_L"], hp["beta_L"],
+                        hp["mu_L"], mode),
         ]
         n_params = gnmgp.n_params(n, m)
     elif model_name == "snmgp":
         hp = {**snmgp.DEFAULT_HYPERS, **(hyper or {})}
-        l_l = chol.prior_rbf_cholesky(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-        l_s = chol.prior_rbf_cholesky(x, hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"])
         blocks = [
-            _Block(0, n, 1, False, l_l, hp["mu_tilde_l"]),
-            _Block(n, 2 * n, 1, False, l_s, hp["mu_tilde_sigma"]),
+            _make_block(0, n, 1, False, x, hp["alpha_tilde_l"], hp["beta_tilde_l"],
+                        hp["mu_tilde_l"], mode),
+            _make_block(n, 2 * n, 1, False, x, hp["alpha_tilde_sigma"],
+                        hp["beta_tilde_sigma"], hp["mu_tilde_sigma"], mode),
         ]
         n_params = snmgp.n_params(n, m)
     elif model_name == "gnmgp_hetero":
         hp = {**gnmgp_hetero.DEFAULT_HYPERS, **(hyper or {})}
-        l_l = chol.prior_rbf_cholesky(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-        l_L = chol.prior_rbf_cholesky(x, hp["alpha_L"], hp["beta_L"])
-        l_e = chol.prior_rbf_cholesky(x, hp["alpha_err"], hp["beta_err"])
         blocks = [
-            _Block(0, n, 1, False, l_l, hp["mu_tilde_l"]),
-            _Block(n, n + n * t, t, False, l_L, hp["mu_L"]),
-            _Block(n + n * t, n + n * t + n * m, m, True, l_e, hp["mu_err"]),
+            _make_block(0, n, 1, False, x, hp["alpha_tilde_l"], hp["beta_tilde_l"],
+                        hp["mu_tilde_l"], mode),
+            _make_block(n, n + n * t, t, False, x, hp["alpha_L"], hp["beta_L"],
+                        hp["mu_L"], mode),
+            _make_block(n + n * t, n + n * t + n * m, m, True, x, hp["alpha_err"],
+                        hp["beta_err"], hp["mu_err"], mode),
         ]
         n_params = gnmgp_hetero.n_params(n, m)
     elif model_name == "lmc":
@@ -150,3 +210,64 @@ def make_whitener(
     else:
         raise ValueError(f"unknown model {model_name!r}")
     return Whitener(tuple(blocks), n_params)
+
+
+def retune(
+    w: Whitener,
+    samples,
+    interp: float = 1.0,
+    floor: float = 1e-3,
+    raw: bool = True,
+) -> Whitener:
+    """Partially non-centered retuning from warmup draws.
+
+    ``samples`` are *natural-space* draws ``(n_draws, n_params)`` (a pilot
+    chain).  For every eig-mode block the draws are projected onto the prior
+    eigenbasis and each (direction, series) coefficient's posterior standard
+    deviation replaces the prior scale, geometrically interpolated by
+    ``interp`` (0 = keep prior whitening, 1 = fully posterior-scaled) and
+    floored at ``floor ×`` the prior scale (guards short, poorly mixed
+    pilots).  With ``raw=True`` the non-block coordinates get a diagonal
+    posterior-std scale too, so plain (identity-metric) HMC is fully
+    preconditioned.  The result is a *fixed* linear map — the retuned chain
+    targets exactly the same posterior.
+
+    The reference has no counterpart; its KAISER recipe preconditions with a
+    pilot covariance in the natural space (``Stationary_model_mpiKAISER.py:205``),
+    which cannot fix the prior-Gram curvature this map removes.
+    """
+    samples = jnp.asarray(samples)
+    if samples.ndim != 2 or samples.shape[1] != w.n_params:
+        raise ValueError(
+            f"samples must be (n_draws, {w.n_params}), got {samples.shape}"
+        )
+    blocks = []
+    covered = jnp.zeros(w.n_params, bool)
+    for b in w.blocks:
+        if b.basis is None:
+            raise ValueError("retune requires an eig-mode whitener "
+                             "(make_whitener(..., mode='eig'))")
+        seg = samples[:, b.start : b.stop]
+        if b.rows:
+            c = (seg.reshape(-1, b.k, b.basis.shape[0]) - b.mu) @ b.basis
+        else:
+            c = jnp.einsum(
+                "ji,djk->dik", b.basis, seg.reshape(samples.shape[0], -1, b.k) - b.mu
+            )
+        sd = jnp.std(c, axis=0)
+        prior = jnp.broadcast_to(
+            b.scale, sd.shape
+        ) if b.scale.shape != sd.shape else b.scale
+        # the *current* scale may already be retuned; interpolate from the
+        # prior geometry each call would need the original — use the stored
+        # scale as the anchor (first retune: prior; later: previous tuning)
+        new = prior ** (1.0 - interp) * jnp.maximum(sd, floor * prior) ** interp
+        blocks.append(b._replace(scale=new))
+        covered = covered.at[b.start : b.stop].set(True)
+    raw_scale = w.raw_scale
+    if raw:
+        sd_all = jnp.std(samples, axis=0)
+        base = jnp.ones(w.n_params, samples.dtype) if raw_scale is None else raw_scale
+        tuned = jnp.maximum(sd_all, floor) ** interp * base ** (1.0 - interp)
+        raw_scale = jnp.where(covered, base, tuned)
+    return Whitener(tuple(blocks), w.n_params, raw_scale)

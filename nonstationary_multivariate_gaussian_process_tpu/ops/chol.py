@@ -184,6 +184,28 @@ def prior_rbf_inv(x, alpha, beta):
     )
 
 
+def prior_rbf_eig(x, alpha, beta):
+    """Host-f64 RBF prior Gram eigendecomposition ``(U, sqrt_eigs)``.
+
+    Like :func:`prior_rbf_cholesky` but returns the orthogonal eigenbasis and
+    per-direction prior standard deviations instead of a triangular factor.
+    This is the form the partially non-centered reparameterization
+    (``inference.whiten``) needs: with ``A = U diag(s)`` the map's inverse is
+    the cheap ``diag(1/s) Uᵀ`` and each direction's scale can later be retuned
+    independently.  Eigenvalues are floored at the jitter level before the
+    square root, matching the nugget ``prior_rbf_cholesky`` adds.  Must be
+    called outside jit (prior Grams are loop-invariant; see DESIGN §4).
+    """
+    import numpy as np
+
+    x64 = np.asarray(x, np.float64)
+    d2 = (x64[:, None] - x64[None, :]) ** 2
+    gram = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
+    eigs, u = np.linalg.eigh(gram)
+    s = np.sqrt(np.maximum(eigs, settings.jitter))
+    return jnp.asarray(u, settings.dtype), jnp.asarray(s, settings.dtype)
+
+
 def chol_logdet(chol: jnp.ndarray):
     """``logdet(A)`` from its Cholesky factor."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)

@@ -71,10 +71,16 @@ class PipelineConfig:
     hmc_mass: str = "none"  # "none" | "pilot" (mass matrix from a pilot run,
     #                          the reference's preconditioning recipe)
     #                          | "window" (Stan-style windowed warmup)
-    whiten: bool = False  # sample the prior-whitened latent-GP blocks
-    #                       (inference/whiten.py) — same posterior, far
-    #                       better mixing; samples are returned in the
-    #                       natural space either way
+    whiten: bool | str = False  # False | True/"prior": sample the
+    #                       prior-whitened latent-GP blocks (inference/
+    #                       whiten.py) | "pncp": partially non-centered —
+    #                       a pilot chain retunes every eigendirection to
+    #                       its *posterior* scale (whiten.retune).  Same
+    #                       posterior either way; samples are returned in
+    #                       the natural space.
+    pncp_pilot: int = 200  # pilot-chain draws for whiten="pncp"
+    pncp_interp: float = 1.0  # 0 = keep prior whitening, 1 = fully
+    #                           posterior-scaled (whiten.retune interp)
     n_grid: int = 201
     window_size: int = 30
     test_size: float = 0.0
@@ -125,6 +131,35 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         adapt_mass=(cfg.hmc_mass == "window"),
     )
     return np.asarray(chain.samples), float(np.mean(np.asarray(chain.accept_prob)))
+
+
+def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
+                            hadamard: bool = False):
+    """Build the whitener for the sampling stage per ``cfg.whiten``.
+
+    ``True``/``"prior"`` → prior-factor whitening.  ``"pncp"`` → partially
+    non-centered: a short prior-whitened pilot chain (``cfg.pncp_pilot``
+    draws) estimates every eigendirection's posterior scale and
+    ``whiten.retune`` rebuilds the map around it (plus a diagonal scale for
+    the raw hypers), so the main chain is preconditioned in likelihood- and
+    prior-dominated directions alike.
+    """
+    if not cfg.whiten:
+        return None
+    from .inference import whiten as whiten_mod
+
+    if cfg.whiten == "pncp":
+        w = whiten_mod.make_whitener(cfg.model, x, n, m, cfg.hyper,
+                                     hadamard=hadamard, mode="eig")
+        pilot_cfg = dataclasses.replace(cfg, n_hmc=cfg.pncp_pilot, whiten=False)
+        pilot, _ = _run_chain(nlp, map_vec, pilot_cfg,
+                              jax.random.fold_in(key, 11), whitener=w)
+        return whiten_mod.retune(w, pilot, interp=cfg.pncp_interp)
+    if cfg.whiten in (True, "prior"):
+        return whiten_mod.make_whitener(cfg.model, x, n, m, cfg.hyper,
+                                        hadamard=hadamard)
+    raise ValueError(f"unknown whiten setting {cfg.whiten!r} "
+                     "(want False, True, 'prior' or 'pncp')")
 
 
 def _validate_subject(x, y):
@@ -262,11 +297,7 @@ def run_subject(
 
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
-        whitener = None
-        if cfg.whiten:
-            from .inference import whiten as whiten_mod
-
-            whitener = whiten_mod.make_whitener(cfg.model, xd, n, m, cfg.hyper)
+        whitener = _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
         samples, accept = _run_chain(nlp, map_vec, cfg, key, whitener=whitener)
         result["timings"]["hmc"] = time.time() - t0
         result["hmc_samples"] = samples
@@ -400,13 +431,10 @@ def run_subject_hadamard(
         out["grid"] = np.asarray(grid)
 
     if cfg.do_hmc:
-        whitener = None
-        if cfg.whiten:
-            from .inference import whiten as whiten_mod
-
-            whitener = whiten_mod.make_whitener(
-                cfg.model, data.x, data.x.shape[0], m, cfg.hyper, hadamard=True
-            )
+        whitener = _make_sampling_whitener(
+            nlp, res.vec, cfg, jax.random.fold_in(key, 3),
+            data.x, data.x.shape[0], m, hadamard=True,
+        )
         samples, accept = _run_chain(
             nlp, res.vec, cfg, jax.random.fold_in(key, 3), whitener=whitener
         )

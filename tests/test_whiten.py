@@ -72,6 +72,97 @@ def test_whitened_prior_is_standard_normal(rng):
     np.testing.assert_allclose(lp_diff, expect, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize(
+    "model,n_params",
+    [
+        ("gnmgp", lambda n, m: gnmgp.n_params(n, m)),
+        ("snmgp", lambda n, m: snmgp.n_params(n, m)),
+        ("gnmgp_hetero", lambda n, m: gnmgp_hetero.n_params(n, m)),
+    ],
+)
+def test_eig_roundtrip(rng, model, n_params):
+    n, m = 20, 2
+    x = _x(rng, n)
+    w = whiten.make_whitener(model, x, n, m, mode="eig")
+    vec = jnp.asarray(rng.normal(size=n_params(n, m)))
+    u = w.to_white(vec)
+    np.testing.assert_allclose(np.asarray(w.from_white(u)), np.asarray(vec), atol=1e-8)
+    assert not np.allclose(np.asarray(u), np.asarray(vec))
+
+
+def test_eig_whitened_prior_is_standard_normal(rng):
+    """The eig-mode map must whiten the GP prior exactly like the chol map."""
+    n, m = 18, 2
+    x = _x(rng, n)
+    y = jnp.asarray(rng.normal(size=(n, m)))
+    w = whiten.make_whitener("gnmgp", x, n, m, mode="eig")
+
+    def log_prior(vec):
+        return -gnmgp.nlogpos(vec, y, x, prior=True) + gnmgp.nlogpos(
+            vec, y, x, prior=False
+        )
+
+    gp_dim = n + n * 3
+    u1 = jnp.asarray(rng.normal(size=gnmgp.n_params(n, m)))
+    u2 = u1.at[:gp_dim].set(jnp.asarray(rng.normal(size=gp_dim)))
+    lp_diff = float(log_prior(w.from_white(u1)) - log_prior(w.from_white(u2)))
+    expect = float(
+        -0.5 * jnp.sum(u1[:gp_dim] ** 2) + 0.5 * jnp.sum(u2[:gp_dim] ** 2)
+    )
+    np.testing.assert_allclose(lp_diff, expect, rtol=1e-6, atol=1e-7)
+
+
+def test_retune_normalizes_posterior_scales(rng):
+    """After retune the pilot draws have unit std in the whitened space,
+    and the retuned map is still an exact bijection (same posterior)."""
+    n, m = 16, 2
+    x = _x(rng, n)
+    w = whiten.make_whitener("gnmgp", x, n, m, mode="eig")
+    npar = gnmgp.n_params(n, m)
+    center = jnp.asarray(rng.normal(size=npar))
+    draws = center + jnp.asarray(rng.normal(size=(400, npar))) * jnp.asarray(
+        rng.uniform(0.01, 2.0, size=npar)
+    )
+    w2 = whiten.retune(w, draws)
+    vec = jnp.asarray(rng.normal(size=npar))
+    np.testing.assert_allclose(
+        np.asarray(w2.from_white(w2.to_white(vec))), np.asarray(vec), atol=1e-8
+    )
+    stds = np.std(np.asarray(w2.to_white_batch(draws)), axis=0)
+    np.testing.assert_allclose(stds, 1.0, rtol=0.15)
+    # the un-tuned whitener leaves the likelihood-dominated directions
+    # badly mis-scaled by comparison
+    stds0 = np.std(np.asarray(jax.vmap(w.to_white)(draws)), axis=0)
+    assert stds0.max() / stds0.min() > 10 * stds.max() / stds.min()
+
+
+def test_retune_requires_eig_mode(rng):
+    n, m = 12, 2
+    w = whiten.make_whitener("gnmgp", _x(rng, n), n, m)  # chol mode
+    draws = jnp.asarray(rng.normal(size=(10, gnmgp.n_params(n, m))))
+    with pytest.raises(ValueError, match="eig"):
+        whiten.retune(w, draws)
+
+
+def test_pncp_pipeline_smoke(rng):
+    """run_subject(whiten='pncp') end-to-end: pilot → retune → main chain."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+    n, m = 16, 2
+    x = np.sort(rng.uniform(size=n))
+    y = rng.normal(size=(n, m)) * 0.5
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", do_empirical=False, do_hmc=True, do_pred_grid=False,
+        do_pred_test=False, do_evaluation=False, do_map_analysis=False,
+        n_opt=50, n_hmc=20, pncp_pilot=20, whiten="pncp",
+        hmc_step_size=1e-2, hmc_leapfrog=5,
+    )
+    out = workflows.run_subject(x, y, cfg)
+    s = out["hmc_samples"]
+    assert s.shape == (20, gnmgp.n_params(n, m))
+    assert np.all(np.isfinite(s))
+
+
 def test_whitened_hmc_mixes(rng):
     n, m = 32, 2
     x = _x(rng, n)
