@@ -1,0 +1,111 @@
+"""Worked example: long-format clinical CSV → Hadamard cohort pipeline.
+
+The reference's KAISER drivers consume a private clinical table; this driver
+shows the equivalent public-data path end-to-end: a long-format CSV (one row
+per observation — the MIMIC-style vitals export layout) is loaded with
+``data.io.load_long_csv``, split per subject into (x, indx, y) Hadamard
+triples (irregular sampling and per-task missingness both land naturally in
+this layout), and fitted as a masked shard_map fleet via
+``workflows.run_cohort_hadamard``.
+
+Without ``--csv`` a demo table is synthesized first (nonstationary 2-vital
+series at ICU-like scales, ~30% missingness, ragged lengths) so the example
+is runnable anywhere:
+
+    env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/run_clinical_csv.py --subjects 6 --n-opt 60
+"""
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def synthesize_csv(path, n_subjects, rng, keep=0.7):
+    """MIMIC-shaped demo table: ragged, irregular, per-task missing."""
+    import jax
+
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    scales = {"heart_rate": (80.0, 12.0), "map_mmhg": (85.0, 10.0)}
+    tasks = list(scales)
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["subject_id", "hours", "vital", "measurement"])
+        for s in range(n_subjects):
+            n = int(rng.integers(28, 60))
+            d = sim.sim_mnts(jax.random.PRNGKey(100 + s), n=n)
+            x = np.asarray(d.x) * 48.0  # a two-day stay
+            y = np.asarray(d.y)
+            for i in range(n):
+                for k, task in enumerate(tasks):
+                    if rng.uniform() > keep:
+                        continue  # this vital wasn't charted at this hour
+                    mu, sd = scales[task]
+                    wr.writerow(
+                        [f"icu{s:03d}", round(float(x[i]), 3), task,
+                         round(mu + sd * float(y[i, k]), 2)]
+                    )
+    return tasks
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--csv", default=None, help="long-format CSV to load "
+                    "(default: synthesize a demo table)")
+    ap.add_argument("--subjects", type=int, default=6,
+                    help="subjects to synthesize when --csv is omitted")
+    ap.add_argument("--model", default="gnmgp", choices=["snmgp", "gnmgp"])
+    ap.add_argument("--n-opt", type=int, default=200)
+    ap.add_argument("--test-size", type=float, default=0.25)
+    ap.add_argument("--time-col", default="hours")
+    ap.add_argument("--task-col", default="vital")
+    ap.add_argument("--value-col", default="measurement")
+    ap.add_argument("--subject-col", default="subject_id")
+    ap.add_argument("--out", default="res/clinical")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    path = args.csv
+    if path is None:
+        path = os.path.join(args.out, "demo_vitals.csv")
+        synthesize_csv(path, args.subjects, rng)
+        print(f"[clinical] synthesized demo table -> {path}", file=sys.stderr)
+
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import io as data_io
+    from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
+
+    table = data_io.load_long_csv(
+        path, time_col=args.time_col, task_col=args.task_col,
+        value_col=args.value_col, subject_col=args.subject_col,
+    )
+    tasks = table["tasks"]
+    subjects = table["subjects"]
+    sizes = {k: len(v[0]) for k, v in subjects.items()}
+    print(f"[clinical] {len(subjects)} subjects, tasks={tasks}, "
+          f"obs per subject {min(sizes.values())}..{max(sizes.values())}",
+          file=sys.stderr)
+
+    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt,
+                                   do_empirical=False)
+    res = workflows.run_cohort_hadamard(
+        subjects, m=len(tasks), cfg=cfg, store=ArtifactStore(args.out),
+        dataset="clinical", test_size=args.test_size,
+    )
+    red = res["reduction"]
+    out = {"tasks": tasks, "n_subjects": len(subjects),
+           "n_valid": red["n_valid"], "rmse": red["rmse"], "lpd": red["lpd"]}
+    print(json.dumps(out, indent=1, default=float))
+
+
+if __name__ == "__main__":
+    main()

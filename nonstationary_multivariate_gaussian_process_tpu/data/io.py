@@ -67,6 +67,104 @@ def load_hmc_pickle(path: str) -> np.ndarray:
         return _np(pickle.load(f))
 
 
+def load_long_csv(
+    path: str,
+    time_col: str = "time",
+    task_col: str = "task",
+    value_col: str = "value",
+    subject_col: str | None = None,
+    task_order: list | None = None,
+) -> dict:
+    """Long-format clinical CSV → Hadamard triples ``(x, indx, y)``.
+
+    One row per observation — the universal interchange layout for
+    irregularly sampled multivariate clinical series (MIMIC-style vitals
+    exports, the shape of the private KAISER tables the reference's
+    ``Post_Process/severity`` scripts consume).  Tasks are mapped to integer
+    indices (``task_order`` pins the mapping; default: sorted unique labels),
+    rows are sorted by time within each subject, and duplicated
+    (subject, time, task) cells raise.
+
+    Returns ``{"tasks": [...], "subjects": {id: (x, indx, y)}}``; without
+    ``subject_col`` there is a single subject keyed ``0``.  When a subject's
+    layout is *complete* (every (time, task) pair observed exactly once) its
+    entry also satisfies ``x``/``y`` reshaping to the full (N, M) layout —
+    use :func:`hadamard_to_full` to recover it.  Only the standard library is
+    needed (no pandas).
+    """
+    import csv
+
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        cols = reader.fieldnames or []
+        for c in (time_col, task_col, value_col) + (
+            (subject_col,) if subject_col else ()
+        ):
+            if c not in cols:
+                raise ValueError(f"column {c!r} not in CSV header {cols}")
+        rows = [
+            (
+                r[subject_col] if subject_col else 0,
+                float(r[time_col]),
+                r[task_col],
+                float(r[value_col]),
+            )
+            for r in reader
+        ]
+    if not rows:
+        raise ValueError(f"{path} contains no data rows")
+    tasks = (
+        list(task_order)
+        if task_order is not None
+        else sorted({r[2] for r in rows})
+    )
+    t2i = {t: i for i, t in enumerate(tasks)}
+    unknown = {r[2] for r in rows} - set(t2i)
+    if unknown:
+        raise ValueError(f"tasks {sorted(unknown)} not in task_order {tasks}")
+    subjects: dict = {}
+    for sid, t, task, val in rows:
+        subjects.setdefault(sid, []).append((t, t2i[task], val))
+    out = {}
+    for sid, obs in subjects.items():
+        obs.sort(key=lambda o: (o[0], o[1]))
+        seen = set()
+        for t, k, _ in obs:
+            if (t, k) in seen:
+                raise ValueError(
+                    f"duplicate observation for subject {sid!r} at "
+                    f"(time={t}, task={tasks[k]})"
+                )
+            seen.add((t, k))
+        arr = np.asarray(obs, float)
+        out[sid] = (arr[:, 0], arr[:, 1].astype(int), arr[:, 2])
+    return {"tasks": tasks, "subjects": out}
+
+
+def hadamard_to_full(x, indx, y, m: int):
+    """Recover the dense (N, M) layout from a *complete* Hadamard triple.
+
+    Raises if any (time, task) cell is missing — incomplete subjects must
+    stay in the Hadamard layout (``run_subject_hadamard`` handles them).
+    """
+    x = np.asarray(x, float)
+    indx = np.asarray(indx, int)
+    y = np.asarray(y, float)
+    times = np.unique(x)
+    n = times.shape[0]
+    if x.shape[0] != n * m:
+        raise ValueError(
+            f"incomplete layout: {x.shape[0]} obs != {n} times x {m} tasks"
+        )
+    yy = np.full((n, m), np.nan)
+    pos = {t: i for i, t in enumerate(times)}
+    for xi, ki, yi in zip(x, indx, y):
+        yy[pos[xi], ki] = yi
+    if np.any(np.isnan(yy)):
+        raise ValueError("incomplete layout: some (time, task) cells missing")
+    return times, yy
+
+
 def load_kaiser_distributed(path: str) -> dict:
     """Per-subject dict {ID: (x, Y)} with arrays converted to numpy."""
     with open(path, "rb") as f:
