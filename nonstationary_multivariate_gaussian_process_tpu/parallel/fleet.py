@@ -194,6 +194,49 @@ def fit_fleet_map(
     )
 
 
+def _fleet_whiten_fns(model_name: str, n: int, m: int, hp: dict):
+    """Per-subject whitening maps that ride the fleet's batched prior factors.
+
+    The fleet already carries every subject's prior Cholesky factors (pc1,
+    pc2) into the shard_map program for the objective; the prior-whitened
+    reparameterization (inference/whiten.py semantics) reuses them as the
+    linear map, so whitened fleet sampling costs two extra triangular ops per
+    leapfrog step and no extra memory.  Returns ``(from_white, to_white)``
+    taking ``(vec_or_u, pc1, pc2)``, or ``None`` for models with no latent-GP
+    blocks (lmc).
+    """
+    from ..ops import transforms
+
+    t = transforms.tri_size(m)
+    if model_name == "gnmgp":
+        blocks = ((0, n, 1, 0, hp["mu_tilde_l"]), (n, n + n * t, t, 1, hp["mu_L"]))
+    elif model_name == "snmgp":
+        blocks = ((0, n, 1, 0, hp["mu_tilde_l"]),
+                  (n, 2 * n, 1, 1, hp["mu_tilde_sigma"]))
+    else:
+        return None
+
+    def from_white(u, p1, p2):
+        vec = u
+        for (s0, s1, k, which, mu) in blocks:
+            l = p1 if which == 0 else p2
+            val = mu + l @ u[s0:s1].reshape(-1, k)
+            vec = vec.at[s0:s1].set(val.reshape(-1))
+        return vec
+
+    def to_white(v, p1, p2):
+        u = jnp.asarray(v)
+        for (s0, s1, k, which, mu) in blocks:
+            l = p1 if which == 0 else p2
+            sol = jax.scipy.linalg.solve_triangular(
+                l, v[s0:s1].reshape(-1, k) - mu, lower=True
+            )
+            u = u.at[s0:s1].set(sol.reshape(-1))
+        return u
+
+    return from_white, to_white
+
+
 def hmc_fleet(
     model_name: str,
     xs: jnp.ndarray,
@@ -209,6 +252,7 @@ def hmc_fleet(
     adapt_step_size: bool = False,
     target_accept: float = 0.75,
     masses=None,
+    whiten: bool = False,
 ) -> jnp.ndarray:
     """HMC chains for a fleet of subjects, sharded over the mesh.
 
@@ -217,7 +261,10 @@ def hmc_fleet(
     ``masses``: optional per-subject mass matrices — (S, P) diagonal or
     (S, P, P) dense (the reference's preconditioned KAISER HMC,
     ``Stationary_model_mpiKAISER.py:205``; see :func:`pilot_mass_fleet`).
-    Returns (S, n_samples, P) posterior draws.
+    ``whiten=True`` samples every subject's prior-whitened space (reusing the
+    fleet's batched prior factors as the maps; draws come back in the natural
+    space) — mutually exclusive with ``masses``, whose scales are natural-
+    space.  Returns (S, n_samples, P) posterior draws.
     """
     from ..inference import hmc as hmc_mod
 
@@ -226,6 +273,14 @@ def hmc_fleet(
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
+    if whiten and masses is not None:
+        raise ValueError("whiten=True and masses are mutually exclusive "
+                         "(mass matrices are natural-space scales)")
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1],
+                          np.asarray(ys).shape[-1], hp)
+        if whiten else None
+    )
 
     xs = jnp.asarray(xs, settings.dtype)
     ys = jnp.asarray(ys, settings.dtype)
@@ -245,13 +300,20 @@ def hmc_fleet(
     nlp = _subject_nlp(model_name, hp)
 
     def chain_one(vec0, x, y, p1, p2, k, mass):
-        pot = lambda v: nlp(v, x, y, p1, p2)
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2), x, y, p1, p2)
+            vec0 = tw(vec0, p1, p2)
+        else:
+            pot = lambda v: nlp(v, x, y, p1, p2)
         res = hmc_mod.hmc_sample(
             pot, vec0, n_samples, k, step_size=step_size, n_leapfrog=n_leapfrog,
             n_warmup=n_warmup, adapt_step_size=adapt_step_size,
             target_accept=target_accept,
             mass_matrix=None if mass.shape[-1] == 0 else mass,
         )
+        if wfns is not None:
+            return jax.vmap(lambda u: wfns[0](u, p1, p2))(res.samples)
         return res.samples
 
     def shard_fn(vec0, x, y, p1, p2, k, mass):
@@ -527,6 +589,7 @@ def hmc_fleet_multichain(
     mesh: Mesh | None = None,
     masses=None,
     init_jitter: float = 0.05,
+    whiten: bool = False,
 ):
     """Multi-chain fleet HMC with split-R̂-driven stopping.
 
@@ -569,7 +632,7 @@ def hmc_fleet_multichain(
         samples = hmc_fleet(
             model_name, xs_t, ys_t, q, k_chunk, n_samples=chunk_size,
             step_size=step_size, n_leapfrog=n_leapfrog, hyper=hyper, mesh=mesh,
-            masses=masses_t,
+            masses=masses_t, whiten=whiten,
         )  # (S*C, chunk, P)
         chunks.append(np.asarray(samples))
         q = samples[:, -1, :]  # warm resume
