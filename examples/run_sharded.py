@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
     ap.add_argument("--check", action="store_true",
                     help="compare against the single-device objective")
+    ap.add_argument("--out", default=None,
+                    help="artifact root: per-stage npz + manifest, with "
+                         "idempotent resume (a stored MAP skips refitting)")
     args = ap.parse_args()
 
     import jax
@@ -55,11 +58,33 @@ def main():
     out = {"n": n, "m": m, "mn": n * m, "devices": int(mesh.devices.size),
            "block": args.block}
 
+    store = None
+    map_key = f"gnmgp__sharded_n{n}__0__map"
+    if args.out:
+        from nonstationary_multivariate_gaussian_process_tpu.utils import (
+            ArtifactStore,
+        )
+
+        store = ArtifactStore(args.out)
+
     nlp = sharded_obj.make_objective_sharded(data, mesh=mesh, block=args.block)
-    t0 = time.time()
-    res = map_mod.fit_map(nlp, jnp.zeros(gnmgp.n_params(n, m)), n_iters=args.n_opt,
-                          lr=0.1)
-    out["map_seconds"] = round(time.time() - t0, 2)
+    if store is not None and store.exists(map_key):
+        vec = jnp.asarray(store.load(map_key)["vec"])
+        out["map_seconds"] = 0.0
+        out["map_resumed"] = True
+
+        class _Res:  # minimal stand-in for the fit result
+            pass
+
+        res = _Res()
+        res.vec = vec
+    else:
+        t0 = time.time()
+        res = map_mod.fit_map(nlp, jnp.zeros(gnmgp.n_params(n, m)),
+                              n_iters=args.n_opt, lr=0.1)
+        out["map_seconds"] = round(time.time() - t0, 2)
+        if store is not None:
+            store.save(map_key, vec=np.asarray(res.vec))
     out["final_nlp"] = float(nlp(res.vec))
     assert np.isfinite(out["final_nlp"])
 
@@ -80,6 +105,8 @@ def main():
         out["hmc_accept"] = float(np.mean(np.asarray(chain.accept_prob)))
         samples = np.asarray(w.from_white_batch(chain.samples))
         assert np.all(np.isfinite(samples))
+        if store is not None:
+            store.save(f"gnmgp__sharded_n{n}__0__hmc", samples=samples)
 
     print(json.dumps(out))
 
