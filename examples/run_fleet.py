@@ -22,12 +22,24 @@ def main():
     ap.add_argument("--replicates", type=int, default=8)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=500)
+    ap.add_argument("--n-hmc", type=int, default=0,
+                    help="fleet HMC draws per replicate (0 = skip)")
+    ap.add_argument("--whiten", action="store_true",
+                    help="prior-whitened fleet chains (parallel.fleet)")
+    ap.add_argument("--hmc-step-size", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt, seed=args.seed)
+    cfg = workflows.PipelineConfig(
+        model=args.model, n_opt=args.n_opt, seed=args.seed,
+        do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1), whiten=args.whiten,
+        hmc_step_size=args.hmc_step_size, hmc_adapt=args.n_hmc > 0,
+        hmc_warmup=max(args.n_hmc // 4, 10) if args.n_hmc else 0,
+    )
     out = workflows.run_sim_fleet(n_replicates=args.replicates, n=args.n, cfg=cfg)
     report = dict(out["fleet_metrics"])
+    if "hmc_samples" in out:
+        report["hmc_samples_shape"] = list(out["hmc_samples"].shape)
     for k in ("tilde_l_rmse", "tilde_l_corr_mean"):
         if k in out:
             report[k] = float(out[k])

@@ -655,6 +655,18 @@ def run_sim_fleet(
         "fleet": res,
         "fleet_metrics": res.fleet_metrics,
     }
+    if cfg.do_hmc:
+        # fleet-level posterior sampling (each rank's HMC stage in the
+        # reference mpisim drivers), prior-whitened per subject when
+        # cfg.whiten is set (fleet factors double as the maps)
+        samples = fleet_mod.hmc_fleet(
+            cfg.model, batch.x, batch.y, res.vecs,
+            jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,
+            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+            hyper=cfg.hyper, mesh=mesh, n_warmup=cfg.hmc_warmup,
+            adapt_step_size=cfg.hmc_adapt, whiten=bool(cfg.whiten),
+        )
+        out["hmc_samples"] = np.asarray(samples)
     if cfg.do_evaluation:
         # replicated-data G/P/D per subject (the mpisim drivers' model
         # evaluation, Nonseparable_model_mpisim.py:466-472) via predictive

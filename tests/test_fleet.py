@@ -248,6 +248,19 @@ class TestPreconditionedFleetHMC:
                 masses=jnp.ones_like(vecs),
             )
 
+    def test_sim_fleet_whitened_hmc_stage(self):
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, do_hmc=True, n_hmc=5, whiten=True,
+            hmc_step_size=1e-3, do_evaluation=False,
+        )
+        out = workflows.run_sim_fleet(n_replicates=2, n=12, cfg=cfg)
+        s = out["hmc_samples"]
+        assert s.shape == (2, 5, gnmgp.n_params(12, 2))
+        assert np.all(np.isfinite(s))
+
     def test_pilot_mass_and_multichain_rhat(self):
         from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
 
