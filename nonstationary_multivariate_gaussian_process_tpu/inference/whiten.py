@@ -29,6 +29,18 @@ pure prior whitening (non-centered); at ``interp=1`` the map matches the
 posterior's per-direction scales — the optimal fixed diagonal-in-the-
 eigenbasis preconditioner.  Any fixed choice targets the same posterior.
 
+Measured honestly (GNMGP, f32): ONE round of diagonal retuning helps
+modestly (n=96: min-ESS 10.7 → 12.2; N=200 on TPU: 3.0 → 3.3 at a 400-draw
+budget).  Stronger fixed linear maps were tried and LOSE — iterated retuning
+(min-ESS 2.8: correlated-pilot scale noise compounds), a dense pilot-
+covariance second stage (4.5: a P×P covariance cannot be estimated from a
+few hundred correlated draws), and exact-Hessian Laplace preconditioning
+(3.7: the whitened Hessian at the MAP is *indefinite*, eigenvalues
+[-148, 129] at n=96 — the residual obstruction is nonlinear funnel
+geometry, which no fixed linear map removes).  Use ``whiten=True`` by
+default; reach for ``"pncp"`` when the posterior is strongly likelihood-
+dominated and a decent pilot is affordable.
+
 Usage::
 
     w = make_whitener("gnmgp", x, n, m, hyper)              # prior-whitened
