@@ -1,0 +1,92 @@
+"""Model-family comparison on one dataset: LMC vs SNMGP vs GNMGP.
+
+The reference compares families across replicates with G/P/D + PMSE boxplots
+(``SIM_code/res_summary.py:38-86,209-263``) and paired per-ID RMSE scores
+(``Post_Process/past/model_comparison.py``); this driver runs the same
+comparison on one subject (or several seeds) as one command: identical
+train/test splits per seed, all three families fitted, information criteria
+and held-out scores tabulated, pairwise improvements reported.
+
+    env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+        python examples/run_model_comparison.py --n 64 --seeds 2 --n-opt 200
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+MODELS = ("lmc", "snmgp", "gnmgp")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="number of independent replicates")
+    ap.add_argument("--n-opt", type=int, default=400)
+    ap.add_argument("--n-hmc", type=int, default=0,
+                    help="HMC draws for DIC (0 = AIC/BIC only)")
+    ap.add_argument("--test-size", type=float, default=0.25)
+    ap.add_argument("--out", default=None, help="optional JSON output path")
+    args = ap.parse_args()
+
+    import jax
+
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.postprocess import (
+        stats, summary,
+    )
+
+    per_model_scores = {m: [] for m in MODELS}
+    rmse_by_model = {m: {} for m in MODELS}
+    for seed in range(args.seeds):
+        d = sim.sim_mnts(jax.random.PRNGKey(seed), n=args.n)
+        x, y = np.asarray(d.x), np.asarray(d.y)
+        for model in MODELS:
+            cfg = workflows.PipelineConfig(
+                model=model, n_opt=args.n_opt, test_size=args.test_size,
+                do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
+                whiten=args.n_hmc > 0 and model != "lmc",
+                do_pred_grid=False, do_map_analysis=False, seed=seed,
+            )
+            res = workflows.run_subject(x, y, cfg)
+            scores = {
+                k: float(res[k])
+                for k in ("deviance", "aic", "bic", "dic", "test_rmse",
+                          "test_lpd", "test_pmse")
+                if k in res
+            }
+            per_model_scores[model].append(scores)
+            rmse_by_model[model][seed] = scores.get("test_rmse", float("nan"))
+            print(f"[compare] seed={seed} {model}: " + json.dumps(scores),
+                  file=sys.stderr)
+
+    table = summary.compare_models_gpd(per_model_scores)
+    report = {
+        m: {k: {"median": v["median"], "mean": v["mean"]} for k, v in t.items()}
+        for m, t in table.items()
+    }
+    pairs = {}
+    for a, b in (("lmc", "snmgp"), ("lmc", "gnmgp"), ("snmgp", "gnmgp")):
+        imp = stats.paired_improvement(rmse_by_model[a], rmse_by_model[b])
+        pairs[f"{b}_vs_{a}"] = {
+            "mean_rmse_improvement": imp["mean"],
+            "frac_improved": imp["frac_improved"],
+        }
+    out = {"n": args.n, "seeds": args.seeds, "scores": report,
+           "paired_rmse": pairs}
+    text = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
