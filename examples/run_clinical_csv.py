@@ -44,13 +44,18 @@ def synthesize_csv(path, n_subjects, rng, keep=0.7):
             d = sim.sim_mnts(jax.random.PRNGKey(100 + s), n=n)
             x = np.asarray(d.x) * 48.0  # a two-day stay
             y = np.asarray(d.y)
+            seen = set()
             for i in range(n):
                 for k, task in enumerate(tasks):
                     if rng.uniform() > keep:
                         continue  # this vital wasn't charted at this hour
+                    t = round(float(x[i]), 3)
+                    if (t, task) in seen:
+                        continue  # two sample times rounded to the same chart minute
+                    seen.add((t, task))
                     mu, sd = scales[task]
                     wr.writerow(
-                        [f"icu{s:03d}", round(float(x[i]), 3), task,
+                        [f"icu{s:03d}", t, task,
                          round(mu + sd * float(y[i, k]), 2)]
                     )
     return tasks

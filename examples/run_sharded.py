@@ -27,7 +27,6 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n", type=int, default=256)
-    ap.add_argument("--m", type=int, default=2)
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=100)
     ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
@@ -59,13 +58,17 @@ def main():
            "block": args.block}
 
     store = None
-    map_key = f"gnmgp__sharded_n{n}__0__map"
+    # the key carries every input that shapes the fit, so changing --n-opt
+    # (or the size) invalidates the stored MAP instead of resuming stale work
+    dataset = f"sharded_n{n}_opt{args.n_opt}_b{args.block}"
+    map_key = None
     if args.out:
         from nonstationary_multivariate_gaussian_process_tpu.utils import (
             ArtifactStore,
         )
 
         store = ArtifactStore(args.out)
+        map_key = ArtifactStore.key("gnmgp", dataset, 0, "map")
 
     nlp = sharded_obj.make_objective_sharded(data, mesh=mesh, block=args.block)
     if store is not None and store.exists(map_key):
@@ -106,7 +109,12 @@ def main():
         samples = np.asarray(w.from_white_batch(chain.samples))
         assert np.all(np.isfinite(samples))
         if store is not None:
-            store.save(f"gnmgp__sharded_n{n}__0__hmc", samples=samples)
+            from nonstationary_multivariate_gaussian_process_tpu.utils import (
+                ArtifactStore,
+            )
+
+            store.save(ArtifactStore.key("gnmgp", dataset, 0, "hmc"),
+                       samples=samples)
 
     print(json.dumps(out))
 

@@ -659,6 +659,12 @@ def run_sim_fleet(
         # fleet-level posterior sampling (each rank's HMC stage in the
         # reference mpisim drivers), prior-whitened per subject when
         # cfg.whiten is set (fleet factors double as the maps)
+        if cfg.whiten == "pncp":
+            raise ValueError(
+                "run_sim_fleet supports whiten=True/'prior' only; the "
+                "pilot-retuned 'pncp' sampler is single-subject "
+                "(run_subject) — fleet chains would silently skip the retune"
+            )
         samples = fleet_mod.hmc_fleet(
             cfg.model, batch.x, batch.y, res.vecs,
             jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,

@@ -260,6 +260,15 @@ class TestPreconditionedFleetHMC:
         s = out["hmc_samples"]
         assert s.shape == (2, 5, gnmgp.n_params(12, 2))
         assert np.all(np.isfinite(s))
+        # the pilot-retuned sampler is single-subject; the fleet must refuse
+        # rather than silently run plain prior whitening
+        import dataclasses
+
+        with pytest.raises(ValueError, match="pncp"):
+            workflows.run_sim_fleet(
+                n_replicates=2, n=12,
+                cfg=dataclasses.replace(cfg, whiten="pncp"),
+            )
 
     def test_pilot_mass_and_multichain_rhat(self):
         from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet

@@ -62,6 +62,12 @@ def test_load_long_csv_errors(tmp_path):
     _write(p, [("s", 1.0, "hr", 1.0)], header=("subject_id", "t", "task", "value"))
     with pytest.raises(ValueError, match="column 'time'"):
         data_io.load_long_csv(p)
+    _write(p, [("s", 1.0, "hr", "")])  # empty measurement cell
+    with pytest.raises(ValueError, match="line 2.*cannot parse"):
+        data_io.load_long_csv(p)
+    _write(p, [("s", 1.0, "hr", "NaN")])
+    with pytest.raises(ValueError, match="non-finite"):
+        data_io.load_long_csv(p)
 
 
 def test_hadamard_to_full_roundtrip(tmp_path):
