@@ -329,6 +329,88 @@ def hmc_fleet(
     return samples[:s_real]
 
 
+def nuts_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,  # (S, P) warm starts
+    key,
+    n_samples: int = 100,
+    step_size: float = 0.1,
+    n_warmup: int = 200,
+    max_depth: int = 8,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = False,
+):
+    """Adaptive NUTS chains for a fleet of subjects, sharded over the mesh.
+
+    The zero-tuning counterpart of :func:`hmc_fleet`: every subject runs the
+    windowed-warmup tree-doubling sampler (inference/nuts.py — one fixed-shape
+    XLA program, so it vmaps across subjects and shards across devices like
+    the HMC fleet), adapting its own step size and diagonal metric.
+    ``whiten=True`` samples each subject's prior-whitened space via the
+    fleet's batched prior factors.  Returns ``(samples (S, T, P),
+    accept_stat (S,))``.
+    """
+    from ..inference import nuts as nuts_mod
+
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1],
+                          np.asarray(ys).shape[-1], hp)
+        if whiten else None
+    )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+
+    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp(model_name, hp)
+
+    def chain_one(vec0, x, y, p1, p2, k):
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2), x, y, p1, p2)
+            vec0 = tw(vec0, p1, p2)
+        else:
+            pot = lambda v: nlp(v, x, y, p1, p2)
+        res = nuts_mod.nuts_sample(
+            pot, vec0, n_samples, k, step_size=step_size, n_warmup=n_warmup,
+            max_depth=max_depth,
+        )
+        samples = res.samples
+        if wfns is not None:
+            samples = jax.vmap(lambda u: wfns[0](u, p1, p2))(samples)
+        return samples, jnp.mean(res.accept_stat[n_warmup:])
+
+    def shard_fn(vec0, x, y, p1, p2, k):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k)
+
+    # check_vma=False: the NUTS U-turn while_loop mixes replicated literals
+    # into its carry, which the varying-mask analysis rejects; chain_one is
+    # purely subject-local (no collectives), so the check buys nothing here
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        check_vma=False,
+    )
+    samples, accept = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys)
+    return samples[:s_real], accept[:s_real]
+
+
 # ---------------------------------------------------------------------------
 # Hadamard-layout fleets (one observation per (input, task) pair).
 # ---------------------------------------------------------------------------

@@ -248,6 +248,19 @@ class TestPreconditionedFleetHMC:
                 masses=jnp.ones_like(vecs),
             )
 
+    def test_nuts_fleet_whitened(self):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        xs, ys, vecs = self._stiff_fleet()
+        samples, accept = fleet.nuts_fleet(
+            "gnmgp", xs, ys, vecs, jax.random.PRNGKey(6), n_samples=20,
+            n_warmup=30, max_depth=5, whiten=True,
+        )
+        assert samples.shape == (2, 20, vecs.shape[1])
+        assert np.all(np.isfinite(np.asarray(samples)))
+        a = np.asarray(accept)
+        assert a.shape == (2,) and np.all((a > 0.05) & (a <= 1.0)), a
+
     def test_sim_fleet_whitened_hmc_stage(self):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
         from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
