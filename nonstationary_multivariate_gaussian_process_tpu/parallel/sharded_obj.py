@@ -77,13 +77,20 @@ def _gram_rows(rows_g, mn, x, ell, ls, jitter):
     return krow, real
 
 
-def _assemble_local(rows_g, pad_to, mn, x, ell, ls, sigma2_err, jitter, y_tm):
-    """(a_loc, b_loc): the local row band of K + σ²I (padded) and of the RHS."""
+def _assemble_local(rows_g, pad_to, mn, x, ell, ls, s2_vec, jitter, y_tm):
+    """(a_loc, b_loc): the local row band of K + diag(σ²) (padded) and the RHS.
+
+    ``s2_vec`` is the task-major (MN,) noise-variance diagonal — a constant
+    vector for the homoscedastic GNMGP, the kriged per-(input, task) process
+    for the heteroscedastic variant (``models.gnmgp_hetero.log_lik``).
+    """
     krow, real = _gram_rows(rows_g, mn, x, ell, ls, jitter)
     n_loc = rows_g.shape[0]
     if pad_to > krow.shape[1]:
         krow = jnp.pad(krow, ((0, 0), (0, pad_to - krow.shape[1])))
-    diag = jnp.where(real, sigma2_err, jnp.ones((), krow.dtype))
+    diag = jnp.where(
+        real, s2_vec[jnp.clip(rows_g, 0, mn - 1)], jnp.ones((), krow.dtype)
+    )
     a_loc = krow.at[jnp.arange(n_loc), rows_g].add(diag)
     b_loc = jnp.where(real, y_tm[jnp.clip(rows_g, 0, mn - 1)], 0.0)
     return a_loc, b_loc
@@ -175,9 +182,11 @@ def _padded_size(mn: int, block: int, n_dev: int) -> int:
 
 
 @partial(
-    jax.jit, static_argnames=("n", "m", "block", "mesh_holder", "jitter")
+    jax.jit,
+    static_argnames=("n", "m", "block", "mesh_holder", "jitter", "model"),
 )
-def _loglik_sharded(vec, y_tm, x, n, m, block, mesh_holder, jitter):
+def _loglik_sharded(vec, y_tm, x, n, m, block, mesh_holder, jitter,
+                    model: str = "gnmgp"):
     (mesh,) = mesh_holder
     n_dev = mesh.devices.size
     mn = n * m
@@ -185,10 +194,16 @@ def _loglik_sharded(vec, y_tm, x, n, m, block, mesh_holder, jitter):
     n_blocks = nb // block
     nb_loc = (n_blocks // n_dev) * block
 
-    p = gnmgp.unpack(vec, n, m)
+    if model == "gnmgp_hetero":
+        from ..models import gnmgp_hetero
+
+        p = gnmgp_hetero.unpack(vec, n, m)
+        sigma2_err = jnp.exp(p.tilde_sigma2_err)  # task-major (MN,)
+    else:
+        p = gnmgp.unpack(vec, n, m)
+        sigma2_err = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
     ls = gnmgp.chol_process(p.ul_vecs, n, m)
     ell = jnp.exp(p.tilde_l)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     def shard_fn(vec_r, y_r, x_r, ell_r, ls_r, s2_r):
         my_d = lax.axis_index(SUBJECT_AXIS)
@@ -217,20 +232,24 @@ def loglik_sharded(
     x: jnp.ndarray,
     mesh: Mesh | None = None,
     block: int = BLOCK,
+    model: str = "gnmgp",
 ) -> jnp.ndarray:
     """GNMGP marginal log-likelihood, Gram sharded row-cyclically over the mesh.
 
     Numerically equals :func:`..models.gnmgp.log_lik` (same Gram, same
     jitter semantics, unnormalized MVN convention) but the (MN x MN) Gram is
     never materialized on one device: per-device peak memory is
-    ~``(MN)²/D`` plus one (MN, block) gathered strip.
+    ~``(MN)²/D`` plus one (MN, block) gathered strip.  ``model=
+    "gnmgp_hetero"`` swaps the scalar noise diagonal for the per-(input,
+    task) process (``models.gnmgp_hetero.log_lik``) — same Gram band, a
+    vector diagonal.
     """
     if mesh is None:
         mesh = make_mesh()
     n, m = y.shape
     y_tm = y.T.reshape(-1)  # task-major, as everywhere in the package
     return _loglik_sharded(
-        vec, y_tm, x, n, m, block, (mesh,), float(settings.jitter)
+        vec, y_tm, x, n, m, block, (mesh,), float(settings.jitter), model=model
     )
 
 
@@ -240,26 +259,56 @@ def make_objective_sharded(
     hyper: dict | None = None,
     prior: bool = True,
     block: int = BLOCK,
+    model: str = "gnmgp",
 ):
     """Negative-log-posterior closure with the likelihood sharded over the mesh.
 
     The GP priors act on (N,)-sized latent processes — their (N,N) factors are
     small relative to the (MN)² likelihood Gram, so they are evaluated
     replicated with the prior Choleskys hoisted out of the hot loop (exactly
-    as :func:`..models.gnmgp.make_objective` does on one chip).
+    as :func:`..models.gnmgp.make_objective` does on one chip).  ``model=
+    "gnmgp_hetero"`` adds the per-task noise-process GP prior and log-Jacobian
+    (``models.gnmgp_hetero.log_posterior``).
     """
     if mesh is None:
         mesh = make_mesh()
-    hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
     t = transforms.tri_size(m)
+    if model == "gnmgp_hetero":
+        from ..models import gnmgp_hetero
+
+        hp = {**gnmgp_hetero.DEFAULT_HYPERS, **(hyper or {})}
+        pc_e = chol.prior_rbf_inv(data.x, hp["alpha_err"], hp["beta_err"])
+    elif model == "gnmgp":
+        hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
+    else:
+        raise ValueError(f"unknown sharded model {model!r} "
+                         "(want 'gnmgp' or 'gnmgp_hetero')")
     pc_l = chol.prior_rbf_inv(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
     pc_L = chol.prior_rbf_inv(data.x, hp["alpha_L"], hp["beta_L"])
 
     def nlp(vec: jnp.ndarray) -> jnp.ndarray:
-        p = gnmgp.unpack(vec, n, m)
-        res = loglik_sharded(vec, data.y, data.x, mesh=mesh, block=block)
-        if prior:
+        res = loglik_sharded(vec, data.y, data.x, mesh=mesh, block=block,
+                             model=model)
+        if not prior:
+            return -res
+        if model == "gnmgp_hetero":
+            from ..models import gnmgp_hetero
+
+            p = gnmgp_hetero.unpack(vec, n, m)
+            lp_l = dists.mvn_logpdf_chol(p.tilde_l, hp["mu_tilde_l"], pc_l)
+            lp_uL = gnmgp._l_process_prior(
+                p.ul_vecs.reshape(n, t), hp["mu_L"], pc_L
+            )
+            err_mat = p.tilde_sigma2_err.reshape(m, n)
+            lp_err = jnp.sum(
+                jax.vmap(
+                    lambda row: dists.mvn_logpdf_chol(row, hp["mu_err"], pc_e)
+                )(err_mat)
+            )
+            res = res + lp_l + lp_uL + lp_err + jnp.sum(p.tilde_sigma2_err)
+        else:
+            p = gnmgp.unpack(vec, n, m)
             sigma2_err = jnp.exp(p.tilde_sigma2_err)
             lp_l = dists.mvn_logpdf_chol(p.tilde_l, hp["mu_tilde_l"], pc_l)
             lp_uL = gnmgp._l_process_prior(

@@ -68,3 +68,43 @@ def test_posterior_and_grad_match(rng):
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_ref), rtol=2e-6, atol=1e-8
     )
+
+
+def test_hetero_posterior_and_grad_match(rng):
+    """Sharded heteroscedastic objective: vector noise diagonal + noise-GP
+    prior must equal models.gnmgp_hetero.make_objective, value and grad."""
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp_hetero
+
+    mesh = make_mesh(8)
+    n, m = 24, 2
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    y = jnp.asarray(rng.normal(size=(n, m)))
+    vec = jnp.asarray(rng.normal(size=gnmgp_hetero.n_params(n, m)) * 0.3)
+    data = FullData(x, y)
+    nlp_sharded = sharded_obj.make_objective_sharded(
+        data, mesh=mesh, block=8, model="gnmgp_hetero"
+    )
+    nlp_ref = gnmgp_hetero.make_objective(data)
+    np.testing.assert_allclose(
+        float(nlp_sharded(vec)), float(nlp_ref(vec)), rtol=1e-9
+    )
+    g_sharded = jax.grad(nlp_sharded)(vec)
+    g_ref = jax.grad(nlp_ref)(vec)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_ref), rtol=2e-6, atol=1e-8
+    )
+
+
+def test_hetero_loglik_matches_single_device(rng):
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp_hetero
+
+    mesh = make_mesh(8)
+    n, m = 30, 2
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    y = jnp.asarray(rng.normal(size=(n, m)))
+    vec = jnp.asarray(rng.normal(size=gnmgp_hetero.n_params(n, m)) * 0.3)
+    ll_sharded = sharded_obj.loglik_sharded(
+        vec, y, x, mesh=mesh, block=8, model="gnmgp_hetero"
+    )
+    ll_ref = gnmgp_hetero.log_lik(gnmgp_hetero.unpack(vec, n, m), FullData(x, y))
+    np.testing.assert_allclose(float(ll_sharded), float(ll_ref), rtol=1e-9)
