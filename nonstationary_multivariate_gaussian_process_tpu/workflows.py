@@ -665,13 +665,23 @@ def run_sim_fleet(
                 "pilot-retuned 'pncp' sampler is single-subject "
                 "(run_subject) — fleet chains would silently skip the retune"
             )
-        samples = fleet_mod.hmc_fleet(
-            cfg.model, batch.x, batch.y, res.vecs,
-            jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,
-            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
-            hyper=cfg.hyper, mesh=mesh, n_warmup=cfg.hmc_warmup,
-            adapt_step_size=cfg.hmc_adapt, whiten=bool(cfg.whiten),
-        )
+        if cfg.sampler == "nuts":
+            n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+            samples, accept = fleet_mod.nuts_fleet(
+                cfg.model, batch.x, batch.y, res.vecs,
+                jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,
+                step_size=cfg.hmc_step_size, n_warmup=n_warm,
+                hyper=cfg.hyper, mesh=mesh, whiten=bool(cfg.whiten),
+            )
+            out["hmc_accept"] = np.asarray(accept)
+        else:
+            samples = fleet_mod.hmc_fleet(
+                cfg.model, batch.x, batch.y, res.vecs,
+                jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,
+                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+                hyper=cfg.hyper, mesh=mesh, n_warmup=cfg.hmc_warmup,
+                adapt_step_size=cfg.hmc_adapt, whiten=bool(cfg.whiten),
+            )
         out["hmc_samples"] = np.asarray(samples)
     if cfg.do_evaluation:
         # replicated-data G/P/D per subject (the mpisim drivers' model

@@ -282,6 +282,14 @@ class TestPreconditionedFleetHMC:
                 n_replicates=2, n=12,
                 cfg=dataclasses.replace(cfg, whiten="pncp"),
             )
+        # adaptive fleet sampling: sampler="nuts" routes through nuts_fleet
+        out_n = workflows.run_sim_fleet(
+            n_replicates=2, n=12,
+            cfg=dataclasses.replace(cfg, sampler="nuts", hmc_warmup=15),
+        )
+        s_n = out_n["hmc_samples"]
+        assert s_n.shape == (2, 5, gnmgp.n_params(12, 2))
+        assert np.all(np.isfinite(s_n))
 
     def test_pilot_mass_and_multichain_rhat(self):
         from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
