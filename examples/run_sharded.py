@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=100)
     ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
+    ap.add_argument("--n-grid", type=int, default=0,
+                    help="grid points for sharded MAP prediction (0 = skip)")
     ap.add_argument("--check", action="store_true",
                     help="compare against the single-device objective")
     ap.add_argument("--out", default=None,
@@ -96,6 +98,25 @@ def main():
         ref = float(nlp_single(res.vec))
         out["single_device_nlp"] = ref
         out["rel_diff"] = abs(out["final_nlp"] - ref) / max(1.0, abs(ref))
+
+    if args.n_grid > 0:
+        t0 = time.time()
+        grid = jnp.linspace(float(data.x.min()), float(data.x.max()), args.n_grid)
+        gp = sharded_obj.predict_map_sharded(
+            res.vec, data, grid, mesh=mesh, block=args.block
+        )
+        out["pred_seconds"] = round(time.time() - t0, 2)
+        out["pred_mean_shape"] = list(np.asarray(gp.mean).shape)
+        assert np.all(np.isfinite(np.asarray(gp.mean)))
+        assert np.all(np.isfinite(np.asarray(gp.std)))
+        if store is not None:
+            from nonstationary_multivariate_gaussian_process_tpu.utils import (
+                ArtifactStore,
+            )
+
+            store.save(ArtifactStore.key("gnmgp", dataset, 0, "pred_grid"),
+                       percentiles=np.asarray(gp.percentiles),
+                       grid=np.asarray(grid))
 
     if args.n_hmc > 0:
         w = whiten.make_whitener("gnmgp", data.x, n, m)

@@ -177,6 +177,88 @@ def _sweep_body(n: int, block: int, n_dev: int):
     return body
 
 
+def _sweep_body_multi(n: int, block: int, n_dev: int):
+    """Multi-RHS fused factor+solve sweep: (a_loc, b_loc (n_loc, R)) →
+    (logdet, ZᵀZ (R, R)) where Z = L⁻¹ B.
+
+    The Gram of the forward-solved columns is everything prediction needs
+    (see :func:`predict_map_sharded`): with B = [y | F] the entries give the
+    training quadratic form (Z₀·Z₀), the kriging means (Z₀·Z_f — the
+    backward solve cancels analytically) and the predictive-variance
+    corrections (Z_f·Z_f), so the factor is never stored and one sweep
+    serves likelihood and prediction alike.
+    """
+    n_blocks = n // block
+    nb_loc = n_blocks // n_dev
+    n_loc = nb_loc * block
+
+    def body(a_loc, b_loc):
+        my_d = lax.axis_index(SUBJECT_AXIS)
+        rows_g = (
+            (jnp.arange(n_loc) // block) * (n_dev * block)
+            + my_d * block
+            + jnp.arange(n_loc) % block
+        )
+        grows = jnp.arange(n)
+        r = b_loc.shape[1]
+
+        def panel(carry, k):
+            a_loc, b_loc, logdet, zz = carry
+            o = k * block
+            strip_loc = lax.dynamic_slice(a_loc, (0, o), (n_loc, block))
+            gathered = lax.all_gather(strip_loc, SUBJECT_AXIS)
+            strip = (
+                gathered.reshape(n_dev, nb_loc, block, block)
+                .transpose(1, 0, 2, 3)
+                .reshape(n, block)
+            )
+            dkk = lax.dynamic_slice(strip, (o, 0), (block, block))
+            lkk = jnp.linalg.cholesky(dkk)
+            w = jax.scipy.linalg.solve_triangular(
+                lkk, jnp.eye(block, dtype=a_loc.dtype), lower=True
+            )
+            below = (grows >= o + block)[:, None]
+            p_full = jnp.where(below, strip @ w.T, 0.0)
+            new_strip = lax.dynamic_update_slice(p_full, lkk, (o, 0))
+            new_loc = (
+                new_strip.reshape(nb_loc, n_dev, block, block)[:, my_d]
+                .reshape(n_loc, block)
+            )
+            a_loc = lax.dynamic_update_slice(a_loc, new_loc, (0, o))
+            local_below = (rows_g >= o + block)[:, None]
+            p_loc = jnp.where(local_below, new_loc, 0.0)
+            a_loc = a_loc - p_loc @ p_full.T
+            b_gathered = lax.all_gather(b_loc, SUBJECT_AXIS)  # (D, n_loc, R)
+            b_full = (
+                b_gathered.reshape(n_dev, nb_loc, block, r)
+                .transpose(1, 0, 2, 3)
+                .reshape(n, r)
+            )
+            b_k = lax.dynamic_slice(b_full, (o, 0), (block, r))
+            z_k = w @ b_k  # (block, R)
+            b_loc = b_loc - p_loc @ z_k
+            mine = (k % n_dev == my_d).astype(a_loc.dtype)
+            logdet = logdet + mine * 2.0 * jnp.sum(jnp.log(jnp.diag(lkk)))
+            zz = zz + mine * (z_k.T @ z_k)
+            return (a_loc, b_loc, logdet, zz), None
+
+        zero = lax.pcast(
+            jnp.zeros((), a_loc.dtype), (SUBJECT_AXIS,), to="varying"
+        )
+        zz0 = lax.pcast(
+            jnp.zeros((r, r), a_loc.dtype), (SUBJECT_AXIS,), to="varying"
+        )
+        (_, _, logdet, zz), _ = lax.scan(
+            panel, (a_loc, b_loc, zero, zz0), jnp.arange(n_blocks)
+        )
+        return (
+            lax.psum(logdet, SUBJECT_AXIS),
+            lax.psum(zz, SUBJECT_AXIS),
+        )
+
+    return body
+
+
 def _padded_size(mn: int, block: int, n_dev: int) -> int:
     return -(-mn // (block * n_dev)) * block * n_dev
 
@@ -319,6 +401,121 @@ def make_objective_sharded(
         return -res
 
     return nlp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "m", "g", "block", "mesh_holder", "jitter"),
+)
+def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter):
+    (mesh,) = mesh_holder
+    n_dev = mesh.devices.size
+    mn = n * m
+    nb = _padded_size(mn, block, n_dev)
+    nb_loc = ((nb // block) // n_dev) * block
+
+    p = gnmgp.unpack(vec, n, m)
+    ls = gnmgp.chol_process(p.ul_vecs, n, m)
+    ell = jnp.exp(p.tilde_l)
+    s2_vec = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
+
+    def shard_fn(vec_r, y_r, x_r, ell_r, ls_r, s2_r, kc_r):
+        my_d = lax.axis_index(SUBJECT_AXIS)
+        rows_g = (
+            (jnp.arange(nb_loc) // block) * (n_dev * block)
+            + my_d * block
+            + jnp.arange(nb_loc) % block
+        )
+        a_loc, b_loc = _assemble_local(
+            rows_g, nb, mn, x_r, ell_r, ls_r, s2_r, jitter, y_r
+        )
+        # local rows of F[(a,n),(b,g)] = k_cross[n,g] · L_n[a,b]: built from
+        # the replicated O(N·(M²+G)) inputs, never materialized globally
+        real = rows_g < mn
+        safe = jnp.clip(rows_g, 0, mn - 1)
+        a_idx = safe // n
+        n_idx = safe % n
+        f_loc = jnp.einsum(
+            "rg,rb->rbg", kc_r[n_idx], ls_r[n_idx, a_idx]
+        ).reshape(nb_loc, m * g)
+        f_loc = jnp.where(real[:, None], f_loc, 0.0)
+        rhs = jnp.concatenate([b_loc[:, None], f_loc], axis=1)
+        return _sweep_body_multi(nb, block, n_dev)(a_loc, rhs)
+
+    logdet, zz = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )(vec, y_tm, x, ell, ls, s2_vec, k_cross)
+    return logdet, zz
+
+
+def predict_map_sharded(
+    vec: jnp.ndarray,
+    data: FullData,
+    grid,
+    mesh: Mesh | None = None,
+    hyper: dict | None = None,
+    block: int = BLOCK,
+):
+    """Plug-in MAP prediction with the training Gram sharded over the mesh.
+
+    Numerically matches :func:`..predict.gnmgp.predict_map` (same kriged
+    latents, same moments) but never materializes the (MN × MN) training
+    Gram or its factor on one device: the multi-RHS fused sweep forward-
+    solves ``L⁻¹[y | F]`` in the same pass as the factorization, and the
+    solved columns' Gram supplies both the kriging means
+    (``fᵀΣ⁻¹y = (L⁻¹f)·(L⁻¹y)`` — the backward solve cancels) and the
+    variance corrections ``FᵀΣ⁻¹F``.  Completes the large-MN story: MAP
+    *and* prediction beyond one chip's HBM through the same row-band path.
+    """
+    from ..ops import kernels
+    from ..predict import gnmgp as pred_gnmgp
+
+    if mesh is None:
+        mesh = make_mesh()
+    hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
+    n, m = data.y.shape
+    g = int(jnp.asarray(grid).shape[0])
+    grid = jnp.asarray(grid, data.x.dtype)
+    vec = jnp.asarray(vec)
+    p = gnmgp.unpack(vec, n, m)
+
+    # kriged latent processes at the grid: small replicated (N, N) ops
+    cond_l, cond_ul = pred_gnmgp._latent_conds(p, data, grid, hp, n, m)
+    l_vec_star = transforms.ulvec_to_lvec(cond_ul.mean.T, m)  # (G, T)
+    ls_star = transforms.vec_to_tril(l_vec_star, m)  # (G, M, M)
+    l_star = jnp.exp(cond_l.mean)
+
+    ell = jnp.exp(p.tilde_l)
+    ones_n = jnp.ones((n,), grid.dtype)
+    ones_g = jnp.ones((g,), grid.dtype)
+    k_cross = kernels.nonstationary_rbf_cov(
+        data.x, sigma1=ones_n, ell1=ell, x2=grid, sigma2=ones_g, ell2=l_star
+    )  # (N, G)
+
+    y_tm = data.y.T.reshape(-1)
+    _, zz = _predict_sharded(
+        vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
+        float(settings.jitter),
+    )
+
+    t = zz[0, 1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
+    mu_f = jnp.einsum("gab,bg->ga", ls_star, t)  # (G, M)
+    h_full = zz[1:, 1:].reshape(m, g, m, g)
+    idx = jnp.arange(g)
+    h = h_full[:, idx, :, idx]  # (G, M, M): FᵀΣ⁻¹F per grid point
+    d = jnp.einsum("gab,gbc,gac->ga", ls_star, h, ls_star)
+    k_self_star = 1.0 + settings.jitter
+    b_star_diag = jnp.sum(ls_star**2, axis=-1)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    sigma2_y = jnp.maximum(k_self_star * b_star_diag - d + sigma2_err, sigma2_err)
+    sd = jnp.sqrt(sigma2_y)
+    pct = jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd], axis=1)
+    return pred_gnmgp.GridPredictionSVC(
+        percentiles=pct, mean=mu_f, std=sd, l_vecs=l_vec_star
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,27 @@ def test_hetero_loglik_matches_single_device(rng):
     )
     ll_ref = gnmgp_hetero.log_lik(gnmgp_hetero.unpack(vec, n, m), FullData(x, y))
     np.testing.assert_allclose(float(ll_sharded), float(ll_ref), rtol=1e-9)
+
+
+def test_predict_map_sharded_matches_single_device(rng):
+    """Sharded MAP prediction (multi-RHS sweep) vs predict.gnmgp.predict_map."""
+    from nonstationary_multivariate_gaussian_process_tpu.predict import (
+        gnmgp as pred_gnmgp,
+    )
+
+    mesh = make_mesh(8)
+    n, m = 24, 2
+    x, y, vec = _problem(rng, n, m)
+    data = FullData(x, y)
+    grid = jnp.linspace(0.05, 0.95, 17)
+    sp = sharded_obj.predict_map_sharded(vec, data, grid, mesh=mesh, block=4)
+    ref = pred_gnmgp.predict_map(vec, data, grid)
+    np.testing.assert_allclose(
+        np.asarray(sp.mean), np.asarray(ref.mean), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.std), np.asarray(ref.std), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.l_vecs), np.asarray(ref.l_vecs), rtol=1e-9
+    )
