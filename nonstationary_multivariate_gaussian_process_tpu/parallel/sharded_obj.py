@@ -405,19 +405,26 @@ def make_objective_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("n", "m", "g", "block", "mesh_holder", "jitter"),
+    static_argnames=("n", "m", "g", "block", "mesh_holder", "jitter", "model"),
 )
-def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter):
+def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter,
+                     model: str = "gnmgp"):
     (mesh,) = mesh_holder
     n_dev = mesh.devices.size
     mn = n * m
     nb = _padded_size(mn, block, n_dev)
     nb_loc = ((nb // block) // n_dev) * block
 
-    p = gnmgp.unpack(vec, n, m)
+    if model == "gnmgp_hetero":
+        from ..models import gnmgp_hetero
+
+        p = gnmgp_hetero.unpack(vec, n, m)
+        s2_vec = jnp.exp(p.tilde_sigma2_err)
+    else:
+        p = gnmgp.unpack(vec, n, m)
+        s2_vec = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
     ls = gnmgp.chol_process(p.ul_vecs, n, m)
     ell = jnp.exp(p.tilde_l)
-    s2_vec = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
 
     def shard_fn(vec_r, y_r, x_r, ell_r, ls_r, s2_r, kc_r):
         my_d = lax.axis_index(SUBJECT_AXIS)
@@ -458,6 +465,7 @@ def predict_map_sharded(
     mesh: Mesh | None = None,
     hyper: dict | None = None,
     block: int = BLOCK,
+    model: str = "gnmgp",
 ):
     """Plug-in MAP prediction with the training Gram sharded over the mesh.
 
@@ -475,12 +483,24 @@ def predict_map_sharded(
 
     if mesh is None:
         mesh = make_mesh()
-    hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
     g = int(jnp.asarray(grid).shape[0])
     grid = jnp.asarray(grid, data.x.dtype)
     vec = jnp.asarray(vec)
-    p = gnmgp.unpack(vec, n, m)
+    if model == "gnmgp_hetero":
+        from ..models import gnmgp_hetero
+        from ..predict import gnmgp_hetero as pred_hetero
+
+        hp = {**gnmgp_hetero.DEFAULT_HYPERS, **(hyper or {})}
+        p = gnmgp_hetero.unpack(vec, n, m)
+        cond_err = pred_hetero._noise_cond(p, data, grid, hp, n, m)
+        noise_var = jnp.exp(cond_err.mean).T  # (G, M), kriged noise process
+    elif model == "gnmgp":
+        hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
+        p = gnmgp.unpack(vec, n, m)
+        noise_var = None
+    else:
+        raise ValueError(f"unknown sharded model {model!r}")
 
     # kriged latent processes at the grid: small replicated (N, N) ops
     cond_l, cond_ul = pred_gnmgp._latent_conds(p, data, grid, hp, n, m)
@@ -498,7 +518,7 @@ def predict_map_sharded(
     y_tm = data.y.T.reshape(-1)
     _, zz = _predict_sharded(
         vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
-        float(settings.jitter),
+        float(settings.jitter), model=model,
     )
 
     t = zz[0, 1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
@@ -509,10 +529,19 @@ def predict_map_sharded(
     d = jnp.einsum("gab,gbc,gac->ga", ls_star, h, ls_star)
     k_self_star = 1.0 + settings.jitter
     b_star_diag = jnp.sum(ls_star**2, axis=-1)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    sigma2_err = (
+        noise_var if noise_var is not None else jnp.exp(p.tilde_sigma2_err)
+    )
     sigma2_y = jnp.maximum(k_self_star * b_star_diag - d + sigma2_err, sigma2_err)
     sd = jnp.sqrt(sigma2_y)
     pct = jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd], axis=1)
+    if model == "gnmgp_hetero":
+        from ..predict import gnmgp_hetero as pred_hetero
+
+        return pred_hetero.GridPredictionHetero(
+            percentiles=pct, mean=mu_f, std=sd, l_vecs=l_vec_star,
+            noise_var=noise_var,
+        )
     return pred_gnmgp.GridPredictionSVC(
         percentiles=pct, mean=mu_f, std=sd, l_vecs=l_vec_star
     )

@@ -132,3 +132,31 @@ def test_predict_map_sharded_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(sp.l_vecs), np.asarray(ref.l_vecs), rtol=1e-9
     )
+
+
+def test_predict_map_sharded_hetero_matches_single_device(rng):
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp_hetero
+    from nonstationary_multivariate_gaussian_process_tpu.predict import (
+        gnmgp_hetero as pred_hetero,
+    )
+
+    mesh = make_mesh(8)
+    n, m = 24, 2
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    y = jnp.asarray(rng.normal(size=(n, m)))
+    vec = jnp.asarray(rng.normal(size=gnmgp_hetero.n_params(n, m)) * 0.3)
+    data = FullData(x, y)
+    grid = jnp.linspace(0.05, 0.95, 13)
+    sp = sharded_obj.predict_map_sharded(
+        vec, data, grid, mesh=mesh, block=4, model="gnmgp_hetero"
+    )
+    ref = pred_hetero.predict_map(vec, data, grid)
+    np.testing.assert_allclose(
+        np.asarray(sp.mean), np.asarray(ref.mean), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.std), np.asarray(ref.std), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.noise_var), np.asarray(ref.noise_var), rtol=1e-9
+    )
