@@ -253,6 +253,7 @@ def hmc_fleet(
     target_accept: float = 0.75,
     masses=None,
     whiten: bool = False,
+    masks: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """HMC chains for a fleet of subjects, sharded over the mesh.
 
@@ -264,7 +265,9 @@ def hmc_fleet(
     ``whiten=True`` samples every subject's prior-whitened space (reusing the
     fleet's batched prior factors as the maps; draws come back in the natural
     space) — mutually exclusive with ``masses``, whose scales are natural-
-    space.  Returns (S, n_samples, P) posterior draws.
+    space.  ``masks`` (S, N) marks real observations so padded ragged
+    subjects sample their *exact* posterior (same masked likelihoods as
+    :func:`fit_fleet_map`).  Returns (S, n_samples, P) posterior draws.
     """
     from ..inference import hmc as hmc_mod
 
@@ -295,17 +298,24 @@ def hmc_fleet(
     else:
         masses_arr = jnp.asarray(masses, settings.dtype)
         masses_arr, _ = pad_to_multiple(masses_arr, n_dev)
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
 
     pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
-    nlp = _subject_nlp(model_name, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
 
-    def chain_one(vec0, x, y, p1, p2, k, mass):
+    def chain_one(vec0, x, y, p1, p2, k, mass, mask):
+        args = (x, y, p1, p2) + ((mask,) if masked else ())
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, p1, p2), x, y, p1, p2)
+            pot = lambda u: nlp(fw(u, p1, p2), *args)
             vec0 = tw(vec0, p1, p2)
         else:
-            pot = lambda v: nlp(v, x, y, p1, p2)
+            pot = lambda v: nlp(v, *args)
         res = hmc_mod.hmc_sample(
             pot, vec0, n_samples, k, step_size=step_size, n_leapfrog=n_leapfrog,
             n_warmup=n_warmup, adapt_step_size=adapt_step_size,
@@ -316,16 +326,16 @@ def hmc_fleet(
             return jax.vmap(lambda u: wfns[0](u, p1, p2))(res.samples)
         return res.samples
 
-    def shard_fn(vec0, x, y, p1, p2, k, mass):
-        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mass)
+    def shard_fn(vec0, x, y, p1, p2, k, mass, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mass, mask)
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
         out_specs=P(SUBJECT_AXIS),
     )
-    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masses_arr)
+    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masses_arr, masks)
     return samples[:s_real]
 
 

@@ -786,11 +786,28 @@ def run_cohort(
             hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
             masks=jnp.asarray(mask),
         )
-        return {
+        out = {
             "vec": np.asarray(res.vecs),
             "final_nlp": np.asarray(res.final_nlp),
             "n_train": np.asarray(mask).sum(axis=1).astype(int),
         }
+        if cfg.do_hmc:
+            # per-subject posterior chains (the KAISER drivers' HMC stage),
+            # exact masked likelihoods for padded ragged subjects, optionally
+            # prior-whitened per subject
+            if cfg.whiten == "pncp":
+                raise ValueError("run_cohort supports whiten=True/'prior' "
+                                 "only (pncp is single-subject)")
+            samples = fleet_mod.hmc_fleet(
+                cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0])),
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
+                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+            )
+            out["hmc"] = np.asarray(samples)
+        return out
 
     per_subject = buckets_mod.run_bucketed(
         xs, ys, fit_bucket, n_buckets=n_buckets, mode=mode
@@ -802,6 +819,11 @@ def run_cohort(
     for pos, sid in enumerate(ids):
         entry = per_subject[pos]
         rec = {"map_vec": entry["vec"], "final_nlp": float(entry["final_nlp"])}
+        if "hmc" in entry:
+            rec["hmc_samples"] = entry["hmc"]  # (T, P), bucket-padded layout
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                           samples=entry["hmc"])
         x_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test:
             # bucket staging may have cropped (truncate) or padded (pad) the

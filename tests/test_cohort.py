@@ -66,6 +66,29 @@ class TestCohortWorkflow:
         assert out["reduction"]["n_valid"] == 5
         assert np.isfinite(out["reduction"]["rmse"]["mean"])
 
+    def test_run_cohort_whitened_hmc_stage(self, tmp_path):
+        """Cohort posterior sampling: exact masked + whitened fleet chains
+        per bucket (the KAISER drivers' per-rank HMC stage)."""
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, [14, 16, 16])):
+            d = sim.sim_mnts(k, n=n)
+            subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, window_size=5, do_hmc=True, n_hmc=5,
+            whiten=True, hmc_step_size=1e-3, do_pred_test=False,
+        )
+        store = ArtifactStore(str(tmp_path))
+        out = workflows.run_cohort(subjects, cfg, store=store, n_buckets=2)
+        for sid, rec in out["subjects"].items():
+            s = rec["hmc_samples"]
+            assert s.shape[0] == 5 and np.all(np.isfinite(s))
+        # bucket-padded layout: ragged subjects carry the padded param count
+        assert out["subjects"]["id0"]["hmc_samples"].shape[1] >= gnmgp.n_params(14, 2)
+        assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "hmc"))
+
 
 class TestDataIO:
     def test_sim_pickle_roundtrip(self, tmp_path):
