@@ -587,6 +587,105 @@ def fit_fleet_map_hadamard(
     )
 
 
+def hmc_fleet_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    map_vecs: jnp.ndarray,  # (S, P) warm starts
+    key,
+    n_samples: int = 100,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 20,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    n_warmup: int = 0,
+    adapt_step_size: bool = False,
+    masks: jnp.ndarray | None = None,
+    whiten: bool = False,
+) -> jnp.ndarray:
+    """HMC chains for a fleet of Hadamard-layout subjects, sharded over the mesh.
+
+    The sampling counterpart of :func:`fit_fleet_map_hadamard` (the reference
+    distributed drivers' HMC stage on the one-obs-per-(input, task) layout).
+    ``masks`` makes padded ragged subjects exact; ``whiten=True`` samples the
+    prior-whitened latent blocks via the fleet's batched prior factors (the
+    Hadamard latent layout is per-observation, so the maps are the same
+    shape as the full-layout ones).  Returns (S, n_samples, P) draws.
+    """
+    from ..inference import hmc as hmc_mod
+
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1], m, hp)
+        if whiten else None
+    )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    alphas = _hadamard_prior_alphas(model_name, hp)
+    if alphas is None:
+        pc1 = jnp.zeros((xs.shape[0], 0))
+        pc2 = jnp.zeros((xs.shape[0], 0))
+    else:
+        a1, b1, a2, b2 = alphas
+        pcs = [
+            (chol_ops.prior_rbf_cholesky(xs[i], a1, b1),
+             chol_ops.prior_rbf_cholesky(xs[i], a2, b2))
+            for i in range(xs.shape[0])
+        ]
+        pc1 = jnp.stack([p[0] for p in pcs])
+        pc2 = jnp.stack([p[1] for p in pcs])
+
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+
+    def chain_one(vec0, x, indx, y, p1, p2, k, mask):
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2), x, indx, y, p1, p2, mask)
+            vec0 = tw(vec0, p1, p2)
+        else:
+            pot = lambda v: nlp(v, x, indx, y, p1, p2, mask)
+        res = hmc_mod.hmc_sample(
+            pot, vec0, n_samples, k, step_size=step_size,
+            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+            adapt_step_size=adapt_step_size,
+        )
+        if wfns is not None:
+            return jax.vmap(lambda u: wfns[0](u, p1, p2))(res.samples)
+        return res.samples
+
+    def shard_fn(vec0, x, indx, y, p1, p2, k, mask):
+        return jax.vmap(chain_one)(vec0, x, indx, y, p1, p2, k, mask)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=P(SUBJECT_AXIS),
+    )
+    samples = jax.jit(sharded)(map_vecs, xs, indxs, ys, pc1, pc2, keys, masks)
+    return samples[:s_real]
+
+
 def pilot_mass_fleet(
     model_name: str,
     xs: jnp.ndarray,

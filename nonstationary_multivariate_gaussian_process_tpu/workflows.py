@@ -550,11 +550,23 @@ def run_cohort_hadamard(
             jnp.asarray(inits), hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr,
             mesh=mesh, masks=jnp.asarray(mask),
         )
-        return {
+        out = {
             "vec": np.asarray(res.vecs),
             "final_nlp": np.asarray(res.final_nlp),
             "n_train": np.asarray(mask).sum(axis=1).astype(int),
         }
+        if cfg.do_hmc:
+            samples = fleet_mod.hmc_fleet_hadamard(
+                cfg.model, jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y),
+                m, res.vecs,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0])),
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
+                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                masks=jnp.asarray(mask), whiten=bool(cfg.whiten),
+            )
+            out["hmc"] = np.asarray(samples)
+        return out
 
     y_pairs = [np.stack([indxs[i], ys[i]], axis=-1) for i in range(len(ids))]
     per_subject = buckets_mod.run_bucketed(
@@ -565,6 +577,11 @@ def run_cohort_hadamard(
     for pos, sid in enumerate(ids):
         entry = per_subject[pos]
         rec = {"final_nlp": float(entry["final_nlp"])}
+        if "hmc" in entry:
+            rec["hmc_samples"] = entry["hmc"]  # (T, P), bucket-padded layout
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                           samples=entry["hmc"])
         n_real = int(entry["n_train"])
         x_u = xs[pos][:n_real]
         i_u = indxs[pos][:n_real]

@@ -185,6 +185,32 @@ class TestHadamardCohort:
                 assert np.isfinite(rec["final_nlp"]), model
                 assert np.isfinite(rec["test_rmse"]), model
 
+    def test_run_cohort_hadamard_whitened_hmc(self, tmp_path, rng):
+        """Hadamard cohort posterior sampling: masked + whitened fleet chains."""
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+        from nonstationary_multivariate_gaussian_process_tpu.data import sim
+        from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, [20, 24, 24])):
+            d = sim.sim_mnts(k, n=n)
+            indx = rng.integers(0, 2, size=n)
+            y = np.asarray(d.y)[np.arange(n), indx]
+            subjects[f"s{i}"] = (np.asarray(d.x), indx, y)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=25, do_hmc=True, n_hmc=5, whiten=True,
+            hmc_step_size=1e-3, do_pred_test=False,
+        )
+        st = ArtifactStore(str(tmp_path))
+        out = workflows.run_cohort_hadamard(
+            subjects, m=2, cfg=cfg, store=st, n_buckets=2, split="none"
+        )
+        for sid, rec in out["subjects"].items():
+            s = rec["hmc_samples"]
+            assert s.shape[0] == 5 and np.all(np.isfinite(s)), sid
+        assert st.exists(ArtifactStore.key("gnmgp", "cohort_h", "s0", "hmc"))
+
     def test_run_subject_hadamard_hmc_sample_scoring(self, rng):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
         from nonstationary_multivariate_gaussian_process_tpu.data import sim
