@@ -110,10 +110,6 @@ def main():
         assert np.all(np.isfinite(np.asarray(gp.mean)))
         assert np.all(np.isfinite(np.asarray(gp.std)))
         if store is not None:
-            from nonstationary_multivariate_gaussian_process_tpu.utils import (
-                ArtifactStore,
-            )
-
             store.save(ArtifactStore.key("gnmgp", dataset, 0, "pred_grid"),
                        percentiles=np.asarray(gp.percentiles),
                        grid=np.asarray(grid))
@@ -130,10 +126,6 @@ def main():
         samples = np.asarray(w.from_white_batch(chain.samples))
         assert np.all(np.isfinite(samples))
         if store is not None:
-            from nonstationary_multivariate_gaussian_process_tpu.utils import (
-                ArtifactStore,
-            )
-
             store.save(ArtifactStore.key("gnmgp", dataset, 0, "hmc"),
                        samples=samples)
 

@@ -103,19 +103,21 @@ def load_long_csv(
             if c not in cols:
                 raise ValueError(f"column {c!r} not in CSV header {cols}")
         rows = []
-        for lineno, r in enumerate(reader, start=2):
+        for r in reader:
+            # reader.line_num tracks physical lines (quoted embedded
+            # newlines included), so error messages point at the real row
             try:
                 t = float(r[time_col])
                 v = float(r[value_col])
             except (TypeError, ValueError) as e:
                 raise ValueError(
-                    f"{path} line {lineno}: cannot parse "
+                    f"{path} line {reader.line_num}: cannot parse "
                     f"{time_col}={r[time_col]!r} / {value_col}={r[value_col]!r} "
                     f"({e}); clean or drop the row"
                 ) from None
             if not (np.isfinite(t) and np.isfinite(v)):
                 raise ValueError(
-                    f"{path} line {lineno}: non-finite "
+                    f"{path} line {reader.line_num}: non-finite "
                     f"{time_col}={r[time_col]!r} / {value_col}={r[value_col]!r}"
                 )
             rows.append((r[subject_col] if subject_col else 0, t, r[task_col], v))

@@ -352,6 +352,7 @@ def nuts_fleet(
     hyper: dict | None = None,
     mesh: Mesh | None = None,
     whiten: bool = False,
+    masks: jnp.ndarray | None = None,
 ):
     """Adaptive NUTS chains for a fleet of subjects, sharded over the mesh.
 
@@ -360,8 +361,8 @@ def nuts_fleet(
     XLA program, so it vmaps across subjects and shards across devices like
     the HMC fleet), adapting its own step size and diagonal metric.
     ``whiten=True`` samples each subject's prior-whitened space via the
-    fleet's batched prior factors.  Returns ``(samples (S, T, P),
-    accept_stat (S,))``.
+    fleet's batched prior factors; ``masks`` (S, N) makes padded ragged
+    subjects exact.  Returns ``(samples (S, T, P), accept_stat (S,))``.
     """
     from ..inference import nuts as nuts_mod
 
@@ -384,17 +385,24 @@ def nuts_fleet(
     ys, _ = pad_to_multiple(ys, n_dev)
     map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
     keys = jax.random.split(key, xs.shape[0])
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
 
     pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
-    nlp = _subject_nlp(model_name, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
 
-    def chain_one(vec0, x, y, p1, p2, k):
+    def chain_one(vec0, x, y, p1, p2, k, mask):
+        args = (x, y, p1, p2) + ((mask,) if masked else ())
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, p1, p2), x, y, p1, p2)
+            pot = lambda u: nlp(fw(u, p1, p2), *args)
             vec0 = tw(vec0, p1, p2)
         else:
-            pot = lambda v: nlp(v, x, y, p1, p2)
+            pot = lambda v: nlp(v, *args)
         res = nuts_mod.nuts_sample(
             pot, vec0, n_samples, k, step_size=step_size, n_warmup=n_warmup,
             max_depth=max_depth,
@@ -404,8 +412,8 @@ def nuts_fleet(
             samples = jax.vmap(lambda u: wfns[0](u, p1, p2))(samples)
         return samples, jnp.mean(res.accept_stat[n_warmup:])
 
-    def shard_fn(vec0, x, y, p1, p2, k):
-        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k)
+    def shard_fn(vec0, x, y, p1, p2, k, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mask)
 
     # check_vma=False: the NUTS U-turn while_loop mixes replicated literals
     # into its carry, which the varying-mask analysis rejects; chain_one is
@@ -413,11 +421,11 @@ def nuts_fleet(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
         check_vma=False,
     )
-    samples, accept = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys)
+    samples, accept = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masks)
     return samples[:s_real], accept[:s_real]
 
 
@@ -447,6 +455,21 @@ def _hadamard_prior_alphas(model_name: str, hp: dict):
     if model_name == "gnmgp":
         return (hp["alpha_tilde_l"], hp["beta_tilde_l"], hp["alpha_L"], hp["beta_L"])
     return None
+
+
+def _batched_hadamard_prior_chols(model_name: str, xs: jnp.ndarray, hp: dict):
+    """Stack per-subject Hadamard prior factors (host-f64 islands)."""
+    alphas = _hadamard_prior_alphas(model_name, hp)
+    if alphas is None:  # lmc: no GP priors
+        s = xs.shape[0]
+        return jnp.zeros((s, 0)), jnp.zeros((s, 0))
+    a1, b1, a2, b2 = alphas
+    pcs = [
+        (chol_ops.prior_rbf_cholesky(xs[i], a1, b1),
+         chol_ops.prior_rbf_cholesky(xs[i], a2, b2))
+        for i in range(xs.shape[0])
+    ]
+    return jnp.stack([p[0] for p in pcs]), jnp.stack([p[1] for p in pcs])
 
 
 def _subject_nlp_hadamard(model_name: str, m: int, hp: dict):
@@ -515,20 +538,7 @@ def fit_fleet_map_hadamard(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    alphas = _hadamard_prior_alphas(model_name, hp)
-    if alphas is None:
-        s = xs.shape[0]
-        pc1 = jnp.zeros((s, 0))
-        pc2 = jnp.zeros((s, 0))
-    else:
-        a1, b1, a2, b2 = alphas
-        pcs = [
-            (chol_ops.prior_rbf_cholesky(xs[i], a1, b1),
-             chol_ops.prior_rbf_cholesky(xs[i], a2, b2))
-            for i in range(xs.shape[0])
-        ]
-        pc1 = jnp.stack([p[0] for p in pcs])
-        pc2 = jnp.stack([p[1] for p in pcs])
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
 
     nlp = _subject_nlp_hadamard(model_name, m, hp)
     optimizer = optax.adam(lr)
@@ -641,19 +651,7 @@ def hmc_fleet_hadamard(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    alphas = _hadamard_prior_alphas(model_name, hp)
-    if alphas is None:
-        pc1 = jnp.zeros((xs.shape[0], 0))
-        pc2 = jnp.zeros((xs.shape[0], 0))
-    else:
-        a1, b1, a2, b2 = alphas
-        pcs = [
-            (chol_ops.prior_rbf_cholesky(xs[i], a1, b1),
-             chol_ops.prior_rbf_cholesky(xs[i], a2, b2))
-            for i in range(xs.shape[0])
-        ]
-        pc1 = jnp.stack([p[0] for p in pcs])
-        pc2 = jnp.stack([p[1] for p in pcs])
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
 
     nlp = _subject_nlp_hadamard(model_name, m, hp)
 

@@ -100,97 +100,43 @@ def _sweep_body(n: int, block: int, n_dev: int):
     """Per-device fused factor+solve sweep over the block-cyclic band.
 
     Takes (a_loc (n_loc, n), b_loc (n_loc,)), returns this device's psummed
-    share of (logdet, quad).  Same panel algebra as
-    :func:`.sharded_chol._local_shard_fn`, plus the interleaved forward
-    substitution.
+    share of (logdet, quad).  The R=1 case of :func:`_sweep_body_multi`
+    (one panel algebra to maintain; quad = ZᵀZ[0,0]).
     """
-    n_blocks = n // block
-    nb_loc = n_blocks // n_dev
-    n_loc = nb_loc * block
+    multi = _sweep_body_multi(n, block, n_dev)
 
     def body(a_loc, b_loc):
-        my_d = lax.axis_index(SUBJECT_AXIS)
-        rows_g = (
-            (jnp.arange(n_loc) // block) * (n_dev * block)
-            + my_d * block
-            + jnp.arange(n_loc) % block
-        )
-        grows = jnp.arange(n)
-
-        def panel(carry, k):
-            a_loc, b_loc, logdet, quad = carry
-            o = k * block
-            strip_loc = lax.dynamic_slice(a_loc, (0, o), (n_loc, block))
-            gathered = lax.all_gather(strip_loc, SUBJECT_AXIS)  # (D, n_loc, b)
-            strip = (
-                gathered.reshape(n_dev, nb_loc, block, block)
-                .transpose(1, 0, 2, 3)
-                .reshape(n, block)
-            )
-            dkk = lax.dynamic_slice(strip, (o, 0), (block, block))
-            lkk = jnp.linalg.cholesky(dkk)
-            w = jax.scipy.linalg.solve_triangular(
-                lkk, jnp.eye(block, dtype=a_loc.dtype), lower=True
-            )
-            below = (grows >= o + block)[:, None]
-            p_full = jnp.where(below, strip @ w.T, 0.0)
-            new_strip = lax.dynamic_update_slice(p_full, lkk, (o, 0))
-            new_loc = (
-                new_strip.reshape(nb_loc, n_dev, block, block)[:, my_d]
-                .reshape(n_loc, block)
-            )
-            a_loc = lax.dynamic_update_slice(a_loc, new_loc, (0, o))
-            local_below = (rows_g >= o + block)[:, None]
-            p_loc = jnp.where(local_below, new_loc, 0.0)
-            a_loc = a_loc - p_loc @ p_full.T
-            # forward substitution: z_k = L_kk⁻¹ b_k, downdate trailing RHS
-            b_gathered = lax.all_gather(b_loc, SUBJECT_AXIS)  # (D, n_loc)
-            b_full = (
-                b_gathered.reshape(n_dev, nb_loc, block)
-                .transpose(1, 0, 2)
-                .reshape(n)
-            )
-            b_k = lax.dynamic_slice(b_full, (o,), (block,))
-            z_k = w @ b_k
-            b_loc = b_loc - p_loc @ z_k
-            # every device computes the panel redundantly; only the block's
-            # owner contributes, so the final psum is exact (and provably
-            # replicated for out_specs=P()).
-            mine = (k % n_dev == my_d).astype(a_loc.dtype)
-            logdet = logdet + mine * 2.0 * jnp.sum(jnp.log(jnp.diag(lkk)))
-            quad = quad + mine * jnp.sum(z_k * z_k)
-            return (a_loc, b_loc, logdet, quad), None
-
-        # the owner-masked accumulators are device-varying (they depend on
-        # axis_index), so the initial carry must be cast to varying too
-        zero = lax.pcast(
-            jnp.zeros((), a_loc.dtype), (SUBJECT_AXIS,), to="varying"
-        )
-        (_, _, logdet, quad), _ = lax.scan(
-            panel, (a_loc, b_loc, zero, zero), jnp.arange(n_blocks)
-        )
-        return (
-            lax.psum(logdet, SUBJECT_AXIS),
-            lax.psum(quad, SUBJECT_AXIS),
-        )
+        logdet, zz = multi(a_loc, b_loc[:, None])
+        return logdet, zz[0, 0]
 
     return body
 
 
-def _sweep_body_multi(n: int, block: int, n_dev: int):
+def _sweep_body_multi(n: int, block: int, n_dev: int,
+                      accum: str = "full", m: int | None = None,
+                      g: int | None = None):
     """Multi-RHS fused factor+solve sweep: (a_loc, b_loc (n_loc, R)) →
-    (logdet, ZᵀZ (R, R)) where Z = L⁻¹ B.
+    (logdet, acc) where Z = L⁻¹ B.
 
-    The Gram of the forward-solved columns is everything prediction needs
-    (see :func:`predict_map_sharded`): with B = [y | F] the entries give the
+    The products of the forward-solved columns are everything prediction
+    needs (see :func:`predict_map_sharded`): with B = [y | F] they give the
     training quadratic form (Z₀·Z₀), the kriging means (Z₀·Z_f — the
     backward solve cancels analytically) and the predictive-variance
     corrections (Z_f·Z_f), so the factor is never stored and one sweep
     serves likelihood and prediction alike.
+
+    ``accum="full"`` returns the dense ZᵀZ (R, R).  ``accum="predict"``
+    (requires ``m``/``g`` with R = 1 + m·g) returns ``(row0 (R,), h
+    (g, m, m))`` — the first Gram row plus the per-grid-point (M, M)
+    diagonal blocks, the only entries prediction reads.  The dense Gram
+    would be (MG)²-sized, re-materializing exactly the scale the row-band
+    sweep exists to avoid; the predict accumulator is O(MG + GM²).
     """
     n_blocks = n // block
     nb_loc = n_blocks // n_dev
     n_loc = nb_loc * block
+    if accum not in ("full", "predict"):
+        raise ValueError(f"unknown accum {accum!r}")
 
     def body(a_loc, b_loc):
         my_d = lax.axis_index(SUBJECT_AXIS)
@@ -203,7 +149,7 @@ def _sweep_body_multi(n: int, block: int, n_dev: int):
         r = b_loc.shape[1]
 
         def panel(carry, k):
-            a_loc, b_loc, logdet, zz = carry
+            a_loc, b_loc, logdet, acc = carry
             o = k * block
             strip_loc = lax.dynamic_slice(a_loc, (0, o), (n_loc, block))
             gathered = lax.all_gather(strip_loc, SUBJECT_AXIS)
@@ -237,23 +183,42 @@ def _sweep_body_multi(n: int, block: int, n_dev: int):
             b_k = lax.dynamic_slice(b_full, (o, 0), (block, r))
             z_k = w @ b_k  # (block, R)
             b_loc = b_loc - p_loc @ z_k
+            # every device computes the panel redundantly; only the block's
+            # owner contributes, so the final psum is exact (and provably
+            # replicated for out_specs=P()).
             mine = (k % n_dev == my_d).astype(a_loc.dtype)
             logdet = logdet + mine * 2.0 * jnp.sum(jnp.log(jnp.diag(lkk)))
-            zz = zz + mine * (z_k.T @ z_k)
-            return (a_loc, b_loc, logdet, zz), None
+            if accum == "full":
+                acc = acc + mine * (z_k.T @ z_k)
+            else:
+                row0, h = acc
+                zf = z_k[:, 1:].reshape(block, m, g)
+                row0 = row0 + mine * (z_k.T @ z_k[:, 0])
+                h = h + mine * jnp.einsum("kbg,kcg->gbc", zf, zf)
+                acc = (row0, h)
+            return (a_loc, b_loc, logdet, acc), None
 
-        zero = lax.pcast(
-            jnp.zeros((), a_loc.dtype), (SUBJECT_AXIS,), to="varying"
+        # the owner-masked accumulators are device-varying (they depend on
+        # axis_index), so the initial carry must be cast to varying too
+        def varying_zeros(shape):
+            return lax.pcast(
+                jnp.zeros(shape, a_loc.dtype), (SUBJECT_AXIS,), to="varying"
+            )
+
+        zero = varying_zeros(())
+        acc0 = (
+            varying_zeros((r, r))
+            if accum == "full"
+            else (varying_zeros((r,)), varying_zeros((g, m, m)))
         )
-        zz0 = lax.pcast(
-            jnp.zeros((r, r), a_loc.dtype), (SUBJECT_AXIS,), to="varying"
-        )
-        (_, _, logdet, zz), _ = lax.scan(
-            panel, (a_loc, b_loc, zero, zz0), jnp.arange(n_blocks)
+        (_, _, logdet, acc), _ = lax.scan(
+            panel, (a_loc, b_loc, zero, acc0), jnp.arange(n_blocks)
         )
         return (
             lax.psum(logdet, SUBJECT_AXIS),
-            lax.psum(zz, SUBJECT_AXIS),
+            jax.tree_util.tree_map(
+                lambda a: lax.psum(a, SUBJECT_AXIS), acc
+            ),
         )
 
     return body
@@ -447,15 +412,17 @@ def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter,
         ).reshape(nb_loc, m * g)
         f_loc = jnp.where(real[:, None], f_loc, 0.0)
         rhs = jnp.concatenate([b_loc[:, None], f_loc], axis=1)
-        return _sweep_body_multi(nb, block, n_dev)(a_loc, rhs)
+        return _sweep_body_multi(
+            nb, block, n_dev, accum="predict", m=m, g=g
+        )(a_loc, rhs)
 
-    logdet, zz = jax.shard_map(
+    logdet, (row0, h) = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), (P(), P())),
     )(vec, y_tm, x, ell, ls, s2_vec, k_cross)
-    return logdet, zz
+    return logdet, row0, h
 
 
 def predict_map_sharded(
@@ -516,16 +483,14 @@ def predict_map_sharded(
     )  # (N, G)
 
     y_tm = data.y.T.reshape(-1)
-    _, zz = _predict_sharded(
+    _, row0, h = _predict_sharded(
         vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
         float(settings.jitter), model=model,
     )
 
-    t = zz[0, 1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
+    t = row0[1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
     mu_f = jnp.einsum("gab,bg->ga", ls_star, t)  # (G, M)
-    h_full = zz[1:, 1:].reshape(m, g, m, g)
-    idx = jnp.arange(g)
-    h = h_full[:, idx, :, idx]  # (G, M, M): FᵀΣ⁻¹F per grid point
+    # h: (G, M, M) per-grid-point FᵀΣ⁻¹F diagonal blocks from the sweep
     d = jnp.einsum("gab,gbc,gac->ga", ls_star, h, ls_star)
     k_self_star = 1.0 + settings.jitter
     b_star_diag = jnp.sum(ls_star**2, axis=-1)

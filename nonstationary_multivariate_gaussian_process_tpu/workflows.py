@@ -556,6 +556,14 @@ def run_cohort_hadamard(
             "n_train": np.asarray(mask).sum(axis=1).astype(int),
         }
         if cfg.do_hmc:
+            if cfg.whiten == "pncp":
+                raise ValueError("run_cohort_hadamard supports whiten=True/"
+                                 "'prior' only (pncp is single-subject)")
+            if cfg.sampler != "hmc":
+                raise ValueError(
+                    f"run_cohort_hadamard supports sampler='hmc' only, got "
+                    f"{cfg.sampler!r} (adaptive chains: run_subject_hadamard)"
+                )
             samples = fleet_mod.hmc_fleet_hadamard(
                 cfg.model, jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y),
                 m, res.vecs,
@@ -815,14 +823,25 @@ def run_cohort(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort supports whiten=True/'prior' "
                                  "only (pncp is single-subject)")
-            samples = fleet_mod.hmc_fleet(
-                cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0])),
-                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
-                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
-                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
-                whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
-            )
+            k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
+            if cfg.sampler == "nuts":
+                n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+                samples, _ = fleet_mod.nuts_fleet(
+                    cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                    k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                    n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
+                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+                )
+            elif cfg.sampler == "hmc":
+                samples = fleet_mod.hmc_fleet(
+                    cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                    k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                    n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
+                    n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+                )
+            else:
+                raise ValueError(f"unknown sampler {cfg.sampler!r}")
             out["hmc"] = np.asarray(samples)
         return out
 

@@ -89,6 +89,24 @@ class TestCohortWorkflow:
         assert out["subjects"]["id0"]["hmc_samples"].shape[1] >= gnmgp.n_params(14, 2)
         assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "hmc"))
 
+        # adaptive cohort chains route through the masked NUTS fleet
+        import dataclasses
+
+        out_n = workflows.run_cohort(
+            subjects, dataclasses.replace(cfg, sampler="nuts", hmc_warmup=12),
+            n_buckets=2,
+        )
+        for rec in out_n["subjects"].values():
+            assert rec["hmc_samples"].shape[0] == 5
+            assert np.all(np.isfinite(rec["hmc_samples"]))
+        # misconfigurations raise instead of silently degrading
+        import pytest
+
+        with pytest.raises(ValueError, match="pncp"):
+            workflows.run_cohort(
+                subjects, dataclasses.replace(cfg, whiten="pncp"), n_buckets=2
+            )
+
 
 class TestDataIO:
     def test_sim_pickle_roundtrip(self, tmp_path):
