@@ -34,7 +34,6 @@ from .. import settings
 from ..models import gnmgp, lmc, snmgp
 from ..models.base import FullData
 from ..ops import chol as chol_ops
-from ..ops import kernels
 from .mesh import SUBJECT_AXIS, make_mesh, pad_to_multiple
 
 _MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from . import evaluate, settings
 from .data import preprocess, sim
-from .inference import diagnostics, empirical, hmc as hmc_mod, init as init_mod, map as map_mod
+from .inference import empirical, hmc as hmc_mod, init as init_mod, map as map_mod
 from .models import FullData, gnmgp, gnmgp_hetero, lmc, snmgp
 from .parallel import fleet as fleet_mod
 from .parallel.mesh import make_mesh
