@@ -39,6 +39,34 @@ from .mesh import SUBJECT_AXIS, make_mesh, pad_to_multiple
 _MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}
 
 
+def _validate_fleet(model_name, xs, ys, vecs, masks=None, hadamard=False):
+    """Named shape errors at the fleet boundary (instead of reshape errors
+    surfacing from inside the shard_map program)."""
+    if model_name not in _MODELS:
+        raise ValueError(f"unknown model {model_name!r} (want one of "
+                         f"{sorted(_MODELS)})")
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    vecs = np.asarray(vecs)
+    want_y = 2 if hadamard else 3
+    if xs.ndim != 2 or ys.ndim != want_y:
+        raise ValueError(
+            f"fleet inputs must be stacked per subject: xs (S, N), ys "
+            f"{'(S, N)' if hadamard else '(S, N, M)'}, got {xs.shape}/{ys.shape}"
+        )
+    if xs.shape[0] != ys.shape[0] or xs.shape[1] != ys.shape[1]:
+        raise ValueError(f"xs and ys disagree: {xs.shape} vs {ys.shape}")
+    if vecs.ndim != 2 or vecs.shape[0] != xs.shape[0]:
+        raise ValueError(
+            f"parameter stack must be (S, P) with S={xs.shape[0]}, "
+            f"got {vecs.shape}"
+        )
+    if masks is not None and np.asarray(masks).shape != xs.shape:
+        raise ValueError(
+            f"masks must match xs {xs.shape}, got {np.asarray(masks).shape}"
+        )
+
+
 class FleetResult(NamedTuple):
     vecs: jnp.ndarray  # (S, P) fitted parameter vectors
     final_nlp: jnp.ndarray  # (S,) final negative log posterior per subject
@@ -113,6 +141,7 @@ def fit_fleet_map(
     subjects — supported by all three model likelihoods (dense projection for
     gnmgp, analytic Kronecker correction for snmgp/lmc).
     """
+    _validate_fleet(model_name, xs, ys, init_vecs, masks)
     model = _MODELS[model_name]
     hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
     if mesh is None:
@@ -270,6 +299,7 @@ def hmc_fleet(
     """
     from ..inference import hmc as hmc_mod
 
+    _validate_fleet(model_name, xs, ys, map_vecs, masks)
     model = _MODELS[model_name]
     hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
     if mesh is None:
@@ -365,6 +395,7 @@ def nuts_fleet(
     """
     from ..inference import nuts as nuts_mod
 
+    _validate_fleet(model_name, xs, ys, map_vecs, masks)
     model = _MODELS[model_name]
     hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
     if mesh is None:
@@ -517,6 +548,7 @@ def fit_fleet_map_hadamard(
     here it is one shard_map program, with ``masks`` making padded ragged
     subjects exact (``models.base.mask_dense_gram``).
     """
+    _validate_fleet(model_name, xs, ys, init_vecs, masks, hadamard=True)
     hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
     if mesh is None:
         mesh = make_mesh()
@@ -625,6 +657,7 @@ def hmc_fleet_hadamard(
     """
     from ..inference import hmc as hmc_mod
 
+    _validate_fleet(model_name, xs, ys, map_vecs, masks, hadamard=True)
     hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
     if mesh is None:
         mesh = make_mesh()

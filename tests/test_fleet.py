@@ -313,3 +313,22 @@ class TestPreconditionedFleetHMC:
         assert samp.shape[:2] == (2, 3)
         assert rh.shape == (2,) and bool(jnp.all(jnp.isfinite(rh)))
         assert used == 2  # tight target: runs all chunks
+
+
+class TestFleetValidation:
+    def test_named_shape_errors(self, batch):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+        xs, ys = batch.x, batch.y
+        vecs = jnp.zeros((xs.shape[0], 65))
+        with pytest.raises(ValueError, match="unknown model"):
+            fleet.fit_fleet_map("bogus", xs, ys, vecs)
+        with pytest.raises(ValueError, match="stacked per subject"):
+            fleet.fit_fleet_map("gnmgp", xs[0], ys, vecs)
+        with pytest.raises(ValueError, match="disagree"):
+            fleet.fit_fleet_map("gnmgp", xs[:, :-1], ys, vecs)
+        with pytest.raises(ValueError, match=r"\(S, P\)"):
+            fleet.hmc_fleet("gnmgp", xs, ys, vecs[:3], jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="masks must match"):
+            fleet.nuts_fleet("gnmgp", xs, ys, vecs, jax.random.PRNGKey(0),
+                             masks=jnp.ones((2, 2), bool))
