@@ -425,6 +425,19 @@ def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter,
     return logdet, row0, h
 
 
+def _moments_from_sweep(row0, h, ls_star, sigma2_err, m, g):
+    """Predictive moments from the sweep's products (predict/gnmgp._moments
+    algebra with the solves replaced by the accumulated inner products)."""
+    t = row0[1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
+    mu_f = jnp.einsum("gab,bg->ga", ls_star, t)  # (G, M)
+    # h: (G, M, M) per-grid-point FᵀΣ⁻¹F diagonal blocks from the sweep
+    d = jnp.einsum("gab,gbc,gac->ga", ls_star, h, ls_star)
+    k_self_star = 1.0 + settings.jitter
+    b_star_diag = jnp.sum(ls_star**2, axis=-1)
+    sigma2_y = jnp.maximum(k_self_star * b_star_diag - d + sigma2_err, sigma2_err)
+    return mu_f, sigma2_y
+
+
 def predict_map_sharded(
     vec: jnp.ndarray,
     data: FullData,
@@ -488,16 +501,10 @@ def predict_map_sharded(
         float(settings.jitter), model=model,
     )
 
-    t = row0[1:].reshape(m, g)  # fᵀΣ⁻¹y per (b, g)
-    mu_f = jnp.einsum("gab,bg->ga", ls_star, t)  # (G, M)
-    # h: (G, M, M) per-grid-point FᵀΣ⁻¹F diagonal blocks from the sweep
-    d = jnp.einsum("gab,gbc,gac->ga", ls_star, h, ls_star)
-    k_self_star = 1.0 + settings.jitter
-    b_star_diag = jnp.sum(ls_star**2, axis=-1)
     sigma2_err = (
         noise_var if noise_var is not None else jnp.exp(p.tilde_sigma2_err)
     )
-    sigma2_y = jnp.maximum(k_self_star * b_star_diag - d + sigma2_err, sigma2_err)
+    mu_f, sigma2_y = _moments_from_sweep(row0, h, ls_star, sigma2_err, m, g)
     sd = jnp.sqrt(sigma2_y)
     pct = jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd], axis=1)
     if model == "gnmgp_hetero":
@@ -510,6 +517,76 @@ def predict_map_sharded(
     return pred_gnmgp.GridPredictionSVC(
         percentiles=pct, mean=mu_f, std=sd, l_vecs=l_vec_star
     )
+
+
+def predict_sample_sharded(
+    key,
+    hist_vecs,
+    data: FullData,
+    grid,
+    mesh: Mesh | None = None,
+    hyper: dict | None = None,
+    block: int = BLOCK,
+    n_sample: int | None = None,
+) -> jnp.ndarray:
+    """Chain-sample prediction with the training Gram sharded over the mesh.
+
+    The large-MN counterpart of :func:`..predict.gnmgp.predict_sample`
+    (reference ``point_predsample_inhomogeneous``): per posterior draw the
+    latent lengthscale and L-process are sampled at the grid from their GP
+    conditionals (small replicated ops), then one multi-RHS fused sweep
+    yields that draw's predictive moments without materializing the Gram.
+    Draws run as a host loop — each is a full O((MN)³/D) factorization, the
+    honest per-draw cost.  Returns (G, S, M) samples.
+    """
+    from ..ops import kernels
+    from ..predict import gnmgp as pred_gnmgp
+
+    if mesh is None:
+        mesh = make_mesh()
+    hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
+    n, m = data.y.shape
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = int(grid.shape[0])
+    y_tm = data.y.T.reshape(-1)
+    ones_n = jnp.ones((n,), grid.dtype)
+    ones_g = jnp.ones((g,), grid.dtype)
+
+    # same key tree as the single-device predict_sample, so identical keys
+    # produce identical draws (tested) — the sharding is invisible
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = []
+    for s in range(hist_vecs.shape[0]):
+        vec = hist_vecs[s]
+        k_l, k_ul, k_y = jax.random.split(keys[s], 3)
+        p = gnmgp.unpack(vec, n, m)
+        cond_l, cond_ul = pred_gnmgp._latent_conds(
+            p, data, grid, hp, n, m
+        )
+        tl = cond_l.mean + jnp.sqrt(cond_l.var) * jax.random.normal(
+            k_l, (g,), grid.dtype
+        )
+        z = jax.random.normal(k_ul, cond_ul.mean.shape, grid.dtype)
+        ul = cond_ul.mean + jnp.sqrt(cond_ul.var)[None, :] * z
+        ls_star = transforms.vec_to_tril(
+            transforms.ulvec_to_lvec(ul.T, m), m
+        )
+        k_cross = kernels.nonstationary_rbf_cov(
+            data.x, sigma1=ones_n, ell1=jnp.exp(p.tilde_l), x2=grid,
+            sigma2=ones_g, ell2=jnp.exp(tl),
+        )
+        _, row0, h = _predict_sharded(
+            vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
+            float(settings.jitter),
+        )
+        mu, s2 = _moments_from_sweep(
+            row0, h, ls_star, jnp.exp(p.tilde_sigma2_err), m, g
+        )
+        ys.append(mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype))
+    return jnp.moveaxis(jnp.stack(ys), 0, 1)  # (G, S, M)
 
 
 # ---------------------------------------------------------------------------

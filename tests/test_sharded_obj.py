@@ -160,3 +160,23 @@ def test_predict_map_sharded_hetero_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(sp.noise_var), np.asarray(ref.noise_var), rtol=1e-9
     )
+
+
+def test_predict_sample_sharded_matches_single_device(rng):
+    """Chain-sample prediction through the sweep: identical keys must give
+    identical draws to predict.gnmgp.predict_sample — sharding is invisible."""
+    from nonstationary_multivariate_gaussian_process_tpu.predict import (
+        gnmgp as pred_gnmgp,
+    )
+
+    mesh = make_mesh(8)
+    n, m = 20, 2
+    x, y, vec = _problem(rng, n, m)
+    data = FullData(x, y)
+    grid = jnp.linspace(0.1, 0.9, 9)
+    hist = jnp.stack([vec, vec + 0.05, vec - 0.05])
+    key = jax.random.PRNGKey(7)
+    sp = sharded_obj.predict_sample_sharded(key, hist, data, grid, mesh=mesh, block=4)
+    ref = pred_gnmgp.predict_sample(key, hist, data, grid)
+    assert sp.shape == (9, 3, 2)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref), rtol=1e-6, atol=1e-8)
