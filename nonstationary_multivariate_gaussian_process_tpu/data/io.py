@@ -89,65 +89,122 @@ def load_long_csv(
     ``subject_col`` there is a single subject keyed ``0``.  When a subject's
     layout is *complete* (every (time, task) pair observed exactly once) its
     entry also satisfies ``x``/``y`` reshaping to the full (N, M) layout —
-    use :func:`hadamard_to_full` to recover it.  Only the standard library is
-    needed (no pandas).
+    use :func:`hadamard_to_full` to recover it.
+
+    Parsing runs through the **native C++ tokenizer** when available
+    (``native/csv_loader.cpp``: one pass, strtod numerics, string interning —
+    the Python csv path allocates a dict per row); quoted files and build
+    failures fall back to the exact csv-module path automatically.  Only the
+    standard library is needed (no pandas).
     """
     import csv
 
+    path = str(path)
     with open(path, newline="") as f:
-        reader = csv.DictReader(f)
-        cols = reader.fieldnames or []
-        for c in (time_col, task_col, value_col) + (
-            (subject_col,) if subject_col else ()
-        ):
-            if c not in cols:
-                raise ValueError(f"column {c!r} not in CSV header {cols}")
-        rows = []
-        for r in reader:
-            # reader.line_num tracks physical lines (quoted embedded
-            # newlines included), so error messages point at the real row
-            try:
-                t = float(r[time_col])
-                v = float(r[value_col])
-            except (TypeError, ValueError) as e:
-                raise ValueError(
-                    f"{path} line {reader.line_num}: cannot parse "
-                    f"{time_col}={r[time_col]!r} / {value_col}={r[value_col]!r} "
-                    f"({e}); clean or drop the row"
-                ) from None
-            if not (np.isfinite(t) and np.isfinite(v)):
-                raise ValueError(
-                    f"{path} line {reader.line_num}: non-finite "
-                    f"{time_col}={r[time_col]!r} / {value_col}={r[value_col]!r}"
-                )
-            rows.append((r[subject_col] if subject_col else 0, t, r[task_col], v))
-    if not rows:
-        raise ValueError(f"{path} contains no data rows")
-    tasks = (
-        list(task_order)
-        if task_order is not None
-        else sorted({r[2] for r in rows})
+        header = next(csv.reader(f), [])
+    for c in (time_col, task_col, value_col) + (
+        (subject_col,) if subject_col else ()
+    ):
+        if c not in header:
+            raise ValueError(f"column {c!r} not in CSV header {header}")
+
+    parsed = None
+    try:
+        from .. import native
+
+        parsed = native.parse_long_csv(
+            path, header.index(time_col), header.index(task_col),
+            header.index(value_col),
+            header.index(subject_col) if subject_col else -1,
+        )
+    except ValueError:
+        raise  # real data errors (bad/non-finite cells) propagate
+    except Exception:
+        parsed = None  # native tier unavailable: exact Python path below
+
+    if parsed is not None:
+        times, values, raw_tcodes, raw_scodes, task_table, subj_table = parsed
+        if times.shape[0] == 0:
+            raise ValueError(f"{path} contains no data rows")
+        # remap first-seen codes onto the final task order / sorted subjects
+        tasks = (
+            list(task_order) if task_order is not None else sorted(task_table)
+        )
+        t2i = {t: i for i, t in enumerate(tasks)}
+        unknown = set(task_table) - set(t2i)
+        if unknown:
+            raise ValueError(
+                f"tasks {sorted(unknown)} not in task_order {tasks}"
+            )
+        tcodes = np.asarray([t2i[t] for t in task_table])[raw_tcodes]
+        order_s = sorted(range(len(subj_table)), key=lambda i: str(subj_table[i]))
+        rank = np.empty(len(subj_table), np.int64)
+        rank[order_s] = np.arange(len(subj_table))
+        subj_inv = rank[raw_scodes]
+        uniq_subj = np.asarray(subj_table, object)[order_s]
+    else:
+        times_l, values_l, tasks_l, subjs_l = [], [], [], []
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f)
+            for r in reader:
+                # reader.line_num tracks physical lines (quoted embedded
+                # newlines included), so errors point at the real row
+                try:
+                    t = float(r[time_col])
+                    v = float(r[value_col])
+                except (TypeError, ValueError) as e:
+                    raise ValueError(
+                        f"{path} line {reader.line_num}: cannot parse "
+                        f"{time_col}={r[time_col]!r} / "
+                        f"{value_col}={r[value_col]!r} "
+                        f"({e}); clean or drop the row"
+                    ) from None
+                if not (np.isfinite(t) and np.isfinite(v)):
+                    raise ValueError(
+                        f"{path} line {reader.line_num}: non-finite "
+                        f"{time_col}={r[time_col]!r} / {value_col}={r[value_col]!r}"
+                    )
+                times_l.append(t)
+                values_l.append(v)
+                tasks_l.append(r[task_col])
+                subjs_l.append(r[subject_col] if subject_col else 0)
+        times = np.asarray(times_l, float)
+        values = np.asarray(values_l, float)
+        if times.shape[0] == 0:
+            raise ValueError(f"{path} contains no data rows")
+        task_labels = np.asarray(tasks_l, object)
+        subj_labels = np.asarray(subjs_l, object)
+        uniq_tasks, task_inv = np.unique(task_labels, return_inverse=True)
+        tasks = (
+            list(task_order) if task_order is not None else list(uniq_tasks)
+        )
+        t2i = {t: i for i, t in enumerate(tasks)}
+        unknown = set(uniq_tasks.tolist()) - set(t2i)
+        if unknown:
+            raise ValueError(
+                f"tasks {sorted(unknown)} not in task_order {tasks}"
+            )
+        tcodes = np.asarray([t2i[t] for t in uniq_tasks.tolist()])[task_inv]
+        uniq_subj, subj_inv = np.unique(subj_labels, return_inverse=True)
+
+    order = np.lexsort((tcodes, times, subj_inv))
+    s_s, t_s, k_s, v_s = subj_inv[order], times[order], tcodes[order], values[order]
+    dup = np.flatnonzero(
+        (s_s[1:] == s_s[:-1]) & (t_s[1:] == t_s[:-1]) & (k_s[1:] == k_s[:-1])
     )
-    t2i = {t: i for i, t in enumerate(tasks)}
-    unknown = {r[2] for r in rows} - set(t2i)
-    if unknown:
-        raise ValueError(f"tasks {sorted(unknown)} not in task_order {tasks}")
-    subjects: dict = {}
-    for sid, t, task, val in rows:
-        subjects.setdefault(sid, []).append((t, t2i[task], val))
+    if dup.size:
+        i = int(dup[0]) + 1
+        raise ValueError(
+            f"duplicate observation for subject {uniq_subj[s_s[i]]!r} at "
+            f"(time={t_s[i]}, task={tasks[int(k_s[i])]})"
+        )
     out = {}
-    for sid, obs in subjects.items():
-        obs.sort(key=lambda o: (o[0], o[1]))
-        seen = set()
-        for t, k, _ in obs:
-            if (t, k) in seen:
-                raise ValueError(
-                    f"duplicate observation for subject {sid!r} at "
-                    f"(time={t}, task={tasks[k]})"
-                )
-            seen.add((t, k))
-        arr = np.asarray(obs, float)
-        out[sid] = (arr[:, 0], arr[:, 1].astype(int), arr[:, 2])
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(s_s)) + 1, [s_s.shape[0]]]
+    )
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        sid = uniq_subj[s_s[b0]]
+        out[sid] = (t_s[b0:b1].copy(), k_s[b0:b1].astype(int), v_s[b0:b1].copy())
     return {"tasks": tasks, "subjects": out}
 
 

@@ -108,3 +108,42 @@ def test_clinical_example_end_to_end(tmp_path):
     assert out["n_valid"] == 3
     assert np.isfinite(out["rmse"]["median"])
     assert (tmp_path / "demo_vitals.csv").exists()
+
+
+def test_native_and_python_paths_agree(tmp_path, monkeypatch):
+    """The native tokenizer and the csv-module fallback must produce
+    identical tables (the native path is a pure fast path)."""
+    from nonstationary_multivariate_gaussian_process_tpu import native
+
+    rng = np.random.default_rng(1)
+    p = tmp_path / "t.csv"
+    rows = [
+        (f"s{int(i)}", round(float(t), 4), f"task{int(k)}", round(float(v), 4))
+        for i, t, k, v in zip(
+            rng.integers(0, 5, 300), rng.uniform(size=300) * 48,
+            rng.integers(0, 3, 300), rng.normal(size=300),
+        )
+    ]
+    rows = list({(s, t, k): (s, t, k, v) for s, t, k, v in rows}.values())
+    _write(p, rows)
+    if native.csv_available():
+        got_native = data_io.load_long_csv(p, subject_col="subject_id")
+    else:
+        got_native = None
+    monkeypatch.setattr(native, "parse_long_csv", lambda *a, **k: None)
+    got_py = data_io.load_long_csv(p, subject_col="subject_id")
+    if got_native is not None:
+        assert got_native["tasks"] == got_py["tasks"]
+        assert set(got_native["subjects"]) == set(got_py["subjects"])
+        for sid in got_py["subjects"]:
+            for a, b in zip(got_native["subjects"][sid], got_py["subjects"][sid]):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_quoted_csv_falls_back_to_python_path(tmp_path):
+    p = tmp_path / "q.csv"
+    with open(p, "w", newline="") as f:
+        f.write('subject_id,time,task,value\n"s,1",1.0,hr,2.5\n')
+    out = data_io.load_long_csv(p, subject_col="subject_id")
+    (x, indx, y) = out["subjects"]["s,1"]  # quoted comma survives
+    np.testing.assert_allclose(y, [2.5])
