@@ -27,6 +27,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--model", default="gnmgp",
+                    choices=["gnmgp", "gnmgp_hetero"],
+                    help="dense-Gram model family to shard")
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=100)
     ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
@@ -46,18 +49,22 @@ def main():
     from nonstationary_multivariate_gaussian_process_tpu.inference import (
         hmc, map as map_mod, whiten,
     )
-    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+    from nonstationary_multivariate_gaussian_process_tpu.models import (
+        gnmgp, gnmgp_hetero,
+    )
     from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
     from nonstationary_multivariate_gaussian_process_tpu.parallel import (
         make_mesh, sharded_obj,
     )
 
     mesh = make_mesh()
-    d = sim.sim_mnts(jax.random.PRNGKey(0), n=args.n)
+    model = gnmgp_hetero if args.model == "gnmgp_hetero" else gnmgp
+    gen = sim.sim_mnts_hetero if args.model == "gnmgp_hetero" else sim.sim_mnts
+    d = gen(jax.random.PRNGKey(0), n=args.n)
     data = FullData(jnp.asarray(d.x), jnp.asarray(d.y))
     n, m = data.y.shape
-    out = {"n": n, "m": m, "mn": n * m, "devices": int(mesh.devices.size),
-           "block": args.block}
+    out = {"model": args.model, "n": n, "m": m, "mn": n * m,
+           "devices": int(mesh.devices.size), "block": args.block}
 
     store = None
     # the key carries every input that shapes the fit, so changing --n-opt
@@ -70,9 +77,10 @@ def main():
         )
 
         store = ArtifactStore(args.out)
-        map_key = ArtifactStore.key("gnmgp", dataset, 0, "map")
+        map_key = ArtifactStore.key(args.model, dataset, 0, "map")
 
-    nlp = sharded_obj.make_objective_sharded(data, mesh=mesh, block=args.block)
+    nlp = sharded_obj.make_objective_sharded(data, mesh=mesh,
+                                             block=args.block, model=args.model)
     if store is not None and store.exists(map_key):
         vec = jnp.asarray(store.load(map_key)["vec"])
         out["map_seconds"] = 0.0
@@ -85,7 +93,7 @@ def main():
         res.vec = vec
     else:
         t0 = time.time()
-        res = map_mod.fit_map(nlp, jnp.zeros(gnmgp.n_params(n, m)),
+        res = map_mod.fit_map(nlp, jnp.zeros(model.n_params(n, m)),
                               n_iters=args.n_opt, lr=0.1)
         out["map_seconds"] = round(time.time() - t0, 2)
         if store is not None:
@@ -94,7 +102,7 @@ def main():
     assert np.isfinite(out["final_nlp"])
 
     if args.check:
-        nlp_single = gnmgp.make_objective(data)
+        nlp_single = model.make_objective(data)
         ref = float(nlp_single(res.vec))
         out["single_device_nlp"] = ref
         out["rel_diff"] = abs(out["final_nlp"] - ref) / max(1.0, abs(ref))
@@ -103,19 +111,19 @@ def main():
         t0 = time.time()
         grid = jnp.linspace(float(data.x.min()), float(data.x.max()), args.n_grid)
         gp = sharded_obj.predict_map_sharded(
-            res.vec, data, grid, mesh=mesh, block=args.block
+            res.vec, data, grid, mesh=mesh, block=args.block, model=args.model
         )
         out["pred_seconds"] = round(time.time() - t0, 2)
         out["pred_mean_shape"] = list(np.asarray(gp.mean).shape)
         assert np.all(np.isfinite(np.asarray(gp.mean)))
         assert np.all(np.isfinite(np.asarray(gp.std)))
         if store is not None:
-            store.save(ArtifactStore.key("gnmgp", dataset, 0, "pred_grid"),
+            store.save(ArtifactStore.key(args.model, dataset, 0, "pred_grid"),
                        percentiles=np.asarray(gp.percentiles),
                        grid=np.asarray(grid))
 
     if args.n_hmc > 0:
-        w = whiten.make_whitener("gnmgp", data.x, n, m)
+        w = whiten.make_whitener(args.model, data.x, n, m)
         t0 = time.time()
         chain = hmc.hmc_sample(
             w.wrap(nlp), w.to_white(res.vec), args.n_hmc, jax.random.PRNGKey(1),
@@ -126,7 +134,7 @@ def main():
         samples = np.asarray(w.from_white_batch(chain.samples))
         assert np.all(np.isfinite(samples))
         if store is not None:
-            store.save(ArtifactStore.key("gnmgp", dataset, 0, "hmc"),
+            store.save(ArtifactStore.key(args.model, dataset, 0, "hmc"),
                        samples=samples)
 
     print(json.dumps(out))
