@@ -44,3 +44,38 @@ def fleet_predict_map(
     else:
         fn = lambda v, x, y, g: pred.predict_map(v, FullData(x, y), g, hyper=hyper)
     return jax.jit(jax.vmap(fn))(vecs, xs, ys, grids)
+
+
+def fleet_predict_sample(
+    model_name: str,
+    key,
+    chains: jnp.ndarray,  # (S, T, P) per-subject posterior chains
+    xs: jnp.ndarray,  # (S, N)
+    ys: jnp.ndarray,  # (S, N, M)
+    grids: jnp.ndarray,  # (S, G) per-subject prediction inputs
+    hyper: dict | None = None,
+    n_sample: int | None = None,
+) -> jnp.ndarray:
+    """Vmapped chain-sample prediction for a fleet of equal-N subjects.
+
+    Each subject's posterior chain (e.g. from :func:`.fleet.hmc_fleet`)
+    drives its own per-draw predictive sampling — the reference's
+    ``point_predsample`` family, batched across the fleet as one device
+    program.  Returns (S, G, T, M) draws.
+    """
+    pred = _PRED[model_name]
+    chains = jnp.asarray(chains, settings.dtype)
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    grids = jnp.asarray(grids, settings.dtype)
+    if n_sample is not None:
+        chains = chains[:, -n_sample:]
+    keys = jax.random.split(key, chains.shape[0])
+
+    if model_name == "lmc":
+        fn = lambda k, c, x, y, g: pred.predict_sample(k, c, FullData(x, y), g)
+    else:
+        fn = lambda k, c, x, y, g: pred.predict_sample(
+            k, c, FullData(x, y), g, hyper=hyper
+        )
+    return jax.jit(jax.vmap(fn))(keys, chains, xs, ys, grids)

@@ -131,6 +131,33 @@ class TestFleetPredict:
         )
 
 
+class TestFleetPredictSample:
+    def test_vmapped_sample_matches_single(self, batch):
+        from nonstationary_multivariate_gaussian_process_tpu.models import FullData
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet_predict
+        from nonstationary_multivariate_gaussian_process_tpu.predict import gnmgp as pred_gnmgp
+
+        s, n = 3, 16
+        rng = np.random.default_rng(0)
+        chains = jnp.asarray(rng.normal(size=(s, 4, n + n * 3 + 1)) * 0.2)
+        grids = jnp.tile(jnp.linspace(0.2, 0.8, 5)[None, :], (s, 1))
+        key = jax.random.PRNGKey(11)
+        out = fleet_predict.fleet_predict_sample(
+            "gnmgp", key, chains, batch.x[:s], batch.y[:s], grids
+        )
+        assert out.shape == (s, 5, 4, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # subject 0's draws equal the single-subject predict_sample with the
+        # same per-subject key (the fleet is a pure vmap)
+        solo = pred_gnmgp.predict_sample(
+            jax.random.split(key, s)[0], chains[0],
+            FullData(batch.x[0], batch.y[0]), grids[0],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(solo), rtol=1e-6, atol=1e-8
+        )
+
+
 class TestPreconditionedFleetHMC:
     """VERDICT r1 item 8: preconditioned fleet HMC + R-hat multi-chain."""
 
