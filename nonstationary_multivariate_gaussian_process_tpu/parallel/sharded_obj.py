@@ -431,6 +431,20 @@ def _predict_sharded(vec, y_tm, x, k_cross, n, m, g, block, mesh_holder, jitter,
     return logdet, row0, h
 
 
+#: Grid widths are padded up to a multiple of this before the jitted sweep,
+#: so serving-style workloads with varying grids reuse one compiled program
+#: per bucket instead of re-tracing per exact width (padded columns have
+#: zero cross-covariance → zero solved columns → sliced away afterwards).
+GRID_BUCKET = 32
+
+
+def _pad_grid(k_cross, g: int):
+    gb = -(-g // GRID_BUCKET) * GRID_BUCKET
+    if gb != g:
+        k_cross = jnp.pad(k_cross, ((0, 0), (0, gb - g)))
+    return k_cross, gb
+
+
 def _moments_from_sweep(row0, h, ls_star, sigma2_err, m, g):
     """Predictive moments from the sweep's products (predict/gnmgp._moments
     algebra with the solves replaced by the accumulated inner products)."""
@@ -502,10 +516,15 @@ def predict_map_sharded(
     )  # (N, G)
 
     y_tm = data.y.T.reshape(-1)
+    k_cross, gb = _pad_grid(k_cross, g)
     _, row0, h = _predict_sharded(
-        vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
+        vec, y_tm, data.x, k_cross, n, m, gb, block, (mesh,),
         float(settings.jitter), model=model,
     )
+    row0 = jnp.concatenate(
+        [row0[:1], row0[1:].reshape(m, gb)[:, :g].reshape(-1)]
+    )
+    h = h[:g]
 
     sigma2_err = (
         noise_var if noise_var is not None else jnp.exp(p.tilde_sigma2_err)
@@ -584,12 +603,16 @@ def predict_sample_sharded(
             data.x, sigma1=ones_n, ell1=jnp.exp(p.tilde_l), x2=grid,
             sigma2=ones_g, ell2=jnp.exp(tl),
         )
+        k_cross, gb = _pad_grid(k_cross, g)
         _, row0, h = _predict_sharded(
-            vec, y_tm, data.x, k_cross, n, m, g, block, (mesh,),
+            vec, y_tm, data.x, k_cross, n, m, gb, block, (mesh,),
             float(settings.jitter),
         )
+        row0 = jnp.concatenate(
+            [row0[:1], row0[1:].reshape(m, gb)[:, :g].reshape(-1)]
+        )
         mu, s2 = _moments_from_sweep(
-            row0, h, ls_star, jnp.exp(p.tilde_sigma2_err), m, g
+            row0, h[:g], ls_star, jnp.exp(p.tilde_sigma2_err), m, g
         )
         ys.append(mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype))
     return jnp.moveaxis(jnp.stack(ys), 0, 1)  # (G, S, M)
