@@ -106,3 +106,26 @@ class TestPreprocess:
         )
         assert xte.shape[0] == 8  # 20% per task
         assert set(np.unique(ite)) == {0, 1}
+
+
+class TestTaskCountGenerality:
+    def test_pipeline_m1_and_m3(self):
+        """Every model family handles single-task and 3-task subjects through
+        the full pipeline (fit + grid/test prediction + scoring)."""
+        import jax
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+        rng = np.random.default_rng(0)
+        n = 16
+        x = np.sort(rng.uniform(size=n))
+        for m in (1, 3):
+            y = rng.normal(size=(n, m)) * 0.5 + np.sin(4 * x)[:, None]
+            for model in ("lmc", "snmgp", "gnmgp"):
+                cfg = workflows.PipelineConfig(
+                    model=model, n_opt=25, do_hmc=False,
+                    do_map_analysis=False, test_size=0.2, window_size=5,
+                )
+                res = workflows.run_subject(x, y, cfg)
+                assert np.isfinite(res["test_rmse"]), (m, model)
+                pct = np.asarray(res["pred_grid"].percentiles)
+                assert pct.shape[-1] == m and np.all(np.isfinite(pct)), (m, model)
