@@ -117,31 +117,11 @@ def load_long_csv(
             header.index(value_col),
             header.index(subject_col) if subject_col else -1,
         )
-    except ValueError:
-        raise  # real data errors (bad/non-finite cells) propagate
     except Exception:
-        parsed = None  # native tier unavailable: exact Python path below
+        parsed = None  # native tier unavailable/unsuited: exact path below
 
     if parsed is not None:
         times, values, raw_tcodes, raw_scodes, task_table, subj_table = parsed
-        if times.shape[0] == 0:
-            raise ValueError(f"{path} contains no data rows")
-        # remap first-seen codes onto the final task order / sorted subjects
-        tasks = (
-            list(task_order) if task_order is not None else sorted(task_table)
-        )
-        t2i = {t: i for i, t in enumerate(tasks)}
-        unknown = set(task_table) - set(t2i)
-        if unknown:
-            raise ValueError(
-                f"tasks {sorted(unknown)} not in task_order {tasks}"
-            )
-        tcodes = np.asarray([t2i[t] for t in task_table])[raw_tcodes]
-        order_s = sorted(range(len(subj_table)), key=lambda i: str(subj_table[i]))
-        rank = np.empty(len(subj_table), np.int64)
-        rank[order_s] = np.arange(len(subj_table))
-        subj_inv = rank[raw_scodes]
-        uniq_subj = np.asarray(subj_table, object)[order_s]
     else:
         times_l, values_l, tasks_l, subjs_l = [], [], [], []
         with open(path, newline="") as f:
@@ -170,22 +150,31 @@ def load_long_csv(
                 subjs_l.append(r[subject_col] if subject_col else 0)
         times = np.asarray(times_l, float)
         values = np.asarray(values_l, float)
-        if times.shape[0] == 0:
-            raise ValueError(f"{path} contains no data rows")
-        task_labels = np.asarray(tasks_l, object)
-        subj_labels = np.asarray(subjs_l, object)
-        uniq_tasks, task_inv = np.unique(task_labels, return_inverse=True)
-        tasks = (
-            list(task_order) if task_order is not None else list(uniq_tasks)
-        )
-        t2i = {t: i for i, t in enumerate(tasks)}
-        unknown = set(uniq_tasks.tolist()) - set(t2i)
-        if unknown:
-            raise ValueError(
-                f"tasks {sorted(unknown)} not in task_order {tasks}"
+        if times.shape[0]:
+            uniq_t, raw_tcodes = np.unique(
+                np.asarray(tasks_l, object), return_inverse=True
             )
-        tcodes = np.asarray([t2i[t] for t in uniq_tasks.tolist()])[task_inv]
-        uniq_subj, subj_inv = np.unique(subj_labels, return_inverse=True)
+            uniq_s, raw_scodes = np.unique(
+                np.asarray(subjs_l, object), return_inverse=True
+            )
+            task_table = uniq_t.tolist()
+            subj_table = uniq_s.tolist()
+
+    # shared mapping/validation for both parse branches, operating on
+    # (label table, per-row codes) pairs
+    if times.shape[0] == 0:
+        raise ValueError(f"{path} contains no data rows")
+    tasks = list(task_order) if task_order is not None else sorted(task_table)
+    t2i = {t: i for i, t in enumerate(tasks)}
+    unknown = set(task_table) - set(t2i)
+    if unknown:
+        raise ValueError(f"tasks {sorted(unknown)} not in task_order {tasks}")
+    tcodes = np.asarray([t2i[t] for t in task_table])[raw_tcodes]
+    order_s = sorted(range(len(subj_table)), key=lambda i: str(subj_table[i]))
+    rank = np.empty(len(subj_table), np.int64)
+    rank[order_s] = np.arange(len(subj_table))
+    subj_inv = rank[raw_scodes]
+    uniq_subj = np.asarray(subj_table, object)[order_s]
 
     order = np.lexsort((tcodes, times, subj_inv))
     s_s, t_s, k_s, v_s = subj_inv[order], times[order], tcodes[order], values[order]

@@ -11,12 +11,17 @@
 //
 // Contract (see native/__init__.py bindings):
 //   csv_row_count(path)  -> upper bound on data rows (newline count), or -1.
-//   parse_long_csv(...)  -> number of rows parsed;
-//                           -1: cannot open/read,
-//                           -2: quote character seen (caller must fall back),
-//                           -(line): first bad row (missing column,
-//                                    unparsable or non-finite number),
-//                                    1-based physical line number.
+//   parse_long_csv(...)  -> number of rows parsed, or -1 on ANY condition
+//                           the native path cannot serve faithfully: IO
+//                           error, quote character (csv-module semantics),
+//                           a row strtod cannot parse exactly like Python
+//                           float() (including locale differences, '_'
+//                           separators, hex floats, non-finite values),
+//                           or label-arena overflow.  The caller falls back
+//                           to the exact csv-module path, which either
+//                           loads the file or raises the canonical error
+//                           with full row context — the native tier NEVER
+//                           produces a data error itself.
 //
 // Exact behavioral parity with the Python path is enforced by
 // tests/test_io_csv.py (both paths run the same test matrix).
@@ -31,8 +36,12 @@ namespace {
 
 struct Interner {
   // open addressing over offsets into the arena; arena holds NUL-joined
-  // unique strings in first-seen order
+  // unique strings in first-seen order.  The table GROWS (rehash at 50%
+  // load) so arbitrary label cardinality — MIMIC-scale subject counts —
+  // never deadlocks the probe loop; only arena exhaustion fails (-1, which
+  // the parser surfaces as "fall back to Python").
   int64_t *slots = nullptr;  // offset+1 into arena, 0 = empty
+  int32_t *codes_ = nullptr;
   int64_t n_slots = 0;
   char *arena;
   int64_t arena_len = 0;
@@ -43,22 +52,54 @@ struct Interner {
     n_slots = 64;
     while (n_slots < 4 * expected) n_slots <<= 1;
     slots = static_cast<int64_t *>(calloc(n_slots, sizeof(int64_t)));
+    codes_ = static_cast<int32_t *>(calloc(n_slots, sizeof(int32_t)));
     arena = arena_buf;
     arena_cap = cap;
-    return slots != nullptr;
+    return slots != nullptr && codes_ != nullptr;
   }
   ~Interner() {
     free(slots);
     free(codes_);
   }
 
-  // returns code (index in first-seen order) or -1 on overflow
-  int32_t intern(const char *s, int64_t len) {
+  static uint64_t hash(const char *s, int64_t len) {
     uint64_t h = 1469598103934665603ull;
     for (int64_t i = 0; i < len; ++i)
       h = (h ^ static_cast<unsigned char>(s[i])) * 1099511628211ull;
+    return h;
+  }
+
+  bool grow() {
+    int64_t new_n = n_slots << 1;
+    int64_t *ns = static_cast<int64_t *>(calloc(new_n, sizeof(int64_t)));
+    int32_t *nc = static_cast<int32_t *>(calloc(new_n, sizeof(int32_t)));
+    if (!ns || !nc) {
+      free(ns);
+      free(nc);
+      return false;
+    }
+    int64_t mask = new_n - 1;
+    for (int64_t i = 0; i < n_slots; ++i) {
+      if (slots[i] == 0) continue;
+      const char *s = arena + (slots[i] - 1);
+      int64_t j = static_cast<int64_t>(hash(s, std::strlen(s))) & mask;
+      while (ns[j] != 0) j = (j + 1) & mask;
+      ns[j] = slots[i];
+      nc[j] = codes_[i];
+    }
+    free(slots);
+    free(codes_);
+    slots = ns;
+    codes_ = nc;
+    n_slots = new_n;
+    return true;
+  }
+
+  // returns code (index in first-seen order) or -1 on overflow
+  int32_t intern(const char *s, int64_t len) {
+    if (2 * (n_unique + 1) > n_slots && !grow()) return -1;
     int64_t mask = n_slots - 1;
-    int64_t j = static_cast<int64_t>(h) & mask;
+    int64_t j = static_cast<int64_t>(hash(s, len)) & mask;
     for (;;) {
       int64_t off = slots[j];
       if (off == 0) {
@@ -67,9 +108,6 @@ struct Interner {
         arena[arena_len + len] = '\0';
         slots[j] = arena_len + 1;
         arena_len += len + 1;
-        // code = position in first-seen order; recover by counting — store
-        // codes alongside offsets instead: pack code in upper bits
-        // (simpler: parallel array)
         codes_[j] = n_unique;
         return n_unique++;
       }
@@ -80,11 +118,6 @@ struct Interner {
       j = (j + 1) & mask;
     }
   }
-  bool init_codes() {
-    codes_ = static_cast<int32_t *>(calloc(n_slots, sizeof(int32_t)));
-    return codes_ != nullptr;
-  }
-  int32_t *codes_ = nullptr;
 };
 
 }  // namespace
@@ -115,9 +148,7 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
                          long long task_arena_cap, long long *task_arena_len,
                          int32_t *n_tasks, char *subj_arena,
                          long long subj_arena_cap, long long *subj_arena_len,
-                         int32_t *n_subjects, long long rows_cap,
-                         int32_t *err_kind) {
-  *err_kind = 0;  // 0 ok, 1 unparsable/missing field, 2 non-finite number
+                         int32_t *n_subjects, long long rows_cap) {
   FILE *f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -137,13 +168,12 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
   buf[size] = '\0';
   if (std::memchr(buf, '"', size)) {
     free(buf);
-    return -2;  // quoted CSV: fall back to the csv-module path
+    return -1;  // quoted CSV: fall back to the csv-module path
   }
 
   Interner tasks, subjects;
-  if (!tasks.init(1024, task_arena, task_arena_cap) || !tasks.init_codes() ||
-      !subjects.init(1 << 16, subj_arena, subj_arena_cap) ||
-      !subjects.init_codes()) {
+  if (!tasks.init(1024, task_arena, task_arena_cap) ||
+      !subjects.init(1 << 12, subj_arena, subj_arena_cap)) {
     free(buf);
     return -1;
   }
@@ -154,13 +184,11 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
   if (subject_col > max_col) max_col = subject_col;
 
   long long n = 0;
-  long long line_no = 0;
   char *p = buf;
   char *end = buf + size;
   bool header = true;
-  long long bad = 0;
+  bool bad = false;
   while (p < end && n < rows_cap) {
-    ++line_no;
     char *eol = static_cast<char *>(std::memchr(p, '\n', end - p));
     char *line_end = eol ? eol : end;
     // strip trailing \r
@@ -193,11 +221,14 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
     }
     if (col <= max_col || !fs[0] || !fs[1] || !fs[2] ||
         (subject_col >= 0 && !fs[3])) {
-      bad = line_no;
-      *err_kind = 1;
+      bad = true;
       break;
     }
-    // numeric fields: strtod on a bounded copy (fields are short)
+    // numeric fields: strtod on a bounded copy (fields are short).  Any row
+    // strtod would treat differently from Python float() — '_' separators,
+    // hex floats, locale decimal points, non-finite values, overlong
+    // fields — sends the WHOLE file to the Python fallback, which either
+    // loads it or raises the canonical error with row context.
     char numbuf[64];
     double parsed[2];
     bool ok = true;
@@ -206,31 +237,31 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
     for (int k = 0; k < 2 && ok; ++k) {
       if (nl[k] == 0 || nl[k] >= static_cast<int64_t>(sizeof(numbuf))) {
         ok = false;
-        *err_kind = 1;
         break;
       }
+      for (int64_t i = 0; i < nl[k]; ++i) {
+        char c = nf[k][i];
+        if (c == '_' || c == 'x' || c == 'X' || c == ',') {
+          ok = false;  // float() / strtod divergence territory
+          break;
+        }
+      }
+      if (!ok) break;
       std::memcpy(numbuf, nf[k], nl[k]);
       numbuf[nl[k]] = '\0';
       char *ep;
       parsed[k] = std::strtod(numbuf, &ep);
       while (*ep == ' ' || *ep == '\t') ++ep;
-      if (ep == numbuf || *ep != '\0') {
-        ok = false;
-        *err_kind = 1;
-      } else if (!std::isfinite(parsed[k])) {
-        ok = false;
-        *err_kind = 2;
-      }
+      if (ep == numbuf || *ep != '\0' || !std::isfinite(parsed[k])) ok = false;
     }
     if (!ok) {
-      bad = line_no;
+      bad = true;
       break;
     }
     int32_t tc = tasks.intern(fs[1], fl[1]);
     int32_t sc = subject_col >= 0 ? subjects.intern(fs[3], fl[3]) : 0;
     if (tc < 0 || sc < 0) {
-      bad = line_no;
-      *err_kind = 1;
+      bad = true;
       break;
     }
     times[n] = parsed[0];
@@ -246,7 +277,7 @@ long long parse_long_csv(const char *path, int time_col, int task_col,
   *subj_arena_len = subjects.arena_len;
   *n_subjects = subject_col >= 0 ? subjects.n_unique : 1;
   free(buf);
-  if (bad) return -bad;
+  if (bad) return -1;
   return n;
 }
 

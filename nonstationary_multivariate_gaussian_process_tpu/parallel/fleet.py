@@ -41,29 +41,30 @@ _MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}
 
 def _validate_fleet(model_name, xs, ys, vecs, masks=None, hadamard=False):
     """Named shape errors at the fleet boundary (instead of reshape errors
-    surfacing from inside the shard_map program)."""
+    surfacing from inside the shard_map program).  Shape-only — never
+    materializes device arrays on the host."""
     if model_name not in _MODELS:
         raise ValueError(f"unknown model {model_name!r} (want one of "
                          f"{sorted(_MODELS)})")
-    xs = np.asarray(xs)
-    ys = np.asarray(ys)
-    vecs = np.asarray(vecs)
+    xs_shape = np.shape(xs)
+    ys_shape = np.shape(ys)
+    vecs_shape = np.shape(vecs)
     want_y = 2 if hadamard else 3
-    if xs.ndim != 2 or ys.ndim != want_y:
+    if len(xs_shape) != 2 or len(ys_shape) != want_y:
         raise ValueError(
             f"fleet inputs must be stacked per subject: xs (S, N), ys "
-            f"{'(S, N)' if hadamard else '(S, N, M)'}, got {xs.shape}/{ys.shape}"
+            f"{'(S, N)' if hadamard else '(S, N, M)'}, got {xs_shape}/{ys_shape}"
         )
-    if xs.shape[0] != ys.shape[0] or xs.shape[1] != ys.shape[1]:
-        raise ValueError(f"xs and ys disagree: {xs.shape} vs {ys.shape}")
-    if vecs.ndim != 2 or vecs.shape[0] != xs.shape[0]:
+    if xs_shape[0] != ys_shape[0] or xs_shape[1] != ys_shape[1]:
+        raise ValueError(f"xs and ys disagree: {xs_shape} vs {ys_shape}")
+    if len(vecs_shape) != 2 or vecs_shape[0] != xs_shape[0]:
         raise ValueError(
-            f"parameter stack must be (S, P) with S={xs.shape[0]}, "
-            f"got {vecs.shape}"
+            f"parameter stack must be (S, P) with S={xs_shape[0]}, "
+            f"got {vecs_shape}"
         )
-    if masks is not None and np.asarray(masks).shape != xs.shape:
+    if masks is not None and np.shape(masks) != xs_shape:
         raise ValueError(
-            f"masks must match xs {xs.shape}, got {np.asarray(masks).shape}"
+            f"masks must match xs {xs_shape}, got {np.shape(masks)}"
         )
 
 

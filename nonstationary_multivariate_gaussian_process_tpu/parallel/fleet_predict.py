@@ -73,7 +73,11 @@ def fleet_predict_sample(
     keys = jax.random.split(key, chains.shape[0])
 
     if model_name == "lmc":
-        fn = lambda k, c, x, y, g: pred.predict_sample(k, c, FullData(x, y), g)
+        # pred_lmc.predict_sample returns (T, G, M); normalize to the
+        # (G, T, M) layout of the nonstationary families
+        fn = lambda k, c, x, y, g: jnp.moveaxis(
+            pred.predict_sample(k, c, FullData(x, y), g), 0, 1
+        )
     else:
         fn = lambda k, c, x, y, g: pred.predict_sample(
             k, c, FullData(x, y), g, hyper=hyper

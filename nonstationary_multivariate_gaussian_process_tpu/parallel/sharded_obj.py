@@ -445,6 +445,17 @@ def _pad_grid(k_cross, g: int):
     return k_cross, gb
 
 
+def _unpad_sweep(row0, h, m: int, g: int, gb: int):
+    """Strip the bucket-padding columns from the sweep's products (the
+    inverse of :func:`_pad_grid`; padded columns solved to exact zeros)."""
+    if gb == g:
+        return row0, h
+    row0 = jnp.concatenate(
+        [row0[:1], row0[1:].reshape(m, gb)[:, :g].reshape(-1)]
+    )
+    return row0, h[:g]
+
+
 def _moments_from_sweep(row0, h, ls_star, sigma2_err, m, g):
     """Predictive moments from the sweep's products (predict/gnmgp._moments
     algebra with the solves replaced by the accumulated inner products)."""
@@ -521,10 +532,7 @@ def predict_map_sharded(
         vec, y_tm, data.x, k_cross, n, m, gb, block, (mesh,),
         float(settings.jitter), model=model,
     )
-    row0 = jnp.concatenate(
-        [row0[:1], row0[1:].reshape(m, gb)[:, :g].reshape(-1)]
-    )
-    h = h[:g]
+    row0, h = _unpad_sweep(row0, h, m, g, gb)
 
     sigma2_err = (
         noise_var if noise_var is not None else jnp.exp(p.tilde_sigma2_err)
@@ -608,11 +616,9 @@ def predict_sample_sharded(
             vec, y_tm, data.x, k_cross, n, m, gb, block, (mesh,),
             float(settings.jitter),
         )
-        row0 = jnp.concatenate(
-            [row0[:1], row0[1:].reshape(m, gb)[:, :g].reshape(-1)]
-        )
+        row0, h = _unpad_sweep(row0, h, m, g, gb)
         mu, s2 = _moments_from_sweep(
-            row0, h[:g], ls_star, jnp.exp(p.tilde_sigma2_err), m, g
+            row0, h, ls_star, jnp.exp(p.tilde_sigma2_err), m, g
         )
         ys.append(mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype))
     return jnp.moveaxis(jnp.stack(ys), 0, 1)  # (G, S, M)

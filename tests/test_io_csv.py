@@ -147,3 +147,27 @@ def test_quoted_csv_falls_back_to_python_path(tmp_path):
     out = data_io.load_long_csv(p, subject_col="subject_id")
     (x, indx, y) = out["subjects"]["s,1"]  # quoted comma survives
     np.testing.assert_allclose(y, [2.5])
+
+
+def test_native_interner_growth_high_cardinality(tmp_path):
+    """10k unique subjects force the native hash tables to grow (regression:
+    fixed-capacity tables spun forever past the initial sizing)."""
+    p = tmp_path / "many.csv"
+    with open(p, "w", newline="") as f:
+        f.write("subject_id,time,task,value\n")
+        for i in range(10_000):
+            f.write(f"s{i:05d},{i * 0.25},hr,{i % 7}.5\n")
+    out = data_io.load_long_csv(p, subject_col="subject_id")
+    assert len(out["subjects"]) == 10_000
+    x, indx, y = out["subjects"]["s00042"]
+    np.testing.assert_allclose(x, [42 * 0.25])
+    np.testing.assert_allclose(y, [0.5])
+
+
+def test_float_underscore_falls_back_not_fails(tmp_path):
+    """Python float() accepts '_' separators; strtod does not — the native
+    path must fall back (not raise) so the file still loads."""
+    p = tmp_path / "u.csv"
+    _write(p, [("s", 1.0, "hr", "1_0.5")])
+    out = data_io.load_long_csv(p, subject_col="subject_id")
+    np.testing.assert_allclose(out["subjects"]["s"][2], [10.5])
