@@ -755,6 +755,7 @@ def run_cohort(
     extrapolation_size: int = 0,
     mesh=None,
     mode: str = "pad",
+    sharded_threshold: int | None = None,
 ) -> dict:
     """Ragged multi-subject cohort pipeline (KAISER-style drivers:
     ``*_mpiKAISER``, ``*_distributed``, ``*_personalized``).
@@ -765,6 +766,13 @@ def run_cohort(
     extrapolation holdout (``Stationary_model_distributed.py`` mode), bucketed
     by length, MAP-fitted as one sharded fleet per bucket, test-scored, and
     reduced to fleet-level RMSE/LPD summaries.
+
+    ``sharded_threshold`` (GNMGP only): subjects with more than that many
+    observations bypass the subject-parallel fleet and fit through the
+    **model-parallel** matrix-free objective instead
+    (``parallel.sharded_obj`` — the (MN × MN) Gram row-banded over the same
+    mesh), so one year-long subject cannot cap the whole cohort's memory.
+    LMC/SNMGP scale through their Kronecker structure and never need this.
     """
     from .parallel import buckets as buckets_mod
     from .postprocess import summary as summary_mod
@@ -772,6 +780,13 @@ def run_cohort(
     cfg = cfg or PipelineConfig()
     mesh = mesh or make_mesh()
     ids = sorted(subjects.keys(), key=str)
+    big_ids: list = []
+    if sharded_threshold is not None and cfg.model == "gnmgp":
+        big_ids = [
+            sid for sid in ids
+            if np.asarray(subjects[sid][0]).shape[0] > sharded_threshold
+        ]
+        ids = [sid for sid in ids if sid not in big_ids]
     xs, ys, tests, norms = [], [], [], []
     for sid in ids:
         x_i, y_i = subjects[sid]
@@ -845,8 +860,10 @@ def run_cohort(
             out["hmc"] = np.asarray(samples)
         return out
 
-    per_subject = buckets_mod.run_bucketed(
-        xs, ys, fit_bucket, n_buckets=n_buckets, mode=mode
+    per_subject = (
+        buckets_mod.run_bucketed(xs, ys, fit_bucket, n_buckets=n_buckets,
+                                 mode=mode)
+        if ids else []
     )
 
     # per-subject test scoring + artifact writes
@@ -898,6 +915,52 @@ def run_cohort(
                 ArtifactStore.key(cfg.model, dataset, sid, "map"), vec=entry["vec"]
             )
         results[sid] = rec
+
+    # oversized subjects: model-parallel fits through the same mesh
+    for sid in big_ids:
+        from .parallel import sharded_obj
+
+        x_i, y_i = subjects[sid]
+        x_i = np.asarray(x_i, float)
+        adj, trend, scale = preprocess.orig2adj(np.asarray(y_i, float))
+        if extrapolation_size > 0:
+            x_tr, x_te, y_tr, y_te = preprocess.data_split_extrapolation(
+                x_i, adj, size=extrapolation_size
+            )
+        else:
+            x_tr, y_tr, x_te, y_te = x_i, adj, None, None
+        n_i, m_i = y_tr.shape
+        emp = empirical.local_estimation(
+            x_tr, y_tr, window_size=min(cfg.window_size, max(2, n_i // 3))
+        )
+        init_vec = init_mod.gnmgp_from_empirical(emp, n_i, m_i)
+        data_i = FullData(
+            jnp.asarray(x_tr, settings.dtype), jnp.asarray(y_tr, settings.dtype)
+        )
+        nlp = sharded_obj.make_objective_sharded(data_i, mesh=mesh, hyper=cfg.hyper)
+        res_i = map_mod.fit_map(nlp, init_vec, n_iters=cfg.n_opt, lr=cfg.lr)
+        rec = {
+            "map_vec": np.asarray(res_i.vec),
+            "final_nlp": float(nlp(res_i.vec)),
+            "sharded": True,
+        }
+        if x_te is not None and cfg.do_pred_test:
+            tp = sharded_obj.predict_map_sharded(
+                res_i.vec, data_i, jnp.asarray(x_te, settings.dtype),
+                mesh=mesh, hyper=cfg.hyper,
+            )
+            rec["test_rmse"] = evaluate.rmse(np.asarray(tp.mean), y_te)
+            rec["test_lpd"] = evaluate.lpd(
+                np.asarray(tp.mean), np.asarray(tp.std), y_te
+            )
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "scores"),
+                           rmse=rec["test_rmse"], lpd=rec["test_lpd"])
+        if store is not None:
+            store.save(ArtifactStore.key(cfg.model, dataset, sid, "map"),
+                       vec=rec["map_vec"])
+        results[sid] = rec
+    ids = sorted([*ids, *big_ids], key=str)
 
     out = {"subjects": results, "ids": ids}
     if store is not None:

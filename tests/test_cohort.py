@@ -168,3 +168,28 @@ class TestLegacySims:
         assert y.shape == (12,)
         y, k = sim.sim_undata(jax.random.PRNGKey(3), 12, x)
         assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestShardedCohortRouting:
+    def test_oversized_subject_routes_through_model_parallel(self, tmp_path):
+        """Subjects above sharded_threshold fit through the matrix-free
+        model-parallel objective on the same mesh; scores land in the same
+        reduction as the fleet-fitted subjects."""
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, [14, 16, 40])):
+            d = sim.sim_mnts(k, n=n)
+            subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        cfg = workflows.PipelineConfig(model="gnmgp", n_opt=25, window_size=5)
+        store = ArtifactStore(str(tmp_path))
+        out = workflows.run_cohort(
+            subjects, cfg, store=store, n_buckets=1, extrapolation_size=3,
+            sharded_threshold=30,
+        )
+        assert out["subjects"]["id2"].get("sharded") is True
+        assert "sharded" not in out["subjects"]["id0"]
+        for sid, rec in out["subjects"].items():
+            assert np.isfinite(rec["final_nlp"]), sid
+            assert np.isfinite(rec["test_rmse"]), sid
+        assert out["reduction"]["n_valid"] == 3
+        assert out["ids"] == ["id0", "id1", "id2"]
