@@ -779,30 +779,33 @@ def run_cohort(
 
     cfg = cfg or PipelineConfig()
     mesh = mesh or make_mesh()
-    ids = sorted(subjects.keys(), key=str)
+    all_ids = sorted(subjects.keys(), key=str)
     big_ids: list = []
     if sharded_threshold is not None and cfg.model == "gnmgp":
         big_ids = [
-            sid for sid in ids
+            sid for sid in all_ids
             if np.asarray(subjects[sid][0]).shape[0] > sharded_threshold
         ]
-        ids = [sid for sid in ids if sid not in big_ids]
-    xs, ys, tests, norms = [], [], [], []
-    for sid in ids:
+    ids = [sid for sid in all_ids if sid not in big_ids]
+
+    # one preprocessing pipeline for every subject (fleet-fitted or sharded):
+    # detrend/standardize per feature, optional extrapolation holdout.
+    # Scoring happens in the adjusted space, as in the fleet path.
+    prep = {}
+    for sid in all_ids:
         x_i, y_i = subjects[sid]
         x_i = np.asarray(x_i, float)
-        y_i = np.asarray(y_i, float)
-        adj, trend, scale = preprocess.orig2adj(y_i)
+        adj, _, _ = preprocess.orig2adj(np.asarray(y_i, float))
         if extrapolation_size > 0:
             x_tr, x_te, y_tr, y_te = preprocess.data_split_extrapolation(
                 x_i, adj, size=extrapolation_size
             )
         else:
             x_tr, y_tr, x_te, y_te = x_i, adj, None, None
-        xs.append(x_tr)
-        ys.append(y_tr)
-        tests.append((x_te, y_te))
-        norms.append((trend, scale))
+        prep[sid] = (x_tr, y_tr, (x_te, y_te))
+    xs = [prep[sid][0] for sid in ids]
+    ys = [prep[sid][1] for sid in ids]
+    tests = [prep[sid][2] for sid in ids]
 
     def fit_bucket(x, y, idxs, mask):
         s, n = x.shape
@@ -917,18 +920,11 @@ def run_cohort(
         results[sid] = rec
 
     # oversized subjects: model-parallel fits through the same mesh
-    for sid in big_ids:
+    if big_ids:
+        from .inference import whiten as whiten_mod
         from .parallel import sharded_obj
-
-        x_i, y_i = subjects[sid]
-        x_i = np.asarray(x_i, float)
-        adj, trend, scale = preprocess.orig2adj(np.asarray(y_i, float))
-        if extrapolation_size > 0:
-            x_tr, x_te, y_tr, y_te = preprocess.data_split_extrapolation(
-                x_i, adj, size=extrapolation_size
-            )
-        else:
-            x_tr, y_tr, x_te, y_te = x_i, adj, None, None
+    for sid in big_ids:
+        x_tr, y_tr, (x_te, y_te) = prep[sid]
         n_i, m_i = y_tr.shape
         emp = empirical.local_estimation(
             x_tr, y_tr, window_size=min(cfg.window_size, max(2, n_i // 3))
@@ -941,9 +937,29 @@ def run_cohort(
         res_i = map_mod.fit_map(nlp, init_vec, n_iters=cfg.n_opt, lr=cfg.lr)
         rec = {
             "map_vec": np.asarray(res_i.vec),
-            "final_nlp": float(nlp(res_i.vec)),
+            # the optimizer's own trace supplies the final objective; no
+            # extra forward-only compile of the sharded Gram program
+            "final_nlp": float(-res_i.target_hist[-1]),
             "sharded": True,
         }
+        if cfg.do_hmc:
+            # same posterior-sampling stage as the fleet subjects, through
+            # the sharded likelihood in the prior-whitened space
+            if cfg.whiten == "pncp":
+                raise ValueError("run_cohort supports whiten=True/'prior' "
+                                 "only (pncp is single-subject)")
+            w = whiten_mod.make_whitener("gnmgp", data_i.x, n_i, m_i, cfg.hyper)
+            chain = hmc_mod.hmc_sample(
+                w.wrap(nlp), w.to_white(res_i.vec), cfg.n_hmc,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                   100003 + big_ids.index(sid)),
+                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+            )
+            rec["hmc_samples"] = np.asarray(w.from_white_batch(chain.samples))
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                           samples=rec["hmc_samples"])
         if x_te is not None and cfg.do_pred_test:
             tp = sharded_obj.predict_map_sharded(
                 res_i.vec, data_i, jnp.asarray(x_te, settings.dtype),
@@ -960,7 +976,7 @@ def run_cohort(
             store.save(ArtifactStore.key(cfg.model, dataset, sid, "map"),
                        vec=rec["map_vec"])
         results[sid] = rec
-    ids = sorted([*ids, *big_ids], key=str)
+    ids = all_ids
 
     out = {"subjects": results, "ids": ids}
     if store is not None:

@@ -180,7 +180,10 @@ class TestShardedCohortRouting:
         for i, (k, n) in enumerate(zip(keys, [14, 16, 40])):
             d = sim.sim_mnts(k, n=n)
             subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
-        cfg = workflows.PipelineConfig(model="gnmgp", n_opt=25, window_size=5)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=25, window_size=5, do_hmc=True, n_hmc=4,
+            whiten=True, hmc_step_size=1e-3,
+        )
         store = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort(
             subjects, cfg, store=store, n_buckets=1, extrapolation_size=3,
@@ -191,5 +194,10 @@ class TestShardedCohortRouting:
         for sid, rec in out["subjects"].items():
             assert np.isfinite(rec["final_nlp"]), sid
             assert np.isfinite(rec["test_rmse"]), sid
+            # sharded subjects get the same posterior-sampling stage as the
+            # fleet subjects (whitened chains through the sharded objective)
+            assert rec["hmc_samples"].shape[0] == 4, sid
+            assert np.all(np.isfinite(rec["hmc_samples"])), sid
         assert out["reduction"]["n_valid"] == 3
         assert out["ids"] == ["id0", "id1", "id2"]
+        assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id2", "hmc"))
