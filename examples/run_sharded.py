@@ -136,6 +136,17 @@ def main():
         if store is not None:
             store.save(ArtifactStore.key(args.model, dataset, 0, "hmc"),
                        samples=samples)
+        if args.n_grid > 0 and args.model == "gnmgp":
+            # chain-sample prediction through the sharded sweep (one
+            # factorization per retained draw — the honest per-draw cost)
+            t0 = time.time()
+            ys = sharded_obj.predict_sample_sharded(
+                jax.random.PRNGKey(2), jnp.asarray(samples), data, grid,
+                mesh=mesh, block=args.block, n_sample=min(8, args.n_hmc),
+            )
+            out["pred_sample_seconds"] = round(time.time() - t0, 2)
+            out["pred_sample_shape"] = list(np.asarray(ys).shape)
+            assert np.all(np.isfinite(np.asarray(ys)))
 
     print(json.dumps(out))
 
