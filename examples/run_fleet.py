@@ -11,7 +11,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 from nonstationary_multivariate_gaussian_process_tpu import workflows
 

@@ -17,9 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from nonstationary_multivariate_gaussian_process_tpu import evaluate, viz, workflows
+from nonstationary_multivariate_gaussian_process_tpu import workflows
 from nonstationary_multivariate_gaussian_process_tpu.postprocess import analysis, summary
 
 

@@ -22,7 +22,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-from .. import settings
 from ..ops import chol as _chol
 from ..ops import kron as _kron
 

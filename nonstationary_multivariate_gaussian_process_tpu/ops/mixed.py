@@ -36,7 +36,6 @@ Replaces the reference's f64 ``torch.inverse`` + ``torch.logdet``
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

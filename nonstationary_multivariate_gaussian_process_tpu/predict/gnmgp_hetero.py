@@ -27,7 +27,6 @@ from ..models import gnmgp as base_model
 from ..models.base import FullData, task_major
 from .latent import krige_rbf
 from .gnmgp import _latent_conds, _moments
-from .snmgp import SampledPrediction
 
 
 class GridPredictionHetero(NamedTuple):

@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import settings
 from ..ops import kernels, kron, transforms
 from ..models import lmc as model
 from ..models.base import FullData, task_major
