@@ -78,6 +78,10 @@ def main():
 
         store = ArtifactStore(args.out)
         map_key = ArtifactStore.key(args.model, dataset, 0, "map")
+        # the data stage makes the fit servable: serving.PredictEngine(root,
+        # model=..., dataset=...) stands up straight from this store
+        store.save(ArtifactStore.key(args.model, dataset, 0, "data"),
+                   x=np.asarray(data.x), y=np.asarray(data.y))
 
     nlp = sharded_obj.make_objective_sharded(data, mesh=mesh,
                                              block=args.block, model=args.model)
