@@ -62,13 +62,29 @@ def pack(p: Params) -> jnp.ndarray:
     return jnp.concatenate([p.tilde_l, p.ul_vecs, p.tilde_sigma2_err])
 
 
-def log_lik(p: Params, data: FullData) -> jnp.ndarray:
+def log_lik(p: Params, data: FullData, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Marginal log-likelihood; optional input mask for padded subjects.
+
+    ``mask``: (N,) boolean, True for real observations.  Masked entries are
+    projected out of the Gram exactly as in the homoscedastic model
+    (models/gnmgp.log_lik): rows/cols zeroed, unit diagonal, zero observation
+    — the padded slots' noise latents then only feel their GP prior.
+    """
     n, m = data.y.shape
     ls = base.chol_process(p.ul_vecs, n, m)
     ell = jnp.exp(p.tilde_l)
     k_x = kernels.nonstationary_rbf_cov(data.x, ell1=ell)
-    cov = base.gram(k_x, ls) + jnp.diag(jnp.exp(p.tilde_sigma2_err))
-    return dists.mvn_logpdf_dense_unnorm(task_major(data.y), 0.0, cov)
+    cov = base.gram(k_x, ls)
+    y = task_major(data.y)
+    noise = jnp.exp(p.tilde_sigma2_err)  # (N*M,) task-major
+    if mask is None:
+        cov = cov + jnp.diag(noise)
+    else:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (N*M,)
+        cov = cov * (mv[:, None] * mv[None, :])
+        cov = cov + jnp.diag(jnp.where(mv > 0, noise, 1.0))
+        y = y * mv
+    return dists.mvn_logpdf_dense_unnorm(y, 0.0, cov)
 
 
 def log_posterior(
@@ -87,11 +103,12 @@ def log_posterior(
     prior_chol_l=None,
     prior_chol_L=None,
     prior_chol_err=None,
+    mask=None,
 ):
     x = data.x
     n, m = data.y.shape
     t = transforms.tri_size(m)
-    loglik = log_lik(p, data)
+    loglik = log_lik(p, data, mask=mask)
 
     if prior_chol_l is None:
         prior_chol_l = chol.safe_cholesky(
@@ -140,7 +157,8 @@ def deviance(vec, y, x):
     return -2.0 * log_lik(unpack(vec, n, m), FullData(x, y))
 
 
-def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
+def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True,
+                   mask=None):
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     x = data.x
     pc_l = chol.prior_rbf_inv(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
@@ -151,7 +169,7 @@ def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True
     def nlp(vec):
         p = unpack(vec, n, m)
         res, _ = log_posterior(
-            p, data, prior=prior,
+            p, data, prior=prior, mask=mask,
             prior_chol_l=pc_l, prior_chol_L=pc_L, prior_chol_err=pc_e, **hp
         )
         return -res

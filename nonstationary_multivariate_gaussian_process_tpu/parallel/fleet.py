@@ -31,12 +31,13 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import settings
-from ..models import gnmgp, lmc, snmgp
+from ..models import gnmgp, gnmgp_hetero, lmc, snmgp
 from ..models.base import FullData
 from ..ops import chol as chol_ops
 from .mesh import SUBJECT_AXIS, make_mesh, pad_to_multiple
 
-_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp}
+_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp,
+           "gnmgp_hetero": gnmgp_hetero}
 
 
 def _validate_fleet(model_name, xs, ys, vecs, masks=None, hadamard=False):
@@ -76,34 +77,44 @@ class FleetResult(NamedTuple):
 
 
 def _prior_chols(model_name: str, x: jnp.ndarray, hp: dict):
-    """Per-subject prior Cholesky factors (host-f64 islands, DESIGN §4)."""
+    """Per-subject prior Cholesky factors (host-f64 islands, DESIGN §4).
+
+    Returns ``(pc1, pc2, pc3)``; pc3 is the heteroscedastic noise-GP factor
+    (empty for the other models, empty everything for lmc)."""
+    empty = jnp.zeros((0,))
     if model_name == "snmgp":
         a1, b1 = hp["alpha_tilde_l"], hp["beta_tilde_l"]
         a2, b2 = hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"]
-    elif model_name == "gnmgp":
+    elif model_name in ("gnmgp", "gnmgp_hetero"):
         a1, b1 = hp["alpha_tilde_l"], hp["beta_tilde_l"]
         a2, b2 = hp["alpha_L"], hp["beta_L"]
     else:
-        return jnp.zeros((0,)), jnp.zeros((0,))  # lmc has no GP priors
+        return empty, empty, empty  # lmc has no GP priors
     pc1 = chol_ops.prior_rbf_cholesky(x, a1, b1)
     pc2 = chol_ops.prior_rbf_cholesky(x, a2, b2)
-    return pc1, pc2
+    if model_name == "gnmgp_hetero":
+        pc3 = chol_ops.prior_rbf_cholesky(x, hp["alpha_err"], hp["beta_err"])
+    else:
+        pc3 = empty
+    return pc1, pc2, pc3
 
 
 def _batched_prior_chols(model_name: str, xs: jnp.ndarray, hp: dict):
     """Stack per-subject prior factors, computed eagerly on the host."""
     if model_name == "lmc":
         s = xs.shape[0]
-        return jnp.zeros((s, 0)), jnp.zeros((s, 0))
+        z = jnp.zeros((s, 0))
+        return z, z, z
     pcs = [_prior_chols(model_name, xs[i], hp) for i in range(xs.shape[0])]
-    return jnp.stack([p[0] for p in pcs]), jnp.stack([p[1] for p in pcs])
+    return (jnp.stack([p[0] for p in pcs]), jnp.stack([p[1] for p in pcs]),
+            jnp.stack([p[2] for p in pcs]))
 
 
 def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
-    """Per-subject objective fn(vec, x, y, pc1, pc2[, mask]) → scalar."""
+    """Per-subject objective fn(vec, x, y, pc1, pc2, pc3[, mask]) → scalar."""
     model = _MODELS[model_name]
 
-    def nlp(vec, x, y, pc1, pc2, mask=None):
+    def nlp(vec, x, y, pc1, pc2, pc3, mask=None):
         data = FullData(x, y)
         if model_name == "lmc":
             p = model.unpack(vec, y.shape[1])
@@ -112,6 +123,12 @@ def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
             p = model.unpack(vec, y.shape[0], y.shape[1])
             res, _ = model.log_posterior(
                 p, data, prior_chol_l=pc1, prior_chol_sigma=pc2, mask=mask, **hp
+            )
+        elif model_name == "gnmgp_hetero":
+            p = model.unpack(vec, y.shape[0], y.shape[1])
+            res, _ = model.log_posterior(
+                p, data, prior_chol_l=pc1, prior_chol_L=pc2,
+                prior_chol_err=pc3, mask=mask, **hp
             )
         else:
             p = model.unpack(vec, y.shape[0], y.shape[1])
@@ -122,7 +139,7 @@ def _subject_nlp(model_name: str, hp: dict, masked: bool = False):
 
     if masked:
         return nlp
-    return lambda vec, x, y, pc1, pc2: nlp(vec, x, y, pc1, pc2)
+    return lambda vec, x, y, pc1, pc2, pc3: nlp(vec, x, y, pc1, pc2, pc3)
 
 
 def fit_fleet_map(
@@ -162,12 +179,12 @@ def fit_fleet_map(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=True)
     optimizer = optax.adam(lr)
 
-    def fit_one(vec0, x, y, p1, p2, mask):
-        obj = lambda v: nlp(v, x, y, p1, p2, mask)
+    def fit_one(vec0, x, y, p1, p2, p3, mask):
+        obj = lambda v: nlp(v, x, y, p1, p2, p3, mask)
 
         def step(carry, _):
             v, s = carry
@@ -193,8 +210,8 @@ def fit_fleet_map(
         )
         return v, obj(v), hist
 
-    def shard_fn(vec0, x, y, p1, p2, mask):
-        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, p1, p2, mask)
+    def shard_fn(vec0, x, y, p1, p2, p3, mask):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, p1, p2, p3, mask)
         # fleet-level metrics ride one psum/pmax over ICI
         total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
         lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
@@ -204,11 +221,11 @@ def fit_fleet_map(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(), P(), P()),
     )
     vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
-        init_vecs, xs, ys, pc1, pc2, masks
+        init_vecs, xs, ys, pc1, pc2, pc3, masks
     )
     s_total = xs.shape[0]
     return FleetResult(
@@ -237,29 +254,47 @@ def _fleet_whiten_fns(model_name: str, n: int, m: int, hp: dict):
     from ..ops import transforms
 
     t = transforms.tri_size(m)
+    # block tuples: (start, stop, k, which prior factor, mu, rows-layout).
+    # rows=True means the segment reshapes to (k, n) task-major rows (the
+    # hetero noise process); rows=False means (n, k) input-major columns.
     if model_name == "gnmgp":
-        blocks = ((0, n, 1, 0, hp["mu_tilde_l"]), (n, n + n * t, t, 1, hp["mu_L"]))
+        blocks = ((0, n, 1, 0, hp["mu_tilde_l"], False),
+                  (n, n + n * t, t, 1, hp["mu_L"], False))
     elif model_name == "snmgp":
-        blocks = ((0, n, 1, 0, hp["mu_tilde_l"]),
-                  (n, 2 * n, 1, 1, hp["mu_tilde_sigma"]))
+        blocks = ((0, n, 1, 0, hp["mu_tilde_l"], False),
+                  (n, 2 * n, 1, 1, hp["mu_tilde_sigma"], False))
+    elif model_name == "gnmgp_hetero":
+        blocks = ((0, n, 1, 0, hp["mu_tilde_l"], False),
+                  (n, n + n * t, t, 1, hp["mu_L"], False),
+                  (n + n * t, n + n * t + n * m, m, 2, hp["mu_err"], True))
     else:
         return None
 
-    def from_white(u, p1, p2):
+    def from_white(u, p1, p2, p3):
+        facs = (p1, p2, p3)
         vec = u
-        for (s0, s1, k, which, mu) in blocks:
-            l = p1 if which == 0 else p2
-            val = mu + l @ u[s0:s1].reshape(-1, k)
+        for (s0, s1, k, which, mu, rows) in blocks:
+            l = facs[which]
+            if rows:
+                val = mu + u[s0:s1].reshape(k, -1) @ l.T
+            else:
+                val = mu + l @ u[s0:s1].reshape(-1, k)
             vec = vec.at[s0:s1].set(val.reshape(-1))
         return vec
 
-    def to_white(v, p1, p2):
+    def to_white(v, p1, p2, p3):
+        facs = (p1, p2, p3)
         u = jnp.asarray(v)
-        for (s0, s1, k, which, mu) in blocks:
-            l = p1 if which == 0 else p2
-            sol = jax.scipy.linalg.solve_triangular(
-                l, v[s0:s1].reshape(-1, k) - mu, lower=True
-            )
+        for (s0, s1, k, which, mu, rows) in blocks:
+            l = facs[which]
+            if rows:
+                sol = jax.scipy.linalg.solve_triangular(
+                    l, (v[s0:s1].reshape(k, -1) - mu).T, lower=True
+                ).T
+            else:
+                sol = jax.scipy.linalg.solve_triangular(
+                    l, v[s0:s1].reshape(-1, k) - mu, lower=True
+                )
             u = u.at[s0:s1].set(sol.reshape(-1))
         return u
 
@@ -335,15 +370,15 @@ def hmc_fleet(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=masked)
 
-    def chain_one(vec0, x, y, p1, p2, k, mass, mask):
-        args = (x, y, p1, p2) + ((mask,) if masked else ())
+    def chain_one(vec0, x, y, p1, p2, p3, k, mass, mask):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, p1, p2), *args)
-            vec0 = tw(vec0, p1, p2)
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+            vec0 = tw(vec0, p1, p2, p3)
         else:
             pot = lambda v: nlp(v, *args)
         res = hmc_mod.hmc_sample(
@@ -353,19 +388,20 @@ def hmc_fleet(
             mass_matrix=None if mass.shape[-1] == 0 else mass,
         )
         if wfns is not None:
-            return jax.vmap(lambda u: wfns[0](u, p1, p2))(res.samples)
+            return jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(res.samples)
         return res.samples
 
-    def shard_fn(vec0, x, y, p1, p2, k, mass, mask):
-        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mass, mask)
+    def shard_fn(vec0, x, y, p1, p2, p3, k, mass, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, p3, k, mass, mask)
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 9),
         out_specs=P(SUBJECT_AXIS),
     )
-    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masses_arr, masks)
+    samples = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, pc3, keys,
+                               masses_arr, masks)
     return samples[:s_real]
 
 
@@ -423,15 +459,15 @@ def nuts_fleet(
     else:
         masks = jnp.ones(xs.shape, bool)
 
-    pc1, pc2 = _batched_prior_chols(model_name, xs, hp)
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=masked)
 
-    def chain_one(vec0, x, y, p1, p2, k, mask):
-        args = (x, y, p1, p2) + ((mask,) if masked else ())
+    def chain_one(vec0, x, y, p1, p2, p3, k, mask):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, p1, p2), *args)
-            vec0 = tw(vec0, p1, p2)
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+            vec0 = tw(vec0, p1, p2, p3)
         else:
             pot = lambda v: nlp(v, *args)
         res = nuts_mod.nuts_sample(
@@ -440,11 +476,11 @@ def nuts_fleet(
         )
         samples = res.samples
         if wfns is not None:
-            samples = jax.vmap(lambda u: wfns[0](u, p1, p2))(samples)
+            samples = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(samples)
         return samples, jnp.mean(res.accept_stat[n_warmup:])
 
-    def shard_fn(vec0, x, y, p1, p2, k, mask):
-        return jax.vmap(chain_one)(vec0, x, y, p1, p2, k, mask)
+    def shard_fn(vec0, x, y, p1, p2, p3, k, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, p3, k, mask)
 
     # check_vma=False: the NUTS U-turn while_loop mixes replicated literals
     # into its carry, which the varying-mask analysis rejects; chain_one is
@@ -452,11 +488,11 @@ def nuts_fleet(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
         check_vma=False,
     )
-    samples, accept = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, keys, masks)
+    samples, accept = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, pc3, keys, masks)
     return samples[:s_real], accept[:s_real]
 
 
@@ -550,6 +586,11 @@ def fit_fleet_map_hadamard(
     subjects exact (``models.base.mask_dense_gram``).
     """
     _validate_fleet(model_name, xs, ys, init_vecs, masks, hadamard=True)
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
     hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
     if mesh is None:
         mesh = make_mesh()
@@ -659,6 +700,11 @@ def hmc_fleet_hadamard(
     from ..inference import hmc as hmc_mod
 
     _validate_fleet(model_name, xs, ys, map_vecs, masks, hadamard=True)
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
     hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
     if mesh is None:
         mesh = make_mesh()
@@ -689,10 +735,11 @@ def hmc_fleet_hadamard(
     nlp = _subject_nlp_hadamard(model_name, m, hp)
 
     def chain_one(vec0, x, indx, y, p1, p2, k, mask):
+        p3 = jnp.zeros((0,), p1.dtype)  # no hetero noise block in this layout
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, p1, p2), x, indx, y, p1, p2, mask)
-            vec0 = tw(vec0, p1, p2)
+            pot = lambda u: nlp(fw(u, p1, p2, p3), x, indx, y, p1, p2, mask)
+            vec0 = tw(vec0, p1, p2, p3)
         else:
             pot = lambda v: nlp(v, x, indx, y, p1, p2, mask)
         res = hmc_mod.hmc_sample(
@@ -701,7 +748,7 @@ def hmc_fleet_hadamard(
             adapt_step_size=adapt_step_size,
         )
         if wfns is not None:
-            return jax.vmap(lambda u: wfns[0](u, p1, p2))(res.samples)
+            return jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(res.samples)
         return res.samples
 
     def shard_fn(vec0, x, indx, y, p1, p2, k, mask):
@@ -785,8 +832,8 @@ def hessian_mass_fleet(
 
     rows = []
     for i in range(xs.shape[0]):
-        pc1, pc2 = _prior_chols(model_name, xs[i], hp)
-        obj = lambda v: nlp(v, xs[i], ys[i], pc1, pc2)
+        pc1, pc2, pc3 = _prior_chols(model_name, xs[i], hp)
+        obj = lambda v: nlp(v, xs[i], ys[i], pc1, pc2, pc3)
 
         def hvp_diag(e, vec=map_vecs[i], obj=obj):
             return jax.jvp(jax.grad(obj), (vec,), (e,))[1] @ e

@@ -664,6 +664,10 @@ def run_sim_fleet(
         )
         if cfg.model == "gnmgp":
             inits.append(init_mod.gnmgp_from_empirical(emp, n, m))
+        elif cfg.model == "gnmgp_hetero":
+            inits.append(gnmgp_hetero.init_from_gnmgp(
+                init_mod.gnmgp_from_empirical(emp, n, m), n, m
+            ))
         elif cfg.model == "snmgp":
             inits.append(init_mod.snmgp_from_empirical(emp, n, m))
         else:
@@ -721,6 +725,12 @@ def run_sim_fleet(
             if cfg.model == "lmc":
                 gp = pred.predict_map(vec_i, data_i, batch.x[i])
                 mean, std = np.asarray(gp.mean), np.asarray(gp.std)
+            elif cfg.model == "gnmgp_hetero":
+                # plug-in moments with the kriged noise process (the hetero
+                # predictor has no latent-sampling variant; the closed-form
+                # mean/std feed the same G/P/D scoring)
+                gp = pred.predict_map(vec_i, data_i, batch.x[i], hyper=cfg.hyper)
+                mean, std = np.asarray(gp.mean), np.asarray(gp.std)
             else:
                 sp = pred.predict_map_sampling(
                     jax.random.fold_in(k_eval, i), 64, vec_i, data_i, batch.x[i],
@@ -733,7 +743,7 @@ def run_sim_fleet(
             gpd.append(evaluate.gpd_scores(draws, np.asarray(batch.y[i])))
         out["gpd"] = gpd
         out["gpd_median_D"] = float(np.median([s["D"] for s in gpd]))
-    if cfg.model == "gnmgp":
+    if cfg.model in ("gnmgp", "gnmgp_hetero"):
         # recovery of the lengthscale process vs the known truth
         est_tilde_l = np.asarray(res.vecs[:, :n])
         true_tilde_l = np.log(np.asarray(batch.l))
@@ -781,7 +791,7 @@ def run_cohort(
     mesh = mesh or make_mesh()
     all_ids = sorted(subjects.keys(), key=str)
     big_ids: list = []
-    if sharded_threshold is not None and cfg.model == "gnmgp":
+    if sharded_threshold is not None and cfg.model in ("gnmgp", "gnmgp_hetero"):
         big_ids = [
             sid for sid in all_ids
             if np.asarray(subjects[sid][0]).shape[0] > sharded_threshold
@@ -819,6 +829,10 @@ def run_cohort(
             )
             if cfg.model == "gnmgp":
                 init_j = init_mod.gnmgp_from_empirical(emp, n_real, m)
+            elif cfg.model == "gnmgp_hetero":
+                init_j = gnmgp_hetero.init_from_gnmgp(
+                    init_mod.gnmgp_from_empirical(emp, n_real, m), n_real, m
+                )
             elif cfg.model == "snmgp":
                 init_j = init_mod.snmgp_from_empirical(emp, n_real, m)
             else:
@@ -895,6 +909,8 @@ def run_cohort(
             t = m_tasks * (m_tasks + 1) // 2
             if cfg.model == "gnmgp":
                 n_pad_fit = (vec.shape[0] - 1) // (1 + t)
+            elif cfg.model == "gnmgp_hetero":
+                n_pad_fit = vec.shape[0] // (1 + t + m_tasks)
             elif cfg.model == "snmgp":
                 n_pad_fit = (vec.shape[0] - t - 1) // 2
             else:
@@ -930,10 +946,14 @@ def run_cohort(
             x_tr, y_tr, window_size=min(cfg.window_size, max(2, n_i // 3))
         )
         init_vec = init_mod.gnmgp_from_empirical(emp, n_i, m_i)
+        if cfg.model == "gnmgp_hetero":
+            init_vec = gnmgp_hetero.init_from_gnmgp(init_vec, n_i, m_i)
         data_i = FullData(
             jnp.asarray(x_tr, settings.dtype), jnp.asarray(y_tr, settings.dtype)
         )
-        nlp = sharded_obj.make_objective_sharded(data_i, mesh=mesh, hyper=cfg.hyper)
+        nlp = sharded_obj.make_objective_sharded(
+            data_i, mesh=mesh, hyper=cfg.hyper, model=cfg.model
+        )
         res_i = map_mod.fit_map(nlp, init_vec, n_iters=cfg.n_opt, lr=cfg.lr)
         rec = {
             "map_vec": np.asarray(res_i.vec),
@@ -948,7 +968,7 @@ def run_cohort(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort supports whiten=True/'prior' "
                                  "only (pncp is single-subject)")
-            w = whiten_mod.make_whitener("gnmgp", data_i.x, n_i, m_i, cfg.hyper)
+            w = whiten_mod.make_whitener(cfg.model, data_i.x, n_i, m_i, cfg.hyper)
             chain = hmc_mod.hmc_sample(
                 w.wrap(nlp), w.to_white(res_i.vec), cfg.n_hmc,
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
@@ -963,7 +983,7 @@ def run_cohort(
         if x_te is not None and cfg.do_pred_test:
             tp = sharded_obj.predict_map_sharded(
                 res_i.vec, data_i, jnp.asarray(x_te, settings.dtype),
-                mesh=mesh, hyper=cfg.hyper,
+                mesh=mesh, hyper=cfg.hyper, model=cfg.model,
             )
             rec["test_rmse"] = evaluate.rmse(np.asarray(tp.mean), y_te)
             rec["test_lpd"] = evaluate.lpd(
@@ -1039,12 +1059,45 @@ def _crop_snmgp_vec(vec, n_pad: int, n_real: int, m: int):
     )
 
 
+def _pad_hetero_vec(vec, n_real: int, n_pad: int, m: int):
+    """Extend a heteroscedastic-GNMGP vector's latent slots from n_real to
+    n_pad inputs: tilde_l and the uL rows repeat their edge values (as in
+    :func:`_pad_gnmgp_vec`), and each task's noise log-variance row (layout
+    ``tilde_sigma2_err (N·M,)`` task-major) repeats its edge too."""
+    import jax.numpy as jnp
+
+    t = m * (m + 1) // 2
+    vec = jnp.asarray(vec)
+    pad = n_pad - n_real
+    tilde_l = vec[:n_real]
+    ul = vec[n_real : n_real + n_real * t].reshape(n_real, t)
+    err = vec[n_real + n_real * t :].reshape(m, n_real)
+    tilde_l = jnp.concatenate([tilde_l, jnp.repeat(tilde_l[-1:], pad)])
+    ul = jnp.concatenate([ul, jnp.repeat(ul[-1:, :], pad, axis=0)], axis=0)
+    err = jnp.concatenate([err, jnp.repeat(err[:, -1:], pad, axis=1)], axis=1)
+    return jnp.concatenate([tilde_l, ul.reshape(-1), err.reshape(-1)])
+
+
+def _crop_hetero_vec(vec, n_pad: int, n_real: int, m: int):
+    """Inverse of :func:`_pad_hetero_vec`: keep only the real latent slots."""
+    import jax.numpy as jnp
+
+    t = m * (m + 1) // 2
+    vec = jnp.asarray(vec)
+    tilde_l = vec[:n_real]
+    ul = vec[n_pad : n_pad + n_real * t]
+    err = vec[n_pad + n_pad * t :].reshape(m, n_pad)[:, :n_real]
+    return jnp.concatenate([tilde_l, ul, err.reshape(-1)])
+
+
 def _pad_vec(model: str, vec, n_real: int, n_pad: int, m: int):
     """Model-dispatching latent-slot padding (LMC has no per-input latents)."""
     if n_pad == n_real or model == "lmc":
         return vec
     if model == "snmgp":
         return _pad_snmgp_vec(vec, n_real, n_pad, m)
+    if model == "gnmgp_hetero":
+        return _pad_hetero_vec(vec, n_real, n_pad, m)
     return _pad_gnmgp_vec(vec, n_real, n_pad, m)
 
 
@@ -1054,4 +1107,6 @@ def _crop_vec(model: str, vec, n_pad: int, n_real: int, m: int):
         return vec
     if model == "snmgp":
         return _crop_snmgp_vec(vec, n_pad, n_real, m)
+    if model == "gnmgp_hetero":
+        return _crop_hetero_vec(vec, n_pad, n_real, m)
     return _crop_gnmgp_vec(vec, n_pad, n_real, m)

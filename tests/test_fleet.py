@@ -223,16 +223,16 @@ class TestPreconditionedFleetHMC:
         for name, mod in (("gnmgp", gnmgp), ("snmgp", snmgp)):
             hp = dict(mod.DEFAULT_HYPERS)
             fw, tw = fleet._fleet_whiten_fns(name, n, m, hp)
-            p1, p2 = fleet._prior_chols(name, x, hp)
+            p1, p2, p3 = fleet._prior_chols(name, x, hp)
             w = whiten.make_whitener(name, x, n, m)
             vec = jnp.asarray(rng.normal(size=mod.n_params(n, m)))
             np.testing.assert_allclose(
-                np.asarray(tw(vec, p1, p2)), np.asarray(w.to_white(vec)),
+                np.asarray(tw(vec, p1, p2, p3)), np.asarray(w.to_white(vec)),
                 rtol=1e-8, atol=1e-8,
             )
             u = jnp.asarray(rng.normal(size=mod.n_params(n, m)))
             np.testing.assert_allclose(
-                np.asarray(fw(u, p1, p2)), np.asarray(w.from_white(u)),
+                np.asarray(fw(u, p1, p2, p3)), np.asarray(w.from_white(u)),
                 rtol=1e-8, atol=1e-8,
             )
         assert fleet._fleet_whiten_fns("lmc", n, m, {}) is None
