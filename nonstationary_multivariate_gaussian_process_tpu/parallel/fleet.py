@@ -764,6 +764,103 @@ def hmc_fleet_hadamard(
     return samples[:s_real]
 
 
+def nuts_fleet_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    map_vecs: jnp.ndarray,  # (S, P) warm starts
+    key,
+    n_samples: int = 100,
+    step_size: float = 0.1,
+    n_warmup: int = 200,
+    max_depth: int = 8,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = False,
+    masks: jnp.ndarray | None = None,
+):
+    """Adaptive NUTS chains for a fleet of Hadamard-layout subjects.
+
+    The zero-tuning counterpart of :func:`hmc_fleet_hadamard`, composing the
+    Hadamard per-subject objective with the windowed-warmup tree-doubling
+    sampler (inference/nuts.py) — one fixed-shape XLA program per subject,
+    vmapped within a device and sharded over the mesh.  ``whiten=True``
+    samples the prior-whitened latent blocks; ``masks`` makes padded ragged
+    subjects exact.  Returns ``(samples (S, T, P), accept_stat (S,))``.
+    """
+    from ..inference import nuts as nuts_mod
+
+    _validate_fleet(model_name, xs, ys, map_vecs, masks, hadamard=True)
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1], m, hp)
+        if whiten else None
+    )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+
+    def chain_one(vec0, x, indx, y, p1, p2, k, mask):
+        p3 = jnp.zeros((0,), p1.dtype)
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), x, indx, y, p1, p2, mask)
+            vec0 = tw(vec0, p1, p2, p3)
+        else:
+            pot = lambda v: nlp(v, x, indx, y, p1, p2, mask)
+        res = nuts_mod.nuts_sample(
+            pot, vec0, n_samples, k, step_size=step_size, n_warmup=n_warmup,
+            max_depth=max_depth,
+        )
+        samples = res.samples
+        if wfns is not None:
+            samples = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(samples)
+        return samples, jnp.mean(res.accept_stat[n_warmup:])
+
+    def shard_fn(vec0, x, indx, y, p1, p2, k, mask):
+        return jax.vmap(chain_one)(vec0, x, indx, y, p1, p2, k, mask)
+
+    # check_vma=False for the same reason as nuts_fleet: the U-turn
+    # while_loop mixes replicated literals into its carry and the program is
+    # purely subject-local (no collectives)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        check_vma=False,
+    )
+    samples, accept = jax.jit(sharded)(map_vecs, xs, indxs, ys, pc1, pc2,
+                                       keys, masks)
+    return samples[:s_real], accept[:s_real]
+
+
 def pilot_mass_fleet(
     model_name: str,
     xs: jnp.ndarray,

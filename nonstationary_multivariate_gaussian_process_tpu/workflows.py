@@ -559,20 +559,27 @@ def run_cohort_hadamard(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort_hadamard supports whiten=True/"
                                  "'prior' only (pncp is single-subject)")
-            if cfg.sampler != "hmc":
-                raise ValueError(
-                    f"run_cohort_hadamard supports sampler='hmc' only, got "
-                    f"{cfg.sampler!r} (adaptive chains: run_subject_hadamard)"
+            k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
+            if cfg.sampler == "nuts":
+                n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+                samples, _ = fleet_mod.nuts_fleet_hadamard(
+                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
+                    jnp.asarray(y), m, res.vecs, k_bucket,
+                    n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                    n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
+                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
                 )
-            samples = fleet_mod.hmc_fleet_hadamard(
-                cfg.model, jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y),
-                m, res.vecs,
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0])),
-                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
-                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
-                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
-                masks=jnp.asarray(mask), whiten=bool(cfg.whiten),
-            )
+            elif cfg.sampler == "hmc":
+                samples = fleet_mod.hmc_fleet_hadamard(
+                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
+                    jnp.asarray(y), m, res.vecs, k_bucket,
+                    n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                    n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
+                    n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                    masks=jnp.asarray(mask), whiten=bool(cfg.whiten),
+                )
+            else:
+                raise ValueError(f"unknown sampler {cfg.sampler!r}")
             out["hmc"] = np.asarray(samples)
         return out
 
@@ -619,6 +626,32 @@ def run_cohort_hadamard(
                 mean, std = pred_h.svc_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
             rec["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
             rec["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
+            if "hmc_samples" in rec:
+                # sample-based indexed scoring over the cohort chain — the
+                # KAISER path (reference test_predsample_hadamard,
+                # prediction.py:678-708), previously only reachable from
+                # run_subject_hadamard.  Bucket-padded draws crop their
+                # latent slots per draw before prediction.
+                hv = jnp.asarray(rec["hmc_samples"], settings.dtype)
+                hv = jax.vmap(
+                    lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
+                )(hv)
+                ks = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 17 + pos)
+                if cfg.model == "lmc":
+                    draws = pred_h.lmc_predict_test_sample(ks, hv, data, xt, it, m)
+                elif cfg.model == "snmgp":
+                    draws = pred_h.snmgp_predict_test_sample(
+                        ks, hv, data, xt, it, m, hyper=cfg.hyper
+                    )
+                else:
+                    draws = pred_h.svc_predict_test_sample(
+                        ks, hv, data, xt, it, m, hyper=cfg.hyper
+                    )
+                d = np.asarray(draws)  # (G_test, S)
+                rec["test_sample_rmse"] = evaluate.rmse(d.mean(axis=1), y_te)
+                rec["test_sample_lpd"] = evaluate.lpd(
+                    d.mean(axis=1), np.maximum(d.std(axis=1), 1e-8), y_te
+                )
             if store is not None:
                 store.save(
                     ArtifactStore.key(cfg.model, dataset, sid, "scores"),
