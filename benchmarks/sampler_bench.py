@@ -46,6 +46,13 @@ def main():
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run")
+    ap.add_argument("--mass", default="none", choices=["none", "hessian"],
+                    help="hessian: clipped |diag| of the (whitened-space) "
+                         "negative-log-posterior Hessian at the MAP as the "
+                         "HMC mass matrix — Hessian-diag preconditioning "
+                         "composed with whitening (VERDICT r2 #2)")
+    ap.add_argument("--max-depth", type=int, default=7,
+                    help="NUTS tree-doubling depth cap (2^depth leapfrogs)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +100,20 @@ def main():
         map_vec = w.to_white(map_vec)
         log(f"sampling the {args.whiten}-reparameterized space")
 
+    mass = None
+    if args.mass == "hessian":
+        # diagonal Hessian of the current-space potential at the (mapped)
+        # MAP; the whitened Hessian is indefinite (whiten.py docstring), so
+        # clip |diag| away from zero — scales, not curvatures
+        p_dim = map_vec.shape[0]
+        eye = jnp.eye(p_dim, dtype=map_vec.dtype)
+        hd = jax.jit(jax.vmap(
+            lambda e: jax.jvp(jax.grad(nlp), (map_vec,), (e,))[1] @ e
+        ))(eye)
+        mass = jnp.clip(jnp.abs(hd), 1e-2, None)
+        log(f"hessian mass: diag range [{float(mass.min()):.3g}, "
+            f"{float(mass.max()):.3g}]")
+
     def score(name, run):
         t0 = time.time()
         samples, grads = run()  # (S, P), total gradient evals
@@ -118,7 +139,7 @@ def main():
         r = hmc.hmc_sample(
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
             step_size=args.step_size, n_leapfrog=leap,
-            n_warmup=args.warmup, adapt_step_size=True,
+            n_warmup=args.warmup, adapt_step_size=True, mass_matrix=mass,
         )
         jax.block_until_ready(r.samples)
         return r.samples, (args.draws + args.warmup) * leap
@@ -135,7 +156,8 @@ def main():
     def run_nuts():
         r = nuts.nuts_sample(
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
-            step_size=args.step_size, n_warmup=args.warmup, max_depth=7,
+            step_size=args.step_size, n_warmup=args.warmup,
+            max_depth=args.max_depth,
         )
         jax.block_until_ready(r.samples)
         return r.samples, int(np.asarray(r.n_leapfrog).sum())
@@ -152,6 +174,7 @@ def main():
             results["nuts"]["ess_per_sec"] / max(results["hmc"]["ess_per_sec"], 1e-9), 2
         )
     out = {"n": args.n, "draws": args.draws, "whiten": args.whiten,
+           "mass": args.mass, "max_depth": args.max_depth,
            "precision": os.environ.get("NMGP_PRECISION", "f32"), **results}
     if pilot_cost is not None:
         out["pncp_pilot"] = pilot_cost

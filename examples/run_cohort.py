@@ -36,12 +36,22 @@ def synthetic_cohort(n_subjects, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="gnmgp", choices=["lmc", "snmgp", "gnmgp"])
+    ap.add_argument("--model", default="gnmgp",
+                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
     ap.add_argument("--data", default=None, help="kaiser_distributed.pickle path")
     ap.add_argument("--subjects", type=int, default=8)
     ap.add_argument("--n-opt", type=int, default=300)
+    ap.add_argument("--n-hmc", type=int, default=0,
+                    help="posterior draws per subject (0 = MAP only); the "
+                         "default posture is whitened adaptive NUTS with "
+                         "--chains jittered chains, and per-subject min-ESS/"
+                         "split-R-hat are reported")
+    ap.add_argument("--chains", type=int, default=2)
     ap.add_argument("--extrapolation", type=int, default=5)
     ap.add_argument("--buckets", type=int, default=4)
+    ap.add_argument("--sharded-threshold", type=int, default=None,
+                    help="subjects above this N fit through the "
+                         "model-parallel sharded objective")
     ap.add_argument("--out", default="res/cohort")
     args = ap.parse_args()
 
@@ -50,13 +60,27 @@ def main():
         if args.data
         else synthetic_cohort(args.subjects)
     )
-    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt)
+    cfg = workflows.PipelineConfig(
+        model=args.model, n_opt=args.n_opt,
+        do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
+        n_chains=args.chains,
+    )
     store = ArtifactStore(args.out)
     out = workflows.run_cohort(
         subjects, cfg, store=store, n_buckets=args.buckets,
         extrapolation_size=args.extrapolation,
+        sharded_threshold=args.sharded_threshold,
     )
-    print(json.dumps(out["reduction"], indent=1, default=str))
+    report = dict(out["reduction"])
+    if args.n_hmc > 0:
+        samp = [rec["sampling"] for rec in out["subjects"].values()
+                if "sampling" in rec]
+        report["sampling"] = {
+            "min_ess_worst": min(s["min_ess"] for s in samp),
+            "max_rhat_worst": max(s["max_rhat"] for s in samp),
+            "n_warned": sum("warning" in s for s in samp),
+        }
+    print(json.dumps(report, indent=1, default=str))
 
 
 if __name__ == "__main__":

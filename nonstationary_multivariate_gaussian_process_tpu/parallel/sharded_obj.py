@@ -552,6 +552,73 @@ def predict_map_sharded(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n", "m", "g", "block", "mesh_holder", "jitter", "model"),
+)
+def _predict_sharded_batch(vecs, y_tm, x, k_crosses, n, m, g, block,
+                           mesh_holder, jitter, model: str = "gnmgp"):
+    """Batched form of :func:`_predict_sharded`: a leading draw axis B on
+    ``vecs`` (B, P) and ``k_crosses`` (B, N, G), one dispatch for the whole
+    chunk.  The per-draw sweep vmaps *inside* the shard_map program, so every
+    device factorizes its row band for all B draws in one XLA program — the
+    all_gathers batch into (D, B, ...) gathers and the dispatch/latency cost
+    of the former per-draw host loop is paid once per chunk."""
+    (mesh,) = mesh_holder
+    n_dev = mesh.devices.size
+    mn = n * m
+    nb = _padded_size(mn, block, n_dev)
+    nb_loc = ((nb // block) // n_dev) * block
+
+    def unpack_one(vec):
+        if model == "gnmgp_hetero":
+            from ..models import gnmgp_hetero
+
+            p = gnmgp_hetero.unpack(vec, n, m)
+            s2 = jnp.exp(p.tilde_sigma2_err)
+        else:
+            p = gnmgp.unpack(vec, n, m)
+            s2 = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
+        return gnmgp.chol_process(p.ul_vecs, n, m), jnp.exp(p.tilde_l), s2
+
+    lss, ells, s2s = jax.vmap(unpack_one)(vecs)
+
+    def shard_fn(y_r, x_r, ells_r, lss_r, s2s_r, kcs_r):
+        my_d = lax.axis_index(SUBJECT_AXIS)
+        rows_g = (
+            (jnp.arange(nb_loc) // block) * (n_dev * block)
+            + my_d * block
+            + jnp.arange(nb_loc) % block
+        )
+        real = rows_g < mn
+        safe = jnp.clip(rows_g, 0, mn - 1)
+        a_idx = safe // n
+        n_idx = safe % n
+
+        def one(ell_r, ls_r, s2_r, kc_r):
+            a_loc, b_loc = _assemble_local(
+                rows_g, nb, mn, x_r, ell_r, ls_r, s2_r, jitter, y_r
+            )
+            f_loc = jnp.einsum(
+                "rg,rb->rbg", kc_r[n_idx], ls_r[n_idx, a_idx]
+            ).reshape(nb_loc, m * g)
+            f_loc = jnp.where(real[:, None], f_loc, 0.0)
+            rhs = jnp.concatenate([b_loc[:, None], f_loc], axis=1)
+            return _sweep_body_multi(
+                nb, block, n_dev, accum="predict", m=m, g=g
+            )(a_loc, rhs)
+
+        return jax.vmap(one)(ells_r, lss_r, s2s_r, kcs_r)
+
+    logdet, (row0, h) = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), (P(), P())),
+    )(y_tm, x, ells, lss, s2s, k_crosses)
+    return logdet, row0, h
+
+
 def predict_sample_sharded(
     key,
     hist_vecs,
@@ -561,67 +628,103 @@ def predict_sample_sharded(
     hyper: dict | None = None,
     block: int = BLOCK,
     n_sample: int | None = None,
+    draw_batch: int = 8,
 ) -> jnp.ndarray:
     """Chain-sample prediction with the training Gram sharded over the mesh.
 
     The large-MN counterpart of :func:`..predict.gnmgp.predict_sample`
-    (reference ``point_predsample_inhomogeneous``): per posterior draw the
-    latent lengthscale and L-process are sampled at the grid from their GP
-    conditionals (small replicated ops), then one multi-RHS fused sweep
-    yields that draw's predictive moments without materializing the Gram.
-    Draws run as a host loop — each is a full O((MN)³/D) factorization, the
-    honest per-draw cost.  Returns (G, S, M) samples.
+    (reference ``point_predsample_inhomogeneous``, prediction.py:1265-1359):
+    per posterior draw the latent lengthscale and L-process are sampled at
+    the grid from their GP conditionals, then a multi-RHS fused sweep yields
+    that draw's predictive moments without materializing the Gram.
+
+    Draws are processed in chunks of ``draw_batch``: the latent conditionals
+    batch over the chunk (they share one host-f64 kriging projection), and
+    the chunk's sweeps run as ONE dispatched XLA program (vmapped inside the
+    shard_map), replacing the former per-draw host loop whose wall clock was
+    dominated by dispatch latency.  Per-device memory scales with
+    ``draw_batch · (MN)²/D``; lower it for very large MN.  The key tree is
+    the same as the single-device ``predict_sample`` — identical keys give
+    identical draws (tested).  Returns (G, S, M) samples.
     """
+    import numpy as np
+
     from ..ops import kernels
-    from ..predict import gnmgp as pred_gnmgp
+    from ..predict.latent import krige_proj
 
     if mesh is None:
         mesh = make_mesh()
     hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
+    t = transforms.tri_size(m)
     hist_vecs = jnp.asarray(hist_vecs)
     if n_sample is not None:
         hist_vecs = hist_vecs[-n_sample:]
+    s_total = hist_vecs.shape[0]
     grid = jnp.asarray(grid, data.x.dtype)
     g = int(grid.shape[0])
     y_tm = data.y.T.reshape(-1)
     ones_n = jnp.ones((n,), grid.dtype)
     ones_g = jnp.ones((g,), grid.dtype)
 
+    # one host-f64 kriging projection per prior, shared by all draws
+    proj_l, var_l = krige_proj(
+        data.x, grid, hp["alpha_tilde_l"], hp["beta_tilde_l"]
+    )
+    proj_L, var_L = krige_proj(data.x, grid, hp["alpha_L"], hp["beta_L"])
+
     # same key tree as the single-device predict_sample, so identical keys
-    # produce identical draws (tested) — the sharding is invisible
-    keys = jax.random.split(key, hist_vecs.shape[0])
-    ys = []
-    for s in range(hist_vecs.shape[0]):
-        vec = hist_vecs[s]
-        k_l, k_ul, k_y = jax.random.split(keys[s], 3)
+    # produce identical draws (tested) — batching is invisible
+    keys = jax.random.split(key, s_total)
+
+    def latent_draws(vec, k):
+        """Per-draw latent sampling at the grid (vmapped over the chunk)."""
+        k_l, k_ul, k_y = jax.random.split(k, 3)
         p = gnmgp.unpack(vec, n, m)
-        cond_l, cond_ul = pred_gnmgp._latent_conds(
-            p, data, grid, hp, n, m
-        )
-        tl = cond_l.mean + jnp.sqrt(cond_l.var) * jax.random.normal(
-            k_l, (g,), grid.dtype
-        )
-        z = jax.random.normal(k_ul, cond_ul.mean.shape, grid.dtype)
-        ul = cond_ul.mean + jnp.sqrt(cond_ul.var)[None, :] * z
-        ls_star = transforms.vec_to_tril(
-            transforms.ulvec_to_lvec(ul.T, m), m
-        )
+        mean_l = hp["mu_tilde_l"] + (p.tilde_l - hp["mu_tilde_l"]) @ proj_l
+        tl = mean_l + jnp.sqrt(var_l) * jax.random.normal(k_l, (g,), grid.dtype)
+        ul_mat = p.ul_vecs.reshape(n, t).T  # (T, N)
+        mean_ul = hp["mu_L"] + (ul_mat - hp["mu_L"]) @ proj_L  # (T, G)
+        z = jax.random.normal(k_ul, mean_ul.shape, grid.dtype)
+        ul = mean_ul + jnp.sqrt(var_L)[None, :] * z
+        ls_star = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul.T, m), m)
         k_cross = kernels.nonstationary_rbf_cov(
             data.x, sigma1=ones_n, ell1=jnp.exp(p.tilde_l), x2=grid,
             sigma2=ones_g, ell2=jnp.exp(tl),
         )
-        k_cross, gb = _pad_grid(k_cross, g)
-        _, row0, h = _predict_sharded(
-            vec, y_tm, data.x, k_cross, n, m, gb, block, (mesh,),
+        return ls_star, k_cross, k_y
+
+    b = max(1, min(draw_batch, s_total))
+    ys = []
+    for lo in range(0, s_total, b):
+        idx = list(range(lo, min(lo + b, s_total)))
+        # pad the tail chunk by repeating the last draw: one compiled program
+        # for every chunk, surplus outputs discarded below
+        take = idx + [idx[-1]] * (b - len(idx))
+        vecs = hist_vecs[jnp.asarray(take)]
+        ls_stars, k_crosses, k_ys = jax.vmap(latent_draws)(
+            vecs, keys[jnp.asarray(take)]
+        )
+        gb = -(-g // GRID_BUCKET) * GRID_BUCKET
+        if gb != g:
+            k_crosses = jnp.pad(k_crosses, ((0, 0), (0, 0), (0, gb - g)))
+        _, row0s, hs = _predict_sharded_batch(
+            vecs, y_tm, data.x, k_crosses, n, m, gb, block, (mesh,),
             float(settings.jitter),
         )
-        row0, h = _unpad_sweep(row0, h, m, g, gb)
-        mu, s2 = _moments_from_sweep(
-            row0, h, ls_star, jnp.exp(p.tilde_sigma2_err), m, g
-        )
-        ys.append(mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype))
-    return jnp.moveaxis(jnp.stack(ys), 0, 1)  # (G, S, M)
+
+        def finish(row0, h, ls_star, vec, k_y):
+            row0, h = _unpad_sweep(row0, h, m, g, gb)
+            p = gnmgp.unpack(vec, n, m)
+            mu, s2 = _moments_from_sweep(
+                row0, h, ls_star, jnp.exp(p.tilde_sigma2_err), m, g
+            )
+            return mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype)
+
+        chunk_ys = jax.vmap(finish)(row0s, hs, ls_stars, vecs, k_ys)
+        ys.append(np.asarray(chunk_ys)[: len(idx)])
+
+    return jnp.moveaxis(jnp.asarray(np.concatenate(ys, axis=0)), 0, 1)  # (G, S, M)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,31 @@ def krige_rbf(
     return LatentConditional(mean=mean, var=var)
 
 
+def krige_proj(x, grid, alpha: float, beta: float):
+    """The shared pieces of :func:`krige_rbf`: ``(proj (N, G), var (G,))``.
+
+    For batched prediction over many parameter draws the projection
+    ``Σ⁻¹ K_cross`` and the marginal variances depend only on (x, grid,
+    prior); computing them once and applying ``mu + (values - mu) @ proj``
+    per draw is the batched form of :func:`krige_rbf` (identical numerics:
+    same host-f64 island, same nugget/clipping semantics).
+    """
+    import numpy as np
+
+    k_self = alpha**2 + settings.jitter
+    x64 = np.asarray(x, np.float64)
+    g64 = np.asarray(grid, np.float64)
+    d2 = (x64[:, None] - x64[None, :]) ** 2
+    sigma = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
+    k_cross_64 = alpha**2 * np.exp(-0.5 * (x64[:, None] - g64[None, :]) ** 2 / beta**2)
+    proj64 = np.linalg.solve(sigma, k_cross_64)  # (N, G)
+    var64 = k_self - np.sum(k_cross_64 * proj64, axis=0)
+    return (
+        jnp.asarray(proj64, settings.dtype),
+        jnp.asarray(np.maximum(var64, settings.precision), settings.dtype),
+    )
+
+
 def sample_latent(key, cond: LatentConditional) -> jnp.ndarray:
     """Draw one pointwise sample of a latent process at the grid."""
     z = jax.random.normal(key, cond.mean.shape, dtype=cond.mean.dtype)

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from . import evaluate, settings
 from .data import preprocess, sim
-from .inference import empirical, hmc as hmc_mod, init as init_mod, map as map_mod
+from .inference import (
+    diagnostics,
+    empirical,
+    hmc as hmc_mod,
+    init as init_mod,
+    map as map_mod,
+)
 from .models import FullData, gnmgp, gnmgp_hetero, lmc, snmgp
 from .parallel import fleet as fleet_mod
 from .parallel.mesh import make_mesh
@@ -81,6 +87,17 @@ class PipelineConfig:
     pncp_pilot: int = 200  # pilot-chain draws for whiten="pncp"
     pncp_interp: float = 1.0  # 0 = keep prior whitening, 1 = fully
     #                           posterior-scaled (whiten.retune interp)
+    cohort_sampler: str = "auto"  # cohort drivers' posterior-sampling
+    #                       posture.  "auto" (default): trustworthy —
+    #                       whitened adaptive NUTS chains regardless of
+    #                       `sampler`/`whiten` (those fields keep serving
+    #                       run_subject); "config": follow `sampler`/`whiten`
+    #                       exactly (the reference-contract fixed-HMC tier).
+    #                       Either way per-subject min-ESS/max-R̂ are computed
+    #                       and surfaced (`subjects[sid]["sampling"]`).
+    n_chains: int = 2  # chains per subject for cohort sampling (chain 0
+    #                    starts at the MAP, the rest at jittered inits;
+    #                    split-R̂ runs across chains).  1 = single chain.
     n_grid: int = 201
     window_size: int = 30
     test_size: float = 0.0
@@ -160,6 +177,62 @@ def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
                                         hadamard=hadamard)
     raise ValueError(f"unknown whiten setting {cfg.whiten!r} "
                      "(want False, True, 'prior' or 'pncp')")
+
+
+def _cohort_sampling_posture(cfg: PipelineConfig):
+    """Resolve (sampler, whiten) for cohort posterior sampling.
+
+    ``cohort_sampler="auto"`` is the trustworthy default: whitened adaptive
+    NUTS — the configuration measured to dominate fixed-budget HMC on these
+    posteriors (inference/whiten.py, benchmarks/sampler_bench.py).
+    ``"config"`` follows ``cfg.sampler``/``cfg.whiten`` verbatim.
+    """
+    if cfg.cohort_sampler == "auto":
+        return "nuts", True
+    if cfg.cohort_sampler == "config":
+        return cfg.sampler, bool(cfg.whiten)
+    raise ValueError(f"unknown cohort_sampler {cfg.cohort_sampler!r} "
+                     "(want 'auto' or 'config')")
+
+
+def _tile_chains(x, y, vecs, mask, n_chains: int, key):
+    """Tile a bucket's subjects across ``n_chains`` jittered chains.
+
+    Unit ``i*C + c`` is chain c of subject i; chain 0 starts at the MAP and
+    the rest at jittered inits (the :func:`parallel.fleet.hmc_fleet_multichain`
+    recipe), so split-R̂ across chains detects non-mixing.
+    """
+    c = max(1, n_chains)
+    if c == 1:
+        return x, y, vecs, mask
+    x_t = jnp.repeat(x, c, axis=0)
+    y_t = jnp.repeat(y, c, axis=0)
+    mask_t = jnp.repeat(mask, c, axis=0)
+    q = jnp.repeat(vecs, c, axis=0)
+    jit_mask = (jnp.arange(q.shape[0]) % c) > 0
+    q = q + jnp.where(
+        jit_mask[:, None], 0.05 * jax.random.normal(key, q.shape, q.dtype), 0.0
+    )
+    return x_t, y_t, q, mask_t
+
+
+def _sampling_record(chains: np.ndarray, n_chains: int) -> dict:
+    """Per-subject sampling-health record from (C, T, P) draws."""
+    d = diagnostics.chain_diagnostics(chains, stride=7)
+    rec = {
+        "min_ess": d["min_ess"],
+        "median_ess": d["median_ess"],
+        "max_rhat": d["max_rhat"],
+        "n_chains": n_chains,
+    }
+    if d["max_rhat"] > 1.1 or d["min_ess"] < 10.0:
+        rec["warning"] = (
+            f"chains may not have mixed: min-ESS {d['min_ess']:.1f}, "
+            f"max split-R̂ {d['max_rhat']:.3f} — increase n_hmc, keep "
+            "cohort_sampler='auto', or inspect the trace before using "
+            "sample-based summaries"
+        )
+    return rec
 
 
 def _validate_subject(x, y):
@@ -559,28 +632,33 @@ def run_cohort_hadamard(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort_hadamard supports whiten=True/"
                                  "'prior' only (pncp is single-subject)")
+            sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            if cfg.sampler == "nuts":
+            x_t, y_t, vec_t, mask_t = _tile_chains(
+                jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
+                cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+            )
+            c = max(1, cfg.n_chains)
+            indx_t = jnp.repeat(jnp.asarray(indx), c, axis=0)
+            if sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet_hadamard(
-                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
-                    jnp.asarray(y), m, res.vecs, k_bucket,
+                    cfg.model, x_t, indx_t, y_t, m, vec_t, k_bucket,
                     n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
-                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+                    whiten=whiten_flag, masks=mask_t,
                 )
-            elif cfg.sampler == "hmc":
+            elif sampler == "hmc":
                 samples = fleet_mod.hmc_fleet_hadamard(
-                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
-                    jnp.asarray(y), m, res.vecs, k_bucket,
+                    cfg.model, x_t, indx_t, y_t, m, vec_t, k_bucket,
                     n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
                     n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
-                    masks=jnp.asarray(mask), whiten=bool(cfg.whiten),
+                    masks=mask_t, whiten=whiten_flag,
                 )
             else:
-                raise ValueError(f"unknown sampler {cfg.sampler!r}")
-            out["hmc"] = np.asarray(samples)
+                raise ValueError(f"unknown sampler {sampler!r}")
+            out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
 
     y_pairs = [np.stack([indxs[i], ys[i]], axis=-1) for i in range(len(ids))]
@@ -593,10 +671,19 @@ def run_cohort_hadamard(
         entry = per_subject[pos]
         rec = {"final_nlp": float(entry["final_nlp"])}
         if "hmc" in entry:
-            rec["hmc_samples"] = entry["hmc"]  # (T, P), bucket-padded layout
+            chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
+            rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
+            rec["sampling"] = _sampling_record(chains, chains.shape[0])
             if store is not None:
                 store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
-                           samples=entry["hmc"])
+                           samples=rec["hmc_samples"])
+                store.save(
+                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                    min_ess=rec["sampling"]["min_ess"],
+                    median_ess=rec["sampling"]["median_ess"],
+                    max_rhat=rec["sampling"]["max_rhat"],
+                    n_chains=rec["sampling"]["n_chains"],
+                )
         n_real = int(entry["n_train"])
         x_u = xs[pos][:n_real]
         i_u = indxs[pos][:n_real]
@@ -883,31 +970,40 @@ def run_cohort(
         }
         if cfg.do_hmc:
             # per-subject posterior chains (the KAISER drivers' HMC stage),
-            # exact masked likelihoods for padded ragged subjects, optionally
-            # prior-whitened per subject
+            # exact masked likelihoods for padded ragged subjects.  The
+            # default posture (cohort_sampler="auto") is whitened adaptive
+            # NUTS with cfg.n_chains jittered chains per subject; split-R̂
+            # and min-ESS are always computed so silent non-mixing is
+            # impossible (VERDICT r2 #2).
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort supports whiten=True/'prior' "
                                  "only (pncp is single-subject)")
+            sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            if cfg.sampler == "nuts":
+            x_t, y_t, vec_t, mask_t = _tile_chains(
+                jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
+                cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+            )
+            if sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet(
-                    cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                    cfg.model, x_t, y_t, vec_t,
                     k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
-                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+                    whiten=whiten_flag, masks=mask_t,
                 )
-            elif cfg.sampler == "hmc":
+            elif sampler == "hmc":
                 samples = fleet_mod.hmc_fleet(
-                    cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                    cfg.model, x_t, y_t, vec_t,
                     k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
                     n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
-                    whiten=bool(cfg.whiten), masks=jnp.asarray(mask),
+                    whiten=whiten_flag, masks=mask_t,
                 )
             else:
-                raise ValueError(f"unknown sampler {cfg.sampler!r}")
-            out["hmc"] = np.asarray(samples)
+                raise ValueError(f"unknown sampler {sampler!r}")
+            c = max(1, cfg.n_chains)
+            out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
 
     per_subject = (
@@ -923,10 +1019,19 @@ def run_cohort(
         entry = per_subject[pos]
         rec = {"map_vec": entry["vec"], "final_nlp": float(entry["final_nlp"])}
         if "hmc" in entry:
-            rec["hmc_samples"] = entry["hmc"]  # (T, P), bucket-padded layout
+            chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
+            rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
+            rec["sampling"] = _sampling_record(chains, chains.shape[0])
             if store is not None:
                 store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
-                           samples=entry["hmc"])
+                           samples=rec["hmc_samples"])
+                store.save(
+                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                    min_ess=rec["sampling"]["min_ess"],
+                    median_ess=rec["sampling"]["median_ess"],
+                    max_rhat=rec["sampling"]["max_rhat"],
+                    n_chains=rec["sampling"]["n_chains"],
+                )
         x_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test:
             # bucket staging may have cropped (truncate) or padded (pad) the
@@ -1010,9 +1115,17 @@ def run_cohort(
                 n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
             )
             rec["hmc_samples"] = np.asarray(w.from_white_batch(chain.samples))
+            rec["sampling"] = _sampling_record(rec["hmc_samples"][None], 1)
             if store is not None:
                 store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
                            samples=rec["hmc_samples"])
+                store.save(
+                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                    min_ess=rec["sampling"]["min_ess"],
+                    median_ess=rec["sampling"]["median_ess"],
+                    max_rhat=rec["sampling"]["max_rhat"],
+                    n_chains=1,
+                )
         if x_te is not None and cfg.do_pred_test:
             tp = sharded_obj.predict_map_sharded(
                 res_i.vec, data_i, jnp.asarray(x_te, settings.dtype),

@@ -147,6 +147,7 @@ class TestHeteroDrivers:
         cfg = workflows.PipelineConfig(
             model="gnmgp_hetero", n_opt=20, window_size=5, do_hmc=True,
             n_hmc=4, hmc_step_size=1e-3, hmc_leapfrog=3, whiten=True,
+            cohort_sampler="config", n_chains=1,
         )
         store = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort(

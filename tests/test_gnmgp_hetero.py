@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from nonstationary_multivariate_gaussian_process_tpu.data import sim
@@ -79,6 +80,7 @@ class TestHeteroPredictionAndRecovery:
         assert ys.shape == (31, 4, m)
         assert np.all(np.isfinite(np.asarray(ys)))
 
+    @pytest.mark.slow
     def test_noise_process_recovery(self, rng):
         """From a truth-signal init, MAP recovers the noise tilt (the model's
         raison d'etre): fitted log-noise correlates with the truth process."""

@@ -109,6 +109,7 @@ class TestPreprocess:
 
 
 class TestTaskCountGenerality:
+    @pytest.mark.slow
     def test_pipeline_m1_and_m3(self):
         """Every model family handles single-task and 3-task subjects through
         the full pipeline (fit + grid/test prediction + scoring)."""

@@ -91,6 +91,7 @@ def test_hadamard_to_full_roundtrip(tmp_path):
         data_io.hadamard_to_full(x[:-1], indx[:-1], y[:-1], m)
 
 
+@pytest.mark.slow
 def test_clinical_example_end_to_end(tmp_path):
     """The worked-example driver: synthesize → load → masked Hadamard fleet."""
     repo = os.path.join(os.path.dirname(__file__), "..")

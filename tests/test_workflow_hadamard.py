@@ -61,6 +61,7 @@ class TestIndexedChainSamplePrediction:
         from nonstationary_multivariate_gaussian_process_tpu.models import HadamardData
         return HadamardData(jnp.asarray(x), jnp.asarray(indx, jnp.int32), jnp.asarray(y))
 
+    @pytest.mark.slow
     def test_snmgp_indexed_sample_shapes_and_consistency(self, rng):
         from nonstationary_multivariate_gaussian_process_tpu.predict import hadamard as pred_h
         from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
@@ -162,6 +163,7 @@ class TestHadamardMaskedLikelihood:
 
 
 class TestHadamardCohort:
+    @pytest.mark.slow
     def test_run_cohort_hadamard_all_models(self, tmp_path, rng):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
         from nonstationary_multivariate_gaussian_process_tpu.data import sim
@@ -201,6 +203,7 @@ class TestHadamardCohort:
         cfg = workflows.PipelineConfig(
             model="gnmgp", n_opt=25, do_hmc=True, n_hmc=5, whiten=True,
             hmc_step_size=1e-3, do_pred_test=False,
+            cohort_sampler="config", n_chains=1,
         )
         st = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort_hadamard(
@@ -211,6 +214,7 @@ class TestHadamardCohort:
             assert s.shape[0] == 5 and np.all(np.isfinite(s)), sid
         assert st.exists(ArtifactStore.key("gnmgp", "cohort_h", "s0", "hmc"))
 
+    @pytest.mark.slow
     def test_run_cohort_hadamard_nuts_and_sample_scoring(self, tmp_path, rng):
         """VERDICT r2 #4: adaptive NUTS fleet chains + cohort-level
         sample-based RMSE/LPD test scoring (reference test_predsample_hadamard,
@@ -228,7 +232,7 @@ class TestHadamardCohort:
             subjects[f"s{i}"] = (np.asarray(d.x), indx, y)
         cfg = workflows.PipelineConfig(
             model="gnmgp", n_opt=25, do_hmc=True, n_hmc=4, hmc_warmup=15,
-            sampler="nuts", whiten=True,
+            sampler="nuts", whiten=True, cohort_sampler="config", n_chains=1,
         )
         st = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort_hadamard(
@@ -242,6 +246,7 @@ class TestHadamardCohort:
             assert np.isfinite(rec["test_sample_rmse"]), sid
             assert np.isfinite(rec["test_sample_lpd"]), sid
 
+    @pytest.mark.slow
     def test_run_subject_hadamard_hmc_sample_scoring(self, rng):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
         from nonstationary_multivariate_gaussian_process_tpu.data import sim
