@@ -47,42 +47,42 @@ def main():
         model: out["fleet_metrics"] for model, out in results.items()
     }
 
-    # GNMGP latent recovery: functional bands of log-l and correlation vs truth
+    # GNMGP latent recovery: depth-based functional boxplots of log-l and
+    # correlation vs truth (res_summary.py:88-157's statsmodels fboxplot
+    # panels — the band-depth median and outlier replicates, not just a
+    # pointwise percentile band)
+    from nonstationary_multivariate_gaussian_process_tpu import viz
+
     gn = results["gnmgp"]["fleet"]
     n = args.n
     est_tilde_l = np.asarray(gn.vecs[:, :n])  # (S, N)
-    band = summary.functional_band(est_tilde_l)
     x0 = np.asarray(batch.x[0])
     true_tl = np.log(np.asarray(batch.l[0]))
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(7, 4))
-    ax.fill_between(x0, band[0], band[2], alpha=0.4, label="replicate band")
-    ax.plot(x0, band[1], label="median recovery")
-    ax.plot(x0, true_tl, "k--", label="truth")
-    ax.set_title("log lengthscale recovery (GNMGP)")
-    ax.legend(fontsize=8)
-    fig.savefig(os.path.join(args.out, "recovery_log_l.png"), dpi=120)
-    plt.close(fig)
+    fbox_l = summary.functional_boxplot(est_tilde_l)
+    viz.functional_boxplot_figure(
+        os.path.join(args.out, "recovery_log_l.png"), x0, fbox_l,
+        curves=est_tilde_l, truth=true_tl,
+        title="log lengthscale recovery (GNMGP)",
+    )
 
     # correlation-process recovery
     cors = []
     for s in range(est_tilde_l.shape[0]):
         _, _, cor, _ = analysis.gnmgp_map_latents(np.asarray(gn.vecs[s]), n, 2)
         cors.append(cor[:, 0, 1])
-    cband = summary.functional_band(np.stack(cors))
-    fig, ax = plt.subplots(figsize=(7, 4))
-    ax.fill_between(x0, cband[0], cband[2], alpha=0.4, label="replicate band")
-    ax.plot(x0, cband[1], label="median recovery")
-    ax.plot(x0, np.asarray(batch.cors[0]), "k--", label="truth")
-    ax.set_title("correlation-process recovery (GNMGP)")
-    ax.legend(fontsize=8)
-    fig.savefig(os.path.join(args.out, "recovery_correlation.png"), dpi=120)
-    plt.close(fig)
+    cors = np.stack(cors)
+    fbox_c = summary.functional_boxplot(cors)
+    viz.functional_boxplot_figure(
+        os.path.join(args.out, "recovery_correlation.png"), x0, fbox_c,
+        curves=cors, truth=np.asarray(batch.cors[0]),
+        title="correlation-process recovery (GNMGP)",
+    )
 
+    table["recovery_outliers"] = {
+        "log_l_outlier_replicates": fbox_l["outlier_idx"].tolist(),
+        "correlation_outlier_replicates": fbox_c["outlier_idx"].tolist(),
+        "log_l_median_replicate": fbox_l["median_idx"],
+    }
     print(json.dumps(table, indent=1))
 
 

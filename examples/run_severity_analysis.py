@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from nonstationary_multivariate_gaussian_process_tpu import viz, workflows
 from nonstationary_multivariate_gaussian_process_tpu.data import sim
 from nonstationary_multivariate_gaussian_process_tpu.models import FullData
-from nonstationary_multivariate_gaussian_process_tpu.postprocess import severity
+from nonstationary_multivariate_gaussian_process_tpu.postprocess import (
+    severity,
+    stats as pop_stats,
+)
 from nonstationary_multivariate_gaussian_process_tpu.predict import gnmgp as pred_gnmgp
 
 
@@ -46,8 +49,15 @@ def main():
 
     per_subject_mean = []
     pdf_pages = {}
+    n_records = {}
+    waiting_time = {}
     for i, k in enumerate(keys):
-        d = sim.sim_mnts(k, n=args.n)
+        # ragged record counts, as a real cohort would have
+        n_i = args.n - 4 * (i % 3)
+        d = sim.sim_mnts(k, n=n_i)
+        n_records[f"id{i}"] = n_i
+        # stay length in hours: map the unit observation window to 5-20 days
+        waiting_time[f"id{i}"] = 24.0 * (5.0 + 15.0 * (i + 1) / args.subjects)
         res = workflows.run_subject(np.asarray(d.x), np.asarray(d.y), cfg, subject=i)
         # severity timestamps: an irregular subset of the observation window
         sev_times = np.sort(
@@ -77,7 +87,34 @@ def main():
         np.asarray([[np.nan, one_group["z_value"]], [one_group["z_value"], np.nan]]),
         ["Dim 1", "Dim 2"], ["Dim 1", "Dim 2"],
     )
-    print(json.dumps({"group_difference": tests, "vs_zero": one_group}, indent=1))
+
+    # population analyses over the cohort's record counts and stay lengths
+    # (LAPS2_correlation.py:66-233, data-agnostic: the reference's KAISER
+    # pickles become the n_records/waiting_time/groups dicts)
+    groups = {
+        "group_a": [f"id{i}" for i in range(half)],
+        "group_b": [f"id{i}" for i in range(half, len(per_subject_mean))],
+    }
+    ds = pop_stats.datasize_analysis(n_records, waiting_time, groups)
+    viz.group_histograms(
+        os.path.join(args.out, "record_counts.png"),
+        {g: rec["n_records"] for g, rec in ds["groups"].items()}, bins=10,
+    )
+    corr_by_id = {f"id{i}": float(m) for i, m in enumerate(per_subject_mean)}
+    wt = pop_stats.waitingtime_vs_correlation(corr_by_id, waiting_time, groups)
+    viz.waiting_time_figure(os.path.join(args.out, "corr_vs_waiting.png"), wt)
+
+    print(json.dumps({
+        "group_difference": tests,
+        "vs_zero": one_group,
+        "datasize": {
+            "records_range": ds["records_range"],
+            **{g: {"n_subjects": rec["n_subjects"],
+                   "median_records": rec["median_records"]}
+               for g, rec in ds["groups"].items()},
+        },
+        "waiting_time_days": {g: wt[g]["days"].tolist() for g in wt},
+    }, indent=1))
 
 
 if __name__ == "__main__":

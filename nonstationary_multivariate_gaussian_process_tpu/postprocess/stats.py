@@ -63,6 +63,91 @@ def compute_coverage_rate(samples, credible_quantile: float = 0.95):
     return left, mid, right
 
 
+def datasize_analysis(n_records: dict, waiting_time: dict, groups: dict):
+    """Per-group record-count and waiting-time population analysis.
+
+    Data-agnostic form of ``Post_Process/LAPS2_correlation.py:66-133``
+    (``analysis_datasize``): the reference reads KAISER pickles keyed by
+    patient ID; here the caller supplies
+
+    * ``n_records``: {ID: number of complete records},
+    * ``waiting_time``: {ID: max timestamp (hours)} — the stay length,
+    * ``groups``: {group_name: iterable of IDs} (e.g. sepsis / nonsepsis).
+
+    IDs missing from ``n_records`` are skipped per group exactly as the
+    reference's try/except does.  Returns per-group arrays plus the pooled
+    record-count range, ready for the histogram figures
+    (:func:`..viz.group_histograms`).
+    """
+    out = {"groups": {}}
+    pooled = []
+    for name, ids in groups.items():
+        counts, waits, kept = [], [], []
+        for i in ids:
+            if i not in n_records:
+                continue
+            counts.append(n_records[i])
+            # zero-record subjects have no timestamps (reference :84-87)
+            waits.append(waiting_time.get(i, 0.0) if n_records[i] > 0 else 0.0)
+            kept.append(i)
+        counts = np.asarray(counts)
+        pooled.append(counts)
+        out["groups"][name] = {
+            "ids": kept,
+            "n_subjects": len(kept),
+            "n_records": counts,
+            "waiting_time": np.asarray(waits, float),
+            "median_records": float(np.median(counts)) if counts.size else float("nan"),
+        }
+    allc = np.concatenate(pooled) if pooled else np.zeros(0)
+    out["records_range"] = (
+        (int(allc.min()), int(allc.max())) if allc.size else (0, 0)
+    )
+    return out
+
+
+def waitingtime_vs_correlation(corr: dict, waiting_time: dict, groups: dict,
+                               min_day: int = 5):
+    """Correlation statistic vs stay length, cumulated by day, per group.
+
+    Data-agnostic form of ``LAPS2_correlation.py:136-186``
+    (``analysis_waitingtime_vs_corr``): for each group and each day d in
+    ``[min_day, floor(max(waiting)/24))`` it reports the mean and std of the
+    per-subject correlation statistic over subjects whose waiting time is
+    below ``d*24`` hours — the reference's cumulative-inclusion curves.
+
+    * ``corr``: {ID: scalar correlation statistic} (e.g. posterior-mean
+      pairwise correlation from :func:`..postprocess.severity`),
+    * ``waiting_time``: {ID: hours}, ``groups``: {name: IDs}.
+
+    Returns {group: {"days", "mean", "std", "n"}} for the band figure
+    (:func:`..viz.waiting_time_figure`).
+    """
+    out = {}
+    for name, ids in groups.items():
+        ids = [i for i in ids if i in corr and i in waiting_time]
+        c = np.asarray([corr[i] for i in ids], float)
+        w = np.asarray([waiting_time[i] for i in ids], float)
+        if len(ids) == 0:
+            out[name] = {"days": np.zeros(0, int), "mean": np.zeros(0),
+                         "std": np.zeros(0), "n": np.zeros(0, int)}
+            continue
+        days = np.arange(min_day, max(min_day + 1, int(np.floor(w.max() / 24.0))))
+        mean, std, count = [], [], []
+        for d in days:
+            sel = w < d * 24.0
+            count.append(int(sel.sum()))
+            mean.append(float(np.mean(c[sel])) if sel.any() else float("nan"))
+            std.append(float(np.std(c[sel])) if sel.any() else float("nan"))
+        out[name] = {
+            "days": days,
+            "mean": np.asarray(mean),
+            "std": np.asarray(std),
+            "n": np.asarray(count, int),
+        }
+    return out
+
+
 def paired_improvement(rmse_a: dict, rmse_b: dict):
     """Per-subject paired RMSE improvement of model B over A
     (Post_Process/past/model_comparison.py): returns the common-ID improvement

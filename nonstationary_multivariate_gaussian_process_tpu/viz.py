@@ -315,3 +315,78 @@ def extrapolation_figure(
     axes[0].legend(loc="best", fontsize=8)
     fig.tight_layout()
     _save(fig, path)
+
+
+def functional_boxplot_figure(path, grid, fbox: dict, curves=None, truth=None,
+                              title=None):
+    """Depth-based functional boxplot figure (res_summary.py:88-157's
+    statsmodels ``fboxplot`` panels): 50% central envelope, functional
+    median, fences, outlier replicates highlighted, optional truth overlay.
+
+    ``fbox`` is the dict from ``postprocess.summary.functional_boxplot``.
+    """
+    grid = np.asarray(grid)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.fill_between(grid, fbox["env_lo"], fbox["env_hi"], color="m", alpha=0.35,
+                    label="50% central region")
+    ax.plot(grid, fbox["fence_lo"], "b--", lw=1, label="fences")
+    ax.plot(grid, fbox["fence_hi"], "b--", lw=1)
+    ax.plot(grid, fbox["median_curve"], "k", lw=2, label="functional median")
+    if curves is not None:
+        curves = np.asarray(curves)
+        for i in fbox["outlier_idx"]:
+            ax.plot(grid, curves[i], "r", lw=0.8, alpha=0.8,
+                    label="outlier" if i == fbox["outlier_idx"][0] else None)
+    if truth is not None:
+        ax.plot(grid, np.asarray(truth), "g", lw=2, ls="-.", label="truth")
+    if title:
+        ax.set_title(title)
+    ax.set_xlabel("x")
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    _save(fig, path)
+
+
+def group_histograms(path, values_by_group: dict, bins: int = 100,
+                     xlabel="complete records"):
+    """Per-group + pooled histograms (LAPS2_correlation.py:117-131's
+    record-count figures), one panel per group plus the pooled panel."""
+    names = list(values_by_group)
+    fig, axes = plt.subplots(len(names) + 1, 1,
+                             figsize=(7, 2.2 * (len(names) + 1)))
+    axes = np.atleast_1d(axes)
+    pooled = []
+    for ax, name in zip(axes, names):
+        v = np.asarray(values_by_group[name])
+        pooled.append(v)
+        ax.hist(v, bins=bins)
+        ax.set_title(f"{name} (n={v.size})", fontsize=9)
+    allv = np.concatenate(pooled) if pooled else np.zeros(0)
+    axes[-1].hist(allv, bins=bins)
+    axes[-1].set_title(f"all (n={allv.size})", fontsize=9)
+    axes[-1].set_xlabel(xlabel)
+    fig.tight_layout()
+    _save(fig, path)
+
+
+def waiting_time_figure(path, curves_by_group: dict, colors=("b", "r", "g", "m")):
+    """Correlation-vs-stay-length cumulative curves with ±1 std bands
+    (LAPS2_correlation.py:157-177's ``corr.png``).
+
+    ``curves_by_group``: the dict from
+    ``postprocess.stats.waitingtime_vs_correlation``.
+    """
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for (name, cur), col in zip(curves_by_group.items(), colors):
+        d = np.asarray(cur["days"])
+        if d.size == 0:
+            continue
+        mean, std = np.asarray(cur["mean"]), np.asarray(cur["std"])
+        ax.plot(d, mean, col, label=name)
+        ax.plot(d, mean - std, col, ls="--", lw=1)
+        ax.plot(d, mean + std, col, ls="--", lw=1)
+    ax.set_xlabel("Day")
+    ax.set_ylabel("Correlation")
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    _save(fig, path)
