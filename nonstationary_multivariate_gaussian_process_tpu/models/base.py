@@ -82,3 +82,42 @@ def mask_dense_gram(gram, sigma2_err, y, mask):
     cov = gram * (mv[:, None] * mv[None, :])
     cov = cov + jnp.diag(jnp.where(mv > 0, sigma2_err, 1.0))
     return cov, y * mv
+
+
+def check_vec(vec, expected: int, model_name: str, layout: str):
+    """Named shape error for a packed parameter vector (shape-static, safe
+    under jit/vmap — only ``.ndim``/``.shape`` are inspected).
+
+    The packed-vector convention silently mis-slices on a wrong-length
+    vector (e.g. ``vec[-1]`` lands inside a latent block), which is the worst
+    kind of bug; every model's ``unpack`` calls this first (ROADMAP: raw
+    reshape errors at the lowest-level entry points).
+    """
+    ndim = getattr(vec, "ndim", None)
+    n = vec.shape[-1] if ndim else None
+    if ndim != 1 or n != expected:
+        got = f"shape {tuple(vec.shape)}" if ndim is not None else repr(vec)
+        raise ValueError(
+            f"{model_name} parameter vector must be 1-D with length "
+            f"{expected} ({layout}); got {got}"
+        )
+
+
+def check_full_data(data: "FullData", model_name: str, min_n: int = 2):
+    """Named shape errors for FullData at objective/predict boundaries."""
+    x, y = data.x, data.y
+    if getattr(x, "ndim", None) != 1 or getattr(y, "ndim", None) != 2:
+        raise ValueError(
+            f"{model_name} expects FullData(x (N,), y (N, M)); got "
+            f"x shape {tuple(getattr(x, 'shape', ()))}, "
+            f"y shape {tuple(getattr(y, 'shape', ()))}"
+        )
+    if x.shape[0] != y.shape[0]:
+        raise ValueError(
+            f"{model_name}: x and y disagree on N "
+            f"({x.shape[0]} vs {y.shape[0]})"
+        )
+    if x.shape[0] < min_n:
+        raise ValueError(
+            f"{model_name}: need at least {min_n} observations, got {x.shape[0]}"
+        )

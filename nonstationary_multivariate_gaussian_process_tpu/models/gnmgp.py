@@ -59,7 +59,12 @@ def n_params(n: int, m: int) -> int:
 
 def unpack(vec: jnp.ndarray, n: int, m: int) -> Params:
     """Layout identical to reference vec2pars_SVC (logpos.py:32-43)."""
+    from . import base
+
     t = transforms.tri_size(m)
+    base.check_vec(vec, n + n * t + 1, "gnmgp",
+                   f"[tilde_l({n}), uL_vecs({n}·{t}), tilde_sigma2_err] "
+                   f"for N={n}, M={m}")
     return Params(
         tilde_l=vec[:n],
         ul_vecs=vec[n : n + n * t],
@@ -224,6 +229,9 @@ def deviance(vec, y, x):
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True,
                    mask=None):
     """Jit-friendly negative-log-posterior closure with hoisted prior factors."""
+    from . import base
+
+    base.check_full_data(data, "gnmgp")
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
     pc_l = chol.prior_rbf_inv(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])

@@ -50,7 +50,12 @@ def n_params(n: int, m: int) -> int:
 
 
 def unpack(vec: jnp.ndarray, n: int, m: int) -> Params:
+    from .base import check_vec
+
     t = transforms.tri_size(m)
+    check_vec(vec, n + n * t + n * m, "gnmgp_hetero",
+              f"[tilde_l({n}), uL_vecs({n}·{t}), tilde_sigma2_err({n}·{m} "
+              f"task-major)] for N={n}, M={m}")
     return Params(
         tilde_l=vec[:n],
         ul_vecs=vec[n : n + n * t],
@@ -159,6 +164,9 @@ def deviance(vec, y, x):
 
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True,
                    mask=None):
+    from .base import check_full_data
+
+    check_full_data(data, "gnmgp_hetero")
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     x = data.x
     pc_l = chol.prior_rbf_inv(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])

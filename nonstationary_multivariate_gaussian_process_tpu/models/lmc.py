@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .. import dists
 from ..ops import kernels, transforms
+from . import base
 from .base import FullData, HadamardData, mask_dense_gram, task_major
 
 #: Reference default hyper-parameters (Stationary_model.py:80).
@@ -41,6 +42,8 @@ def n_params(m: int) -> int:
 def unpack(vec: jnp.ndarray, m: int) -> Params:
     """Layout identical to reference vec2pars_S (logpos.py:46-57)."""
     t = transforms.tri_size(m)
+    base.check_vec(vec, 3 + t, "lmc",
+                   "[tilde_l, tilde_sigma, uL_vec(T), tilde_sigma2_err]")
     return Params(
         tilde_l=vec[0],
         tilde_sigma=vec[1],
@@ -125,6 +128,7 @@ def deviance(vec, y, x):
 
 
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
+    base.check_full_data(data, "lmc")
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
 
     def nlp(vec: jnp.ndarray) -> jnp.ndarray:

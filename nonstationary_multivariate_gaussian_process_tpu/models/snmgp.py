@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .. import dists
 from ..ops import chol, kernels, kron, transforms
+from . import base
 from .base import FullData, HadamardData, mask_dense_gram, task_major
 
 #: Reference default hyper-parameters (logpos.py:14).
@@ -49,6 +50,9 @@ def n_params(n: int, m: int) -> int:
 def unpack(vec: jnp.ndarray, n: int, m: int) -> Params:
     """Flat vector → params; layout identical to reference vec2pars (logpos.py:17-29)."""
     t = transforms.tri_size(m)
+    base.check_vec(vec, 2 * n + t + 1, "snmgp",
+                   f"[tilde_l({n}), tilde_sigma({n}), uL_vec({t}), "
+                   "tilde_sigma2_err] for N=%d, M=%d" % (n, m))
     return Params(
         tilde_l=vec[:n],
         tilde_sigma=vec[n : 2 * n],
@@ -173,6 +177,7 @@ def deviance(vec: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 def make_objective(data: FullData, hyper: dict | None = None, prior: bool = True):
     """Jit-friendly negative-log-posterior closure with hoisted prior factors."""
+    base.check_full_data(data, "snmgp")
     hp = {**DEFAULT_HYPERS, **(hyper or {})}
     n, m = data.y.shape
     pc_l = chol.prior_rbf_inv(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])

@@ -52,6 +52,12 @@ def krige_rbf(
     """
     import numpy as np
 
+    if getattr(x, "ndim", 1) != 1 or getattr(grid, "ndim", 1) != 1:
+        raise ValueError(
+            f"krige_rbf expects 1-D training inputs and query grid; got "
+            f"x shape {tuple(getattr(x, 'shape', ()))}, grid shape "
+            f"{tuple(getattr(grid, 'shape', ()))}"
+        )
     k_self = alpha**2 + settings.jitter
     if not isinstance(x, jax.core.Tracer) and not isinstance(grid, jax.core.Tracer):
         x64 = np.asarray(x, np.float64)

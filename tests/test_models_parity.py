@@ -222,3 +222,60 @@ class TestVerboseComponents:
         for i, (g, r) in enumerate(zip(got, ref)):
             np.testing.assert_allclose(float(g), float(r), rtol=1e-6,
                                        err_msg=f"component {i}")
+
+
+class TestLowLevelValidation:
+    """VERDICT r2 #7: named shape errors at the lowest-level entry points
+    (unpack / make_objective / kriging) instead of raw reshape errors."""
+
+    def test_unpack_wrong_length_raises_named(self):
+        import pytest
+        from nonstationary_multivariate_gaussian_process_tpu.models import (
+            gnmgp, gnmgp_hetero, lmc, snmgp,
+        )
+
+        cases = [
+            (lambda: lmc.unpack(jnp.zeros(5), 2), "lmc parameter vector"),
+            (lambda: snmgp.unpack(jnp.zeros(9), 4, 2), "snmgp parameter vector"),
+            (lambda: gnmgp.unpack(jnp.zeros(9), 4, 2), "gnmgp parameter vector"),
+            (lambda: gnmgp_hetero.unpack(jnp.zeros(9), 4, 2),
+             "gnmgp_hetero parameter vector"),
+            (lambda: gnmgp.unpack(jnp.zeros((2, 17)), 4, 2), "must be 1-D"),
+        ]
+        for fn, match in cases:
+            with pytest.raises(ValueError, match=match):
+                fn()
+
+    def test_unpack_valid_under_jit_and_vmap(self):
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+        n, m = 4, 2
+        p_dim = gnmgp.n_params(n, m)
+        vecs = jnp.zeros((3, p_dim))
+        out = jax.vmap(lambda v: gnmgp.unpack(v, n, m).tilde_l)(vecs)
+        assert out.shape == (3, n)
+        out2 = jax.jit(lambda v: gnmgp.unpack(v, n, m).tilde_l)(vecs[0])
+        assert out2.shape == (n,)
+
+    def test_make_objective_degenerate_data_raises(self):
+        import pytest
+        from nonstationary_multivariate_gaussian_process_tpu.models import (
+            FullData, gnmgp, gnmgp_hetero, lmc, snmgp,
+        )
+
+        for mod, name in ((lmc, "lmc"), (snmgp, "snmgp"), (gnmgp, "gnmgp"),
+                          (gnmgp_hetero, "gnmgp_hetero")):
+            with pytest.raises(ValueError, match=name):
+                mod.make_objective(FullData(jnp.zeros((3, 2)), jnp.zeros((3, 2))))
+            with pytest.raises(ValueError, match="disagree on N"):
+                mod.make_objective(FullData(jnp.zeros(4), jnp.zeros((5, 2))))
+            with pytest.raises(ValueError, match="at least"):
+                mod.make_objective(FullData(jnp.zeros(1), jnp.zeros((1, 2))))
+
+    def test_krige_rejects_2d_grid(self):
+        import pytest
+        from nonstationary_multivariate_gaussian_process_tpu.predict import latent
+
+        with pytest.raises(ValueError, match="1-D"):
+            latent.krige_rbf(jnp.zeros((3, 1)), jnp.zeros(4), jnp.zeros(3),
+                             0.0, 1.0, 1.0)
