@@ -50,6 +50,35 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+#: Assumed single-chip peak for the MFU fraction (TFLOP/s).  Default is the
+#: v5e MXU bf16 peak (197); override with NMGP_PEAK_TFLOPS for other chips
+#: or to denominate against an f32 peak.  The achieved_tflops figure is
+#: peak-assumption-free; mfu_fraction = achieved / this.
+PEAK_TFLOPS = float(os.environ.get("NMGP_PEAK_TFLOPS", "197"))
+
+
+def grad_flop_model(n: int, m: int) -> float:
+    """Analytic FLOPs per GNMGP log-posterior gradient evaluation.
+
+    Forward: Gram assembly einsums (2·N²M³ + N²M² — models/gnmgp.gram),
+    Cholesky of the (MN)×(MN) covariance (mn³/3, LAPACK potrf count), two
+    triangular solves for the quadratic form (2·mn²), T+1 prior triangular
+    matvecs (hoisted factors — (T+1)·2·N²).  Backward: the Cholesky pullback
+    is a triangular solve against the full factor plus a symmetrized matmul
+    (≈2·mn³/3 + mn³/3 = mn³) and the Gram VJP doubles the assembly einsums.
+    Total ≈ (4/3)·mn³ + small-order terms — a *model*, stated so the MFU
+    number is auditable, not a measured op count.
+    """
+    mn = n * m
+    t = m * (m + 1) // 2
+    gram_fwd = 2.0 * n * n * m**3 + n * n * m * m
+    chol_fwd = mn**3 / 3.0
+    solves = 2.0 * mn**2
+    priors = (t + 1) * 2.0 * n**2
+    backward = mn**3 + 2.0 * gram_fwd + solves
+    return gram_fwd + chol_fwd + solves + priors + backward
+
+
 def _problem():
     rng = np.random.default_rng(0)
     x = np.sort(rng.uniform(size=N))
@@ -169,6 +198,54 @@ def bench_jax(x, y, vec, run_hmc: bool):
             _log(f"[{dtype_name}] fleet({FLEET}, N={fleet_n}) grad evals/sec {fleet_eps:.3f}")
         except Exception as e:
             _log(f"[{dtype_name}] fleet probe failed ({type(e).__name__})")
+
+    # fleet-size sweep (f32 headline only): where does vmapped per-subject
+    # throughput saturate the chip? (VERDICT r2 #5)
+    fleet_sweep = None
+    if run_hmc and settings.precision_mode == "f32":
+        try:
+            sweep_sizes = [
+                int(s) for s in os.environ.get(
+                    "NMGP_BENCH_FLEET_SWEEP", "8,16,32,64"
+                ).split(",")
+            ]
+            rng = np.random.default_rng(3)
+            t = M * (M + 1) // 2
+            fleet_sweep = {}
+            for s_count in sweep_sizes:
+                xs = jnp.asarray(
+                    np.sort(rng.uniform(size=(s_count, fleet_n)), axis=1),
+                    settings.dtype,
+                )
+                ys = jnp.asarray(
+                    rng.normal(size=(s_count, fleet_n, M)), settings.dtype
+                )
+                vs = jnp.asarray(
+                    np.concatenate(
+                        [
+                            -1.0 + 0.1 * rng.normal(size=(s_count, fleet_n)),
+                            0.3 * rng.normal(size=(s_count, fleet_n * t)),
+                            -4.0 * np.ones((s_count, 1)),
+                        ],
+                        axis=1,
+                    ),
+                    settings.dtype,
+                )
+                fg = jax.jit(jax.vmap(jax.grad(
+                    lambda v, x, y: gnmgp.nlogpos(v, y, x, prior=False)
+                )))
+                fg(vs, xs, ys).block_until_ready()
+                n_rep = 20
+                t0 = time.perf_counter()
+                for _ in range(n_rep):
+                    g = fg(vs, xs, ys)
+                g.block_until_ready()
+                fleet_sweep[s_count] = s_count * n_rep / (time.perf_counter() - t0)
+                _log(f"[{dtype_name}] fleet sweep S={s_count}: "
+                     f"{fleet_sweep[s_count]:.1f} evals/s")
+        except Exception as e:
+            _log(f"[{dtype_name}] fleet sweep failed ({type(e).__name__})")
+            fleet_sweep = None
     # secondary models at this precision (SNMGP/LMC ride the Kronecker path;
     # in mixed mode it routes through the corrected per-block solver)
     other = {}
@@ -205,6 +282,12 @@ def bench_jax(x, y, vec, run_hmc: bool):
                 _log(f"[{dtype_name}] {name} grad evals/sec {other[f'{name}_grad_evals_per_sec']:.1f}")
             except Exception as e:
                 _log(f"[{dtype_name}] {name} probe failed ({type(e).__name__})")
+    flops = grad_flop_model(N, M)
+    achieved_tflops = flops * grad_eps / 1e12
+    fleet_achieved = None
+    if fleet_sweep:
+        best = max(fleet_sweep.values())
+        fleet_achieved = grad_flop_model(fleet_n, M) * best / 1e12
     return {
         "grad_evals_per_sec": grad_eps,
         "hmc_iters_per_sec": hmc_ips,
@@ -213,6 +296,11 @@ def bench_jax(x, y, vec, run_hmc: bool):
         "fleet_grad_evals_per_sec": fleet_eps,
         "fleet_size": FLEET,
         "fleet_n": fleet_n,
+        "fleet_sweep": fleet_sweep,
+        "model_flops_per_grad": flops,
+        "achieved_tflops": achieved_tflops,
+        "mfu_fraction": achieved_tflops / PEAK_TFLOPS,
+        "fleet_achieved_tflops": fleet_achieved,
         "dtype": dtype_name,
         **other,
     }
@@ -408,6 +496,14 @@ def main():
                 "f64_cholesky_mnxmn_ms": r(f64.get("cholesky_ms")),
                 "reference_cpu_f64_baseline_evals_per_sec": r(base_eps),
                 "torch_cpu_f64_reimpl_evals_per_sec": r(reimpl_eps),
+                "model_flops_per_grad": r(head.get("model_flops_per_grad"), 0),
+                "mfu_achieved_tflops_f32": r(head.get("achieved_tflops"), 4),
+                "mfu_fraction_f32": r(head.get("mfu_fraction"), 5),
+                "mfu_peak_tflops_assumed": PEAK_TFLOPS,
+                "mfu_fleet_achieved_tflops_f32": r(head.get("fleet_achieved_tflops"), 4),
+                "fleet_sweep_evals_per_sec": {
+                    str(k): r(v, 1) for k, v in (head.get("fleet_sweep") or {}).items()
+                } or None,
                 "n": N,
                 "m": M,
                 "parity": "log-posterior matches reference at 1e-6 rtol in f64 AND mixed (tests/test_models_parity.py, tests/test_mixed.py)",

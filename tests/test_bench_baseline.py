@@ -52,3 +52,21 @@ def test_torch_baseline_matches_gnmgp_objective(rng, monkeypatch):
 
     ours = float(gnmgp.nlogpos(jnp.asarray(vec), jnp.asarray(y), jnp.asarray(x)))
     np.testing.assert_allclose(torch_val, ours, rtol=1e-8)
+
+
+def test_grad_flop_model_scales_cubically():
+    """bench.grad_flop_model: auditable analytic FLOPs (VERDICT r2 #5) —
+    dominated by the (MN)^3 Cholesky + pullback terms."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    f1 = bench.grad_flop_model(500, 2)
+    f2 = bench.grad_flop_model(1000, 2)
+    assert f2 / f1 > 6.0  # cubic growth dominates
+    mn = 1000 * 2
+    assert f2 > (4.0 / 3.0) * mn**3  # at least the chol + pullback terms
+    assert f2 < 3.0 * mn**3  # and not wildly more
