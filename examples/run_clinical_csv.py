@@ -69,6 +69,11 @@ def main():
                     help="subjects to synthesize when --csv is omitted")
     ap.add_argument("--model", default="gnmgp", choices=["snmgp", "gnmgp"])
     ap.add_argument("--n-opt", type=int, default=200)
+    ap.add_argument("--n-hmc", type=int, default=0,
+                    help="posterior draws per subject; > 0 adds the cohort "
+                         "sampling stage (whitened adaptive NUTS multichain, "
+                         "min-ESS/R-hat surfaced) and the severity-style "
+                         "correlation population analysis")
     ap.add_argument("--test-size", type=float, default=0.25)
     ap.add_argument("--time-col", default="hours")
     ap.add_argument("--task-col", default="vital")
@@ -101,7 +106,9 @@ def main():
           file=sys.stderr)
 
     cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt,
-                                   do_empirical=False)
+                                   do_empirical=False,
+                                   do_hmc=args.n_hmc > 0,
+                                   n_hmc=max(args.n_hmc, 1))
     res = workflows.run_cohort_hadamard(
         subjects, m=len(tasks), cfg=cfg, store=ArtifactStore(args.out),
         dataset="clinical", test_size=args.test_size,
@@ -109,6 +116,74 @@ def main():
     red = res["reduction"]
     out = {"tasks": tasks, "n_subjects": len(subjects),
            "n_valid": red["n_valid"], "rmse": red["rmse"], "lpd": red["lpd"]}
+
+    if args.n_hmc > 0 and args.model == "gnmgp":
+        # severity-style population analysis over the cohort chains
+        # (extract_individual_results.py + LAPS2_correlation.py, with the
+        # group labels a placeholder split — supply a real severity label by
+        # partitioning `groups` accordingly)
+        from nonstationary_multivariate_gaussian_process_tpu import viz
+        from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
+        from nonstationary_multivariate_gaussian_process_tpu.postprocess import (
+            severity,
+            stats as pop_stats,
+        )
+
+        m = len(tasks)
+        t = m * (m + 1) // 2
+        corr_samples = {}  # {ID: (S,) posterior draws of mean correlation}
+        waiting_time = {}
+        n_records = {}
+        sampling_health = {}
+        for sid, (x_i, i_i, y_i) in subjects.items():
+            rec = res["subjects"][sid]
+            n_records[sid] = len(x_i)
+            waiting_time[sid] = float(np.max(x_i))
+            if "hmc_samples" not in rec:
+                continue
+            sampling_health[sid] = {
+                k: rec["sampling"][k] for k in ("min_ess", "max_rhat")
+            }
+            draws = np.asarray(rec["hmc_samples"])  # (S, P) bucket-padded
+            n_fit = (draws.shape[1] - 1) // (1 + t)
+            cs = []
+            for d in draws:
+                # Hadamard SVC carries raw L_vecs (no exp transform)
+                lv = d[n_fit : n_fit + n_fit * t].reshape(n_fit, t)
+                lmat = np.asarray(transforms.vec_to_tril(lv, m))
+                b = lmat @ np.transpose(lmat, (0, 2, 1))  # (n, M, M)
+                den = np.sqrt(np.abs(b[:, 0, 0] * b[:, 1, 1])) + 1e-12
+                cs.append(float(np.mean(b[:, 0, 1] / den)))
+            corr_samples[sid] = np.asarray(cs)
+
+        if corr_samples:
+            ids = sorted(corr_samples)
+            half = len(ids) // 2
+            groups = {"group_a": ids[:half], "group_b": ids[half:]}
+            mat = np.stack([corr_samples[i] for i in ids])
+            tests = severity.population_tests(
+                np.asarray([corr_samples[i].mean() for i in groups["group_a"]]),
+                np.asarray([corr_samples[i].mean() for i in groups["group_b"]]),
+            )
+            coverage = pop_stats.compute_coverage_rate(mat)
+            corr_mean = {i: float(corr_samples[i].mean()) for i in ids}
+            wt = pop_stats.waitingtime_vs_correlation(
+                corr_mean, waiting_time, groups, min_day=1
+            )
+            ds = pop_stats.datasize_analysis(n_records, waiting_time, groups)
+            viz.group_histograms(
+                os.path.join(args.out, "record_counts.png"),
+                {g: r["n_records"] for g, r in ds["groups"].items()}, bins=10,
+            )
+            viz.waiting_time_figure(
+                os.path.join(args.out, "corr_vs_waiting.png"), wt
+            )
+            out["severity_analysis"] = {
+                "group_tests": tests,
+                "coverage_left_mid_right": coverage,
+                "sampling_health": sampling_health,
+                "records_range": ds["records_range"],
+            }
     print(json.dumps(out, indent=1, default=float))
 
 
