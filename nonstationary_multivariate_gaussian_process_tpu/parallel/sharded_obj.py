@@ -628,7 +628,7 @@ def predict_sample_sharded(
     hyper: dict | None = None,
     block: int = BLOCK,
     n_sample: int | None = None,
-    draw_batch: int = 8,
+    draw_batch: int = 16,
 ) -> jnp.ndarray:
     """Chain-sample prediction with the training Gram sharded over the mesh.
 
@@ -641,16 +641,20 @@ def predict_sample_sharded(
     Draws are processed in chunks of ``draw_batch``: the latent conditionals
     batch over the chunk (they share one host-f64 kriging projection), and
     the chunk's sweeps run as ONE dispatched XLA program (vmapped inside the
-    shard_map), replacing the former per-draw host loop.  Measured at
-    MN=4096 on the 8-virtual-device CPU mesh (single-core host, f64):
-    0.042 → 0.077 draws/s (1.83×) for draw_batch 1 → 8 — on that host the
-    blocked sweep is compute-bound, so batching buys fused panel pipelines,
-    not dispatch removal; the dispatch/latency share it also eliminates is
-    what dominates on real TPU hardware where the f32 sweep itself is
-    sub-second.  Per-device memory scales with ``draw_batch · (MN)²/D``;
-    lower ``draw_batch`` for very large MN.  The key tree is the same as the
-    single-device ``predict_sample`` — identical keys give identical draws
-    (tested).  Returns (G, S, M) samples.
+    shard_map), replacing the former per-draw host loop.
+
+    Measured at MN=4096, f32, one real TPU chip (16 draws, warm):
+    per-draw dispatch (draw_batch=1) 2.18 draws/s → draw_batch=16 gives
+    9.8 draws/s (block=256) and **12.2 draws/s with block=512** — 5.6×;
+    the per-draw sweep is a 16-panel sequential scan whose wall clock is
+    launch/latency-dominated, exactly what batching amortizes.  On the
+    8-virtual-device single-core CPU mesh the sweep is instead
+    compute-bound and batching yields 1.83× (f64, MN=4096, 0.042→0.077
+    draws/s).  Per-device memory scales with ``draw_batch · (MN)²/D``
+    (1 GB at MN=4096/f32/D=1/16 draws); lower ``draw_batch`` for very
+    large MN.  The key tree is the same as the single-device
+    ``predict_sample`` — identical keys give identical draws (tested).
+    Returns (G, S, M) samples.
     """
     import numpy as np
 
