@@ -53,6 +53,8 @@ def main():
                          "composed with whitening (VERDICT r2 #2)")
     ap.add_argument("--max-depth", type=int, default=7,
                     help="NUTS tree-doubling depth cap (2^depth leapfrogs)")
+    ap.add_argument("--leapfrog", type=int, default=20,
+                    help="HMC trajectory length (reference budget: 20)")
     args = ap.parse_args()
 
     import jax
@@ -133,7 +135,7 @@ def main():
         return out
 
     results = {}
-    leap = 20  # the reference budget (Nonseparable_model.py:229)
+    leap = args.leapfrog  # default 20: the reference budget (Nonseparable_model.py:229)
 
     def run_hmc():
         r = hmc.hmc_sample(
@@ -158,6 +160,7 @@ def main():
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
             step_size=args.step_size, n_warmup=args.warmup,
             max_depth=args.max_depth,
+            mass_matrix=mass, adapt_mass=mass is None,
         )
         jax.block_until_ready(r.samples)
         return r.samples, int(np.asarray(r.n_leapfrog).sum())

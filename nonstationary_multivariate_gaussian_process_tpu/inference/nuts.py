@@ -329,6 +329,7 @@ def _run_nuts(
     in_slow,
     window_end,
     da_step,
+    m_inv0=None,
 ):
     dim = q0.shape[0]
     dtype = q0.dtype
@@ -400,7 +401,10 @@ def _run_nuts(
     da0 = (le0, le0, zero, jnp.log(10.0 * jnp.asarray(step_size0, dtype)) + zero)
     wf0 = (zero, jnp.zeros((dim,), dtype) + zero, jnp.zeros((dim,), dtype) + zero)
     u0, g0 = val_grad(q0)
-    init = (q0, u0, g0, da0, jnp.ones((dim,), dtype) + zero, wf0)
+    m_inv_init = (
+        jnp.ones((dim,), dtype) if m_inv0 is None else jnp.asarray(m_inv0, dtype)
+    ) + zero
+    init = (q0, u0, g0, da0, m_inv_init, wf0)
     (qf, uf, gf, daf, m_inv_f, _), (qs, us, accs, depths, nls, divs) = lax.scan(
         step, init, (jnp.arange(n_total), keys, in_slow_a, wend_a, da_a)
     )
@@ -417,13 +421,18 @@ def nuts_sample(
     max_depth: int = 8,
     target_accept: float = 0.8,
     adapt_mass: bool = True,
+    mass_matrix=None,
 ) -> NUTSResult:
     """Draw ``n_samples`` NUTS samples after ``n_warmup`` adaptive-warmup draws.
 
     Same potential-over-packed-vector contract as :func:`.hmc.hmc_sample`;
     step size and (optionally) a diagonal inverse metric adapt during warmup
     via the Stan window schedule, so the only knob that usually matters is
-    ``n_warmup``.
+    ``n_warmup``.  ``mass_matrix`` (P,): a diagonal mass seeding the metric
+    (inverse metric = 1/mass); with ``adapt_mass=False`` it stays FIXED — the
+    curvature-informed configuration (e.g. the clipped whitened-space
+    Hessian diagonal) that beats the sample-adapted window metric on the
+    GNMGP funnel (benchmarks/sampler_bench.py --mass hessian).
     """
     q0 = jnp.asarray(init_position)
     sched = window_schedule(int(n_warmup))
@@ -440,6 +449,7 @@ def nuts_sample(
         sched.in_slow,
         sched.window_end,
         sched.da_step,
+        m_inv0=None if mass_matrix is None else 1.0 / jnp.asarray(mass_matrix),
     )
     n_warmup = int(n_warmup)
     return NUTSResult(
