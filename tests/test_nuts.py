@@ -62,6 +62,45 @@ def test_anisotropic_no_manual_tuning():
     assert np.all(ratio > 1 / 3) and np.all(ratio < 3), ratio
 
 
+def test_fixed_and_seeded_mass_matrix():
+    scales = jnp.asarray([10.0, 1.0, 0.1])
+
+    def potential(q):
+        return 0.5 * jnp.sum((q / scales) ** 2)
+
+    mass = 1.0 / scales**2  # ideal diagonal metric: inv_mass = variances
+    fixed = nuts.nuts_sample(
+        potential,
+        jnp.zeros(3),
+        n_samples=400,
+        key=jax.random.PRNGKey(4),
+        n_warmup=300,
+        mass_matrix=mass,
+        adapt_mass=False,
+    )
+    # a fixed metric must come back verbatim — no window adaptation
+    np.testing.assert_allclose(
+        np.asarray(fixed.inv_mass), np.asarray(scales) ** 2, rtol=1e-6
+    )
+    sd = np.asarray(fixed.samples).std(axis=0)
+    np.testing.assert_allclose(sd, np.asarray(scales), rtol=0.3)
+
+    # the same matrix as a *seed* still adapts (ends near the truth it
+    # started at, but not bit-identical)
+    seeded = nuts.nuts_sample(
+        potential,
+        jnp.zeros(3),
+        n_samples=400,
+        key=jax.random.PRNGKey(4),
+        n_warmup=300,
+        mass_matrix=mass,
+        adapt_mass=True,
+    )
+    ratio = np.asarray(seeded.inv_mass) / np.asarray(scales) ** 2
+    assert np.all(ratio > 1 / 3) and np.all(ratio < 3), ratio
+    assert not np.allclose(np.asarray(seeded.inv_mass), np.asarray(scales) ** 2)
+
+
 def test_dynamic_trajectories_and_chains():
     cov = jnp.asarray([[1.0, 0.9], [0.9, 1.0]])
     prec = jnp.linalg.inv(cov)
