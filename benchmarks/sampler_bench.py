@@ -45,7 +45,12 @@ def main():
     ap.add_argument("--pilot", type=int, default=200,
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
-                    help="comma-separated subset to run")
+                    help="comma-separated subset to run (hmc, hmc_window, "
+                         "nuts, drhmc)")
+    ap.add_argument("--dr-stages", type=int, default=3,
+                    help="delayed-rejection proposal stages for drhmc")
+    ap.add_argument("--dr-reduction", type=float, default=4.0,
+                    help="per-stage step-size reduction for drhmc")
     ap.add_argument("--mass", default="none", choices=["none", "hessian"],
                     help="hessian: clipped |diag| of the (whitened-space) "
                          "negative-log-posterior Hessian at the MAP as the "
@@ -63,6 +68,7 @@ def main():
     from nonstationary_multivariate_gaussian_process_tpu.data import sim
     from nonstationary_multivariate_gaussian_process_tpu.inference import (
         diagnostics,
+        drhmc,
         hmc,
         map as map_mod,
         nuts,
@@ -155,6 +161,22 @@ def main():
         jax.block_until_ready(r.samples)
         return r.samples, (args.draws + args.warmup) * leap
 
+    def run_drhmc():
+        r = drhmc.drhmc_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            step_size=args.step_size, n_leapfrog=leap,
+            n_warmup=args.warmup, n_stages=args.dr_stages,
+            reduction=args.dr_reduction, mass_matrix=mass,
+        )
+        jax.block_until_ready(r.samples)
+        # a draw that reached stage s paid 2**(s-1) extra trajectories of
+        # ghost+proposal leapfrogs (drhmc.py docstring); stage 0 = reached all
+        st = np.asarray(r.accept_stage)
+        reached = np.where(st == 0, args.dr_stages, st)
+        grads = leap * int((2 ** reached - 1).sum())  # sum of 2^(s-1), s<=reached
+        log(f"drhmc: stage histogram {np.bincount(st, minlength=args.dr_stages + 1).tolist()}")
+        return r.samples, grads
+
     def run_nuts():
         r = nuts.nuts_sample(
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
@@ -170,6 +192,8 @@ def main():
         results["hmc"] = score("hmc", run_hmc)
     if "hmc_window" in which:
         results["hmc_window"] = score("hmc+window", run_hmc_window)
+    if "drhmc" in which:
+        results["drhmc"] = score("drhmc", run_drhmc)
     if "nuts" in which:
         results["nuts"] = score("nuts", run_nuts)
     if "nuts" in results and "hmc" in results:

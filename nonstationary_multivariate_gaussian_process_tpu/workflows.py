@@ -70,6 +70,11 @@ class PipelineConfig:
     n_hmc: int = 100
     sampler: str = "hmc"  # "hmc" (reference contract) | "nuts" (adaptive
     #                        trajectories + windowed warmup, inference/nuts.py)
+    #                        | "drhmc" (delayed rejection: rejected proposals
+    #                        retry at reduced step size — threads funnel
+    #                        necks, inference/drhmc.py)
+    dr_stages: int = 3  # drhmc proposal stages (1 = plain HMC)
+    dr_reduction: float = 4.0  # drhmc per-stage step-size reduction
     hmc_step_size: float = 1e-4
     hmc_leapfrog: int = 20
     hmc_adapt: bool = False  # dual-averaging step-size adaptation
@@ -130,8 +135,24 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         )
         accept = float(np.mean(np.asarray(chain.accept_stat)[n_warm:]))
         return np.asarray(chain.samples), accept
+    if cfg.sampler == "drhmc":
+        # delayed-rejection HMC: rejected proposals retry at reduced step
+        # size — for posteriors with funnel necks (inference/drhmc.py)
+        from .inference import drhmc as drhmc_mod
+
+        n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+        chain = drhmc_mod.drhmc_sample(
+            nlp, map_vec, cfg.n_hmc, key,
+            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+            n_warmup=n_warm, n_stages=cfg.dr_stages,
+            reduction=cfg.dr_reduction,
+        )
+        accept = float(np.mean(np.asarray(chain.accept_stage)[n_warm:] > 0))
+        return np.asarray(chain.samples), accept
     if cfg.sampler != "hmc":
-        raise ValueError(f"unknown sampler {cfg.sampler!r} (want 'hmc' or 'nuts')")
+        raise ValueError(
+            f"unknown sampler {cfg.sampler!r} (want 'hmc', 'nuts' or 'drhmc')"
+        )
     mass = None
     if cfg.hmc_mass == "pilot":
         # mass matrix from a short pilot chain's sample covariance
