@@ -51,6 +51,9 @@ def main():
                     help="delayed-rejection proposal stages for drhmc")
     ap.add_argument("--dr-reduction", type=float, default=4.0,
                     help="per-stage step-size reduction for drhmc")
+    ap.add_argument("--dr-target", type=float, default=0.8,
+                    help="drhmc stage-1 dual-averaging accept target; lower "
+                         "it to run a coarser bulk step and lean on retries")
     ap.add_argument("--mass", default="none", choices=["none", "hessian"],
                     help="hessian: clipped |diag| of the (whitened-space) "
                          "negative-log-posterior Hessian at the MAP as the "
@@ -166,7 +169,8 @@ def main():
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
             step_size=args.step_size, n_leapfrog=leap,
             n_warmup=args.warmup, n_stages=args.dr_stages,
-            reduction=args.dr_reduction, mass_matrix=mass,
+            reduction=args.dr_reduction, target_accept=args.dr_target,
+            mass_matrix=mass,
         )
         jax.block_until_ready(r.samples)
         # a draw that reached stage s paid 2**(s-1) extra trajectories of

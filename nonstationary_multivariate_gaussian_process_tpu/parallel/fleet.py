@@ -496,6 +496,103 @@ def nuts_fleet(
     return samples[:s_real], accept[:s_real]
 
 
+def drhmc_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,  # (S, P) warm starts
+    key,
+    n_samples: int = 100,
+    step_size: float = 1e-3,
+    n_leapfrog: int = 20,
+    n_warmup: int = 200,
+    n_stages: int = 3,
+    reduction: float = 4.0,
+    target_accept: float = 0.8,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = False,
+    masks: jnp.ndarray | None = None,
+):
+    """Delayed-rejection HMC chains for a fleet, sharded over the mesh.
+
+    The funnel-neck counterpart of :func:`hmc_fleet` (see
+    inference/drhmc.py).  Under ``vmap`` the per-draw ``lax.cond`` retry
+    stages lower to both-branch selects, so every subject pays the worst
+    case ``2**n_stages - 1`` trajectories per draw in lockstep — prefer the
+    whitened NUTS fleet unless necks are the diagnosed obstruction.
+    ``whiten``/``masks`` behave exactly as in :func:`hmc_fleet`.  Returns
+    ``(samples (S, T, P), accept_stage (S, n_total))``.
+    """
+    from ..inference import drhmc as drhmc_mod
+
+    _validate_fleet(model_name, xs, ys, map_vecs, masks)
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1],
+                          np.asarray(ys).shape[-1], hp)
+        if whiten else None
+    )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
+
+    def chain_one(vec0, x, y, p1, p2, p3, k, mask):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+            vec0 = tw(vec0, p1, p2, p3)
+        else:
+            pot = lambda v: nlp(v, *args)
+        res = drhmc_mod.drhmc_sample(
+            pot, vec0, n_samples, k, step_size=step_size,
+            n_leapfrog=n_leapfrog, n_warmup=n_warmup, n_stages=n_stages,
+            reduction=reduction, target_accept=target_accept,
+        )
+        samples = res.samples
+        if wfns is not None:
+            samples = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(samples)
+        return samples, res.accept_stage
+
+    def shard_fn(vec0, x, y, p1, p2, p3, k, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, p3, k, mask)
+
+    # check_vma=False for the same reason as nuts_fleet: the retry-stage
+    # lax.cond mixes replicated literals into a subject-varying carry, which
+    # the varying-mask analysis rejects; chain_one is purely subject-local
+    # (no collectives), so the check buys nothing here
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        check_vma=False,
+    )
+    samples, stages = jax.jit(sharded)(map_vecs, xs, ys, pc1, pc2, pc3,
+                                       keys, masks)
+    return samples[:s_real], stages[:s_real]
+
+
 # ---------------------------------------------------------------------------
 # Hadamard-layout fleets (one observation per (input, task) pair).
 # ---------------------------------------------------------------------------

@@ -844,6 +844,19 @@ def run_sim_fleet(
                 hyper=cfg.hyper, mesh=mesh, whiten=bool(cfg.whiten),
             )
             out["hmc_accept"] = np.asarray(accept)
+        elif cfg.sampler == "drhmc":
+            n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+            samples, stages = fleet_mod.drhmc_fleet(
+                cfg.model, batch.x, batch.y, res.vecs,
+                jax.random.fold_in(key, 31), n_samples=cfg.n_hmc,
+                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+                n_warmup=n_warm, n_stages=cfg.dr_stages,
+                reduction=cfg.dr_reduction, hyper=cfg.hyper, mesh=mesh,
+                whiten=bool(cfg.whiten),
+            )
+            out["hmc_accept"] = np.asarray(
+                (np.asarray(stages)[:, n_warm:] > 0).mean(axis=1)
+            )
         else:
             samples = fleet_mod.hmc_fleet(
                 cfg.model, batch.x, batch.y, res.vecs,
@@ -1011,6 +1024,16 @@ def run_cohort(
                     cfg.model, x_t, y_t, vec_t,
                     k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
+                    whiten=whiten_flag, masks=mask_t,
+                )
+            elif sampler == "drhmc":
+                n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+                samples, _ = fleet_mod.drhmc_fleet(
+                    cfg.model, x_t, y_t, vec_t,
+                    k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                    n_leapfrog=cfg.hmc_leapfrog, n_warmup=n_warm,
+                    n_stages=cfg.dr_stages, reduction=cfg.dr_reduction,
+                    hyper=cfg.hyper, mesh=mesh,
                     whiten=whiten_flag, masks=mask_t,
                 )
             elif sampler == "hmc":

@@ -152,6 +152,45 @@ def test_workflow_sampler_routing():
     assert np.all(np.isfinite(res["hmc_samples"]))
 
 
+def test_drhmc_fleet_whitened():
+    """drhmc_fleet shards whitened per-subject DR chains over the mesh and
+    run_sim_fleet routes sampler='drhmc' through it."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    xs, ys = [], []
+    for i in range(2):
+        d = sim.sim_mnts(jax.random.PRNGKey(i), n=12)
+        xs.append(d.x)
+        ys.append(d.y)
+    xs, ys = jnp.stack(xs), jnp.stack(ys)
+    vecs = jnp.zeros((2, gnmgp.n_params(12, 2)))
+    samples, stages = fleet.drhmc_fleet(
+        "gnmgp", xs, ys, vecs, jax.random.PRNGKey(4), n_samples=15,
+        step_size=1e-2, n_leapfrog=5, n_warmup=20, n_stages=2, whiten=True,
+    )
+    assert samples.shape == (2, 15, vecs.shape[1])
+    assert np.all(np.isfinite(np.asarray(samples)))
+    st = np.asarray(stages)
+    assert st.shape == (2, 35) and np.all((st >= 0) & (st <= 2))
+
+    out = workflows.run_sim_fleet(
+        n_replicates=2,
+        n=12,
+        cfg=workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, do_hmc=True, n_hmc=5, sampler="drhmc",
+            dr_stages=2, whiten=True, hmc_step_size=1e-3, hmc_warmup=10,
+            do_evaluation=False,
+        ),
+    )
+    s = out["hmc_samples"]
+    assert s.shape == (2, 5, gnmgp.n_params(12, 2))
+    assert np.all(np.isfinite(s))
+    assert out["hmc_accept"].shape == (2,)
+
+
 def test_contract_and_determinism():
     potential, _ = _gauss_potential(d=3, rho=0.2)
     kwargs = dict(
