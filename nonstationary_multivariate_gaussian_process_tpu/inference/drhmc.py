@@ -32,7 +32,24 @@ an external fixed-budget HMC, ``Nonseparable_model.py:228-231``).
 Measured (tests/test_drhmc.py, benchmarks/sampler_bench.py --samplers
 drhmc): on Neal's funnel — where plain HMC and replica exchange are both
 biased away from the neck — 3-stage DR-HMC recovers the marginal
-``v ~ N(0, 9)`` mean and spread.  See the bench for the GNMGP numbers.
+``v ~ N(0, 9)`` mean and spread across seeds (v mean |<0.5|, std 2.7–3.3
+over 16k draws; adapted plain HMC sits at mean 1.4, std 2.0).
+
+On the GNMGP posterior at the reference's own scale (N=200, TPU, whitened)
+the gain is real but bounded: min-ESS 3.0 → 3.9 at the 400-draw budget and
+3.5 → 5.1 at 2400 draws, at ~2× the gradient cost.  Every composition was
+measured — +Hessian-diag mass (5.3 at 400 draws but 3.3 at 2400: seed
+noise, not signal), +PNCP (3.8), 40-step trajectories (3.0, longer hurts)
+— and none leaves the 3–5 band.  Since DR demonstrably repairs step-size
+geometry (the funnel above), the residual N=200 wall is NOT neck geometry:
+per-coordinate diagnosis shows whitened-space min-ESS ~3 concentrated in
+directions whose natural-space traces drift *together* — a nonlinear
+collective ridge (amplitude–lengthscale trade-off) that no fixed map,
+metric, retry schedule, or temperature ladder traverses at this budget.
+Position-dependent metrics (RMHMC/SoftAbs) are the remaining escalation
+path.  The shipping posture stays whitened multichain NUTS with surfaced
+split-R̂/min-ESS (workflows `cohort_sampler="auto"`); reach for this tier
+when the diagnosed obstruction is a funnel neck.
 
 TPU shape: one ``lax.scan`` over draws; the retry stages live behind
 ``lax.cond`` so a single chain pays ghost-trajectory gradients only on
