@@ -1,0 +1,186 @@
+"""SoftAbs RMHMC (inference/rmhmc.py).
+
+The position-dependent-metric tier — the escalation path the round-3
+sampler study names for the measured N=200 collective ridge
+(inference/drhmc.py docstring).  Pinned here:
+
+(a) exactness on a correlated Gaussian — the non-separable Hamiltonian and
+    the generalized-leapfrog MH correction must preserve the target;
+(b) the funnel win — SoftAbs RMHMC recovers Neal's funnel ``v ~ N(0, 9)``
+    where plain (even adapted) HMC is provably biased toward the bulk;
+(c) integrator reversibility at the truncated fixed point — the momentum-
+    flip round trip must return to the start far below MH noise;
+(d) the Gibbs composition — subspace RMHMC + full-space HMC targets the
+    same posterior — and the result/determinism contracts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.inference import rmhmc
+
+
+def _gauss_potential(rng, d):
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T / d + np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def potential(q):
+        return 0.5 * q @ prec @ q
+
+    return potential, cov
+
+
+def _funnel_potential(d=11):
+    def potential(q):
+        v, x = q[0], q[1:]
+        return (
+            0.5 * (v / 3.0) ** 2
+            + 0.5 * jnp.sum(x * x) * jnp.exp(-v)
+            + 0.5 * (q.shape[0] - 1) * v
+        )
+
+    return potential
+
+
+def test_gaussian_exactness(rng):
+    potential, cov = _gauss_potential(rng, 4)
+    r = rmhmc.rmhmc_sample(
+        potential, jnp.zeros(4), 2000, jax.random.PRNGKey(0),
+        step_size=0.3, n_leapfrog=6, n_warmup=500,
+    )
+    s = np.asarray(r.samples)
+    assert float(np.mean(r.accept_prob)) > 0.5
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.25)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.45)
+
+
+@pytest.mark.slow
+def test_funnel_recovery():
+    """SoftAbs RMHMC threads the funnel neck (plain HMC sits at std≈2)."""
+    potential = _funnel_potential()
+    r = rmhmc.rmhmc_sample(
+        potential, jnp.zeros(11), 3000, jax.random.PRNGKey(1),
+        step_size=0.2, n_leapfrog=8, n_warmup=800, alpha=1e3,
+    )
+    v = np.asarray(r.samples)[:, 0]
+    assert abs(v.mean()) < 0.8
+    assert 2.5 < v.std() < 3.6
+
+
+def test_reversibility():
+    """Momentum-flip round trip through the truncated generalized leapfrog.
+
+    With a fixed (non-converged-to-machine-precision) fixed-point count the
+    integrator is only approximately reversible; the error at working step
+    sizes must sit orders of magnitude below the MH energy scale.
+    """
+    potential = _funnel_potential()
+    geom = rmhmc._make_geom(potential, jnp.asarray(1e3))
+    q0 = jnp.asarray(np.linspace(-0.5, 0.5, 11))
+
+    def integrate(z, p, eps, n_leapfrog, n_fp):
+        def one_step(carry, _):
+            z, p, a = carry
+            gf = geom.g_free(z, a)
+
+            def mom_iter(ph, _):
+                return p - 0.5 * eps * (gf + geom.g_quad(z, a, ph)), None
+
+            ph, _ = jax.lax.scan(mom_iter, p, None, length=n_fp)
+            half = 0.5 * eps * geom.ginv_mul(a, ph)
+
+            def pos_iter(zn, _):
+                return z + half + 0.5 * eps * geom.ginv_mul(geom.aux(zn), ph), None
+
+            zn, _ = jax.lax.scan(pos_iter, z, None, length=n_fp)
+            an = geom.aux(zn)
+            pn = ph - 0.5 * eps * (geom.g_free(zn, an) + geom.g_quad(zn, an, ph))
+            return (zn, pn, an), None
+
+        (z, p, _), _ = jax.lax.scan(
+            one_step, (z, p, geom.aux(z)), None, length=n_leapfrog
+        )
+        return z, p
+
+    p0 = jnp.asarray(np.cos(np.arange(11.0)))
+
+    def roundtrip(n_fp):
+        q1, p1 = integrate(q0, p0, 0.2, 4, n_fp)
+        q2, p2 = integrate(q1, -p1, 0.2, 4, n_fp)
+        return max(
+            float(jnp.max(jnp.abs(q2 - q0))), float(jnp.max(jnp.abs(-p2 - p0)))
+        )
+
+    # geometric fixed-point convergence (measured: 6→3e-4, 10→2e-6, 14→1e-8)
+    e6, e10 = roundtrip(6), roundtrip(10)
+    assert e6 < 1e-3
+    assert e10 < 1e-5
+    assert e10 < e6 / 10.0
+
+
+def test_softabs_stable_at_degeneracy():
+    """The Daleckii–Krein gradients stay finite at a degenerate spectrum.
+
+    An isotropic Gaussian's Hessian has one d-fold eigenvalue — exactly
+    where naive autodiff through eigh NaNs (measured: the first rmhmc build
+    collapsed on the funnel's 9-fold-degenerate mode).
+    """
+
+    def potential(q):
+        return 0.5 * jnp.dot(q, q)
+
+    geom = rmhmc._make_geom(potential, jnp.asarray(1e3))
+    q = jnp.zeros(5)
+    a = geom.aux(q)
+    p = jnp.asarray(np.arange(1.0, 6.0))
+    assert np.all(np.isfinite(np.asarray(geom.g_free(q, a))))
+    assert np.all(np.isfinite(np.asarray(geom.g_quad(q, a, p))))
+    # softabs floor: zero curvature maps to 1/alpha
+    zero_geom = rmhmc._make_geom(lambda q: jnp.sum(q) * 0.0, jnp.asarray(1e3))
+    _, _, lt = zero_geom.aux(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(lt), 1e-3, rtol=1e-6)
+
+
+def test_gibbs_exactness(rng):
+    potential, cov = _gauss_potential(rng, 8)
+    r = rmhmc.rmhmc_gibbs_sample(
+        potential, jnp.zeros(8), 3000, jax.random.PRNGKey(0),
+        idx=np.array([1, 4, 6]), step_size=0.3, rm_step_size=0.3,
+        n_leapfrog=6, rm_leapfrog=4, n_warmup=600,
+    )
+    s = np.asarray(r.samples)
+    assert float(np.mean(r.accept_prob)) > 0.5
+    assert float(np.mean(r.rm_accept_prob)) > 0.5
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.5)
+
+
+def test_contracts_and_determinism(rng):
+    potential, _ = _gauss_potential(rng, 3)
+    kw = dict(step_size=0.3, n_leapfrog=4, n_warmup=50)
+    r1 = rmhmc.rmhmc_sample(potential, jnp.zeros(3), 40, jax.random.PRNGKey(7), **kw)
+    r2 = rmhmc.rmhmc_sample(potential, jnp.zeros(3), 40, jax.random.PRNGKey(7), **kw)
+    np.testing.assert_array_equal(np.asarray(r1.samples), np.asarray(r2.samples))
+    assert r1.samples.shape == (40, 3)
+    assert r1.accept_prob.shape == (90,)
+    assert r1.potentials.shape == (40,)
+
+    with pytest.raises(ValueError, match="idx"):
+        rmhmc.rmhmc_gibbs_sample(
+            potential, jnp.zeros(3), 10, jax.random.PRNGKey(0),
+            idx=np.zeros((0,), np.int32),
+        )
+
+
+def test_slowest_coords():
+    rng = np.random.default_rng(0)
+    fast = rng.normal(size=(500, 2))
+    slow = np.cumsum(rng.normal(size=(500, 1)), axis=0)  # random walk: low ESS
+    samples = np.concatenate([fast[:, :1], slow, fast[:, 1:]], axis=1)
+    idx = rmhmc.slowest_coords(samples, 1)
+    assert idx.tolist() == [1]
+    with pytest.raises(ValueError, match="samples"):
+        rmhmc.slowest_coords(np.zeros(5), 1)
