@@ -46,7 +46,16 @@ def main():
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run (hmc, hmc_window, "
-                         "nuts, drhmc)")
+                         "nuts, drhmc, rmhmc)")
+    ap.add_argument("--rm-k", type=int, default=12,
+                    help="rmhmc: subspace size — the k worst-mixing pilot "
+                         "coordinates get the position-dependent metric")
+    ap.add_argument("--rm-leapfrog", type=int, default=6,
+                    help="rmhmc: generalized-leapfrog steps per subspace draw")
+    ap.add_argument("--rm-step-size", type=float, default=0.2,
+                    help="rmhmc: initial subspace step size (dual-averaged)")
+    ap.add_argument("--rm-fp", type=int, default=6,
+                    help="rmhmc: fixed-point iterations per implicit half-step")
     ap.add_argument("--dr-stages", type=int, default=3,
                     help="delayed-rejection proposal stages for drhmc")
     ap.add_argument("--dr-reduction", type=float, default=4.0,
@@ -75,6 +84,7 @@ def main():
         hmc,
         map as map_mod,
         nuts,
+        rmhmc,
         whiten,
     )
     from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
@@ -181,6 +191,34 @@ def main():
         log(f"drhmc: stage histogram {np.bincount(st, minlength=args.dr_stages + 1).tolist()}")
         return r.samples, grads
 
+    def run_rmhmc():
+        # pilot chain picks the k worst-mixing (ridge) coordinates
+        pilot = hmc.hmc_sample(
+            nlp, map_vec, 200, jax.random.PRNGKey(3),
+            step_size=args.step_size, n_leapfrog=leap, n_warmup=200,
+            adapt_step_size=True,
+        )
+        idx = rmhmc.slowest_coords(np.asarray(pilot.samples), args.rm_k)
+        log(f"rmhmc: subspace idx={idx.tolist()}")
+        r = rmhmc.rmhmc_gibbs_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1), idx=idx,
+            step_size=args.step_size, rm_step_size=args.rm_step_size,
+            n_leapfrog=leap, rm_leapfrog=args.rm_leapfrog, n_fp=args.rm_fp,
+            n_warmup=args.warmup,
+        )
+        jax.block_until_ready(r.samples)
+        log(f"rmhmc: acceptA={float(np.mean(r.accept_prob)):.2f} "
+            f"acceptB={float(np.mean(r.rm_accept_prob)):.2f} "
+            f"epsA={float(r.step_size):.2e} epsB={float(r.rm_step_size):.2e}")
+        # grad-equivalent accounting: stage A pays leap+1 full gradients per
+        # draw (incl. the post-accept refresh); stage B pays, per leapfrog
+        # step, one k-column Hessian-jacobian T (≈2k grad-equivalents) and
+        # n_fp subspace Hessians (≈k HVPs ≈ 2k each) — einsum kicks are free
+        per_draw_b = args.rm_leapfrog * (2 * args.rm_k + args.rm_fp * 2 * args.rm_k)
+        grads = (args.draws + args.warmup + 400) * (leap + 1) \
+            + (args.draws + args.warmup) * per_draw_b
+        return r.samples, grads
+
     def run_nuts():
         r = nuts.nuts_sample(
             nlp, map_vec, args.draws, jax.random.PRNGKey(1),
@@ -198,6 +236,8 @@ def main():
         results["hmc_window"] = score("hmc+window", run_hmc_window)
     if "drhmc" in which:
         results["drhmc"] = score("drhmc", run_drhmc)
+    if "rmhmc" in which:
+        results["rmhmc"] = score("rmhmc", run_rmhmc)
     if "nuts" in which:
         results["nuts"] = score("nuts", run_nuts)
     if "nuts" in results and "hmc" in results:

@@ -73,8 +73,15 @@ class PipelineConfig:
     #                        | "drhmc" (delayed rejection: rejected proposals
     #                        retry at reduced step size — threads funnel
     #                        necks, inference/drhmc.py)
+    #                        | "rmhmc" (SoftAbs RMHMC-within-Gibbs: a
+    #                        position-dependent metric on the rm_k worst-
+    #                        mixing pilot coordinates, inference/rmhmc.py)
     dr_stages: int = 3  # drhmc proposal stages (1 = plain HMC)
     dr_reduction: float = 4.0  # drhmc per-stage step-size reduction
+    rm_k: int = 12  # rmhmc subspace size (worst-mixing pilot coordinates)
+    rm_leapfrog: int = 6  # rmhmc generalized-leapfrog steps per draw
+    rm_step_size: float = 0.2  # rmhmc initial subspace step size (adapted)
+    rm_fp: int = 6  # rmhmc fixed-point iterations per implicit half-step
     hmc_step_size: float = 1e-4
     hmc_leapfrog: int = 20
     hmc_adapt: bool = False  # dual-averaging step-size adaptation
@@ -149,9 +156,34 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         )
         accept = float(np.mean(np.asarray(chain.accept_stage)[n_warm:] > 0))
         return np.asarray(chain.samples), accept
+    if cfg.sampler == "rmhmc":
+        # SoftAbs RMHMC-within-Gibbs: a pilot chain picks the rm_k worst-
+        # mixing coordinates; those get a position-dependent metric while
+        # the full vector keeps plain HMC sweeps (inference/rmhmc.py)
+        from .inference import rmhmc as rmhmc_mod
+
+        n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+        k_pilot, k_main = jax.random.split(key)
+        pilot = hmc_mod.hmc_sample(
+            nlp, map_vec, cfg.pncp_pilot, k_pilot,
+            step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
+            n_warmup=cfg.pncp_pilot, adapt_step_size=True,
+        )
+        idx = rmhmc_mod.slowest_coords(
+            np.asarray(pilot.samples), min(cfg.rm_k, int(map_vec.shape[0]))
+        )
+        chain = rmhmc_mod.rmhmc_gibbs_sample(
+            nlp, map_vec, cfg.n_hmc, k_main, idx=idx,
+            step_size=cfg.hmc_step_size, rm_step_size=cfg.rm_step_size,
+            n_leapfrog=cfg.hmc_leapfrog, rm_leapfrog=cfg.rm_leapfrog,
+            n_fp=cfg.rm_fp, n_warmup=n_warm,
+        )
+        accept = float(np.mean(np.asarray(chain.accept_prob)[n_warm:]))
+        return np.asarray(chain.samples), accept
     if cfg.sampler != "hmc":
         raise ValueError(
-            f"unknown sampler {cfg.sampler!r} (want 'hmc', 'nuts' or 'drhmc')"
+            f"unknown sampler {cfg.sampler!r} "
+            "(want 'hmc', 'nuts', 'drhmc' or 'rmhmc')"
         )
     mass = None
     if cfg.hmc_mass == "pilot":

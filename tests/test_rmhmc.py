@@ -83,11 +83,11 @@ def test_reversibility():
 
     def integrate(z, p, eps, n_leapfrog, n_fp):
         def one_step(carry, _):
-            z, p, a = carry
-            gf = geom.g_free(z, a)
+            z, p, a, t = carry
+            gf = geom.g_free(z, a, t)
 
             def mom_iter(ph, _):
-                return p - 0.5 * eps * (gf + geom.g_quad(z, a, ph)), None
+                return p - 0.5 * eps * (gf + geom.g_quad(a, t, ph)), None
 
             ph, _ = jax.lax.scan(mom_iter, p, None, length=n_fp)
             half = 0.5 * eps * geom.ginv_mul(a, ph)
@@ -97,11 +97,12 @@ def test_reversibility():
 
             zn, _ = jax.lax.scan(pos_iter, z, None, length=n_fp)
             an = geom.aux(zn)
-            pn = ph - 0.5 * eps * (geom.g_free(zn, an) + geom.g_quad(zn, an, ph))
-            return (zn, pn, an), None
+            tn = geom.third(zn)
+            pn = ph - 0.5 * eps * (geom.g_free(zn, an, tn) + geom.g_quad(an, tn, ph))
+            return (zn, pn, an, tn), None
 
-        (z, p, _), _ = jax.lax.scan(
-            one_step, (z, p, geom.aux(z)), None, length=n_leapfrog
+        (z, p, _, _), _ = jax.lax.scan(
+            one_step, (z, p, geom.aux(z), geom.third(z)), None, length=n_leapfrog
         )
         return z, p
 
@@ -135,9 +136,10 @@ def test_softabs_stable_at_degeneracy():
     geom = rmhmc._make_geom(potential, jnp.asarray(1e3))
     q = jnp.zeros(5)
     a = geom.aux(q)
+    t = geom.third(q)
     p = jnp.asarray(np.arange(1.0, 6.0))
-    assert np.all(np.isfinite(np.asarray(geom.g_free(q, a))))
-    assert np.all(np.isfinite(np.asarray(geom.g_quad(q, a, p))))
+    assert np.all(np.isfinite(np.asarray(geom.g_free(q, a, t))))
+    assert np.all(np.isfinite(np.asarray(geom.g_quad(a, t, p))))
     # softabs floor: zero curvature maps to 1/alpha
     zero_geom = rmhmc._make_geom(lambda q: jnp.sum(q) * 0.0, jnp.asarray(1e3))
     _, _, lt = zero_geom.aux(jnp.zeros(3))
@@ -173,6 +175,38 @@ def test_contracts_and_determinism(rng):
             potential, jnp.zeros(3), 10, jax.random.PRNGKey(0),
             idx=np.zeros((0,), np.int32),
         )
+
+
+def test_workflow_sampler_routing():
+    """PipelineConfig(sampler="rmhmc") runs the full single-subject stage:
+    pilot → worst-coordinate selection → whitened Gibbs chain."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=24)
+    res = workflows.run_subject(
+        d.x,
+        d.y,
+        workflows.PipelineConfig(
+            model="gnmgp",
+            n_opt=60,
+            do_hmc=True,
+            n_hmc=10,
+            hmc_warmup=10,
+            sampler="rmhmc",
+            pncp_pilot=20,
+            rm_k=4,
+            rm_leapfrog=2,
+            rm_fp=3,
+            whiten=True,
+            hmc_step_size=1e-2,
+            do_pred_grid=False,
+            do_pred_test=False,
+            do_evaluation=False,
+        ),
+    )
+    assert res["hmc_samples"].shape[0] == 10
+    assert np.all(np.isfinite(res["hmc_samples"]))
 
 
 def test_slowest_coords():
