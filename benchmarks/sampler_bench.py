@@ -212,9 +212,11 @@ def main():
             f"epsA={float(r.step_size):.2e} epsB={float(r.rm_step_size):.2e}")
         # grad-equivalent accounting: stage A pays leap+1 full gradients per
         # draw (incl. the post-accept refresh); stage B pays, per leapfrog
-        # step, one k-column Hessian-jacobian T (≈2k grad-equivalents) and
-        # n_fp subspace Hessians (≈k HVPs ≈ 2k each) — einsum kicks are free
-        per_draw_b = args.rm_leapfrog * (2 * args.rm_k + args.rm_fp * 2 * args.rm_k)
+        # step, n_fp+1 subspace Hessians (≈k HVPs ≈ 2k grads each) and one
+        # metric-derivative tensor T (k fwd tangents through the Hessian,
+        # ≈2k² grads) — the momentum fixed point itself is k³ einsums, free
+        k = args.rm_k
+        per_draw_b = args.rm_leapfrog * ((args.rm_fp + 1) * 2 * k + 2 * k * k)
         grads = (args.draws + args.warmup + 400) * (leap + 1) \
             + (args.draws + args.warmup) * per_draw_b
         return r.samples, grads

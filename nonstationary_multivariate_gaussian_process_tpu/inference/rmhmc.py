@@ -138,13 +138,23 @@ class _Geom(NamedTuple):
     """SoftAbs geometry over ``u_fn(z, *ctx)`` (ctx: conditioned state)."""
 
     aux: Callable  # z, *ctx -> (lam, V, softabs(lam))
-    g_free: Callable  # z, aux, *ctx -> ∂z [U + ½log|G|]
-    g_quad: Callable  # z, aux, p, *ctx -> ∂z ½pᵀG⁻¹p
+    third: Callable  # z, *ctx -> T = ∂H/∂z, (k, k, k), T[..., d] = ∂H/∂z_d
+    g_free: Callable  # z, aux, T, *ctx -> ∂z [U + ½log|G|]
+    g_quad: Callable  # aux, T, p -> ∂z ½pᵀG⁻¹p
     ginv_mul: Callable  # aux, p -> G⁻¹p
     grad_u: Callable
 
 
 def _make_geom(u_fn, alpha) -> _Geom:
+    """SoftAbs geometry with the metric-derivative tensor hoisted.
+
+    The third-derivative tensor ``T = ∂H/∂z`` ((k,k,k), one ``jacfwd`` over
+    the Hessian) is computed ONCE per leapfrog step and reused by every
+    fixed-point iteration — the p-dependent Hamiltonian gradient is then a
+    k³ einsum with zero potential evaluations, which is what makes the
+    Gibbs tier affordable at model scale (the first build re-ran
+    third-order AD per iteration and was ~n_fp× more expensive).
+    """
     hess = jax.hessian(u_fn, argnums=0)
     grad_u = jax.grad(u_fn, argnums=0)
 
@@ -152,31 +162,28 @@ def _make_geom(u_fn, alpha) -> _Geom:
         h = hess(z, *ctx)
         return 0.5 * (h + h.T)
 
+    third = jax.jacfwd(sym_hess, argnums=0)
+
     def aux(z, *ctx):
         lam, v = jnp.linalg.eigh(sym_hess(z, *ctx))
         return lam, v, _softabs(lam, alpha)
 
-    def contract_grad(z, cot, *ctx):
-        """∂z tr(cot · H(z)) at frozen cotangent — the only AD-through-H."""
-        cot = jax.lax.stop_gradient(cot)
-        return jax.grad(lambda zz: jnp.sum(sym_hess(zz, *ctx) * cot))(z)
-
-    def g_free(z, a, *ctx):
+    def g_free(z, a, t, *ctx):
         lam, v, lt = a
         m = (v * (_softabs_d(lam, alpha) / lt)) @ v.T
-        return grad_u(z, *ctx) + 0.5 * contract_grad(z, m, *ctx)
+        return grad_u(z, *ctx) + 0.5 * jnp.einsum("ij,ijd->d", m, t)
 
-    def g_quad(z, a, p, *ctx):
+    def g_quad(a, t, p):
         lam, v, lt = a
         w = (v.T @ p) / lt
         s = -0.5 * v @ (_divdiff(lam, lt, alpha) * jnp.outer(w, w)) @ v.T
-        return contract_grad(z, s, *ctx)
+        return jnp.einsum("ij,ijd->d", s, t)
 
     def ginv_mul(a, p):
         _, v, lt = a
         return v @ ((v.T @ p) / lt)
 
-    return _Geom(aux, g_free, g_quad, ginv_mul, grad_u)
+    return _Geom(aux, third, g_free, g_quad, ginv_mul, grad_u)
 
 
 def _rm_draw(geom: _Geom, u_fn, z, u_z, eps, n_leapfrog, n_fp, key, ctx=()):
@@ -201,11 +208,11 @@ def _rm_draw(geom: _Geom, u_fn, z, u_z, eps, n_leapfrog, n_fp, key, ctx=()):
     h0 = u_z + kinetic(a0, p)
 
     def one_step(carry, _):
-        z, p, a = carry
-        gf = geom.g_free(z, a, *ctx)
+        z, p, a, t = carry
+        gf = geom.g_free(z, a, t, *ctx)
 
         def mom_iter(ph, _):
-            return p - 0.5 * eps * (gf + geom.g_quad(z, a, ph, *ctx)), None
+            return p - 0.5 * eps * (gf + geom.g_quad(a, t, ph)), None
 
         ph, _ = jax.lax.scan(mom_iter, p, None, length=n_fp)
         half = 0.5 * eps * geom.ginv_mul(a, ph)
@@ -215,10 +222,14 @@ def _rm_draw(geom: _Geom, u_fn, z, u_z, eps, n_leapfrog, n_fp, key, ctx=()):
 
         zn, _ = jax.lax.scan(pos_iter, z, None, length=n_fp)
         an = geom.aux(zn, *ctx)
-        pn = ph - 0.5 * eps * (geom.g_free(zn, an, *ctx) + geom.g_quad(zn, an, ph, *ctx))
-        return (zn, pn, an), None
+        tn = geom.third(zn, *ctx)
+        pn = ph - 0.5 * eps * (geom.g_free(zn, an, tn, *ctx) + geom.g_quad(an, tn, ph))
+        return (zn, pn, an, tn), None
 
-    (z1, p1, a1), _ = jax.lax.scan(one_step, (z, p, a0), None, length=n_leapfrog)
+    t0 = geom.third(z, *ctx)
+    (z1, p1, a1, _t1), _ = jax.lax.scan(
+        one_step, (z, p, a0, t0), None, length=n_leapfrog
+    )
     u1 = u_fn(z1, *ctx)
     h1 = u1 + kinetic(a1, p1)
     log_accept = jnp.where(
@@ -478,7 +489,11 @@ def rmhmc_gibbs_sample(
 
     Both step sizes dual-average independently toward ``target_accept``
     during warmup.  Cost per draw ≈ ``n_leapfrog`` full gradients +
-    ``rm_leapfrog · (2·n_fp + 3)`` subspace-metric evals (each ``k`` HVPs).
+    ``rm_leapfrog`` subspace steps, each paying ``n_fp + 1`` subspace
+    Hessian+eigh evals (the implicit position update re-evaluates the
+    metric at the moving endpoint) plus ONE metric-derivative tensor
+    (``k`` forward tangents through the Hessian, hoisted out of the
+    momentum fixed point — those iterations are k³ einsums).
     """
     q0 = jnp.asarray(init_position)
     idx = jnp.asarray(idx, jnp.int32)
