@@ -72,6 +72,16 @@ def main():
                     help="NUTS tree-doubling depth cap (2^depth leapfrogs)")
     ap.add_argument("--leapfrog", type=int, default=20,
                     help="HMC trajectory length (reference budget: 20)")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="vmapped chains on one chip (chain 0 at the MAP, "
+                         "the rest jittered by --chain-jitter).  Scored "
+                         "with rank-normalized POOLED ESS (Vehtari et al. "
+                         "2021) + max split-R-hat, so stuck-but-disagreeing "
+                         "chains cannot inflate the number — the TPU-native "
+                         "throughput tier: batched chains fill the MXU that "
+                         "one latency-bound chain leaves idle")
+    ap.add_argument("--chain-jitter", type=float, default=0.5,
+                    help="init jitter (sampled-space units) for chains > 0")
     args = ap.parse_args()
 
     import jax
@@ -135,14 +145,44 @@ def main():
         log(f"hessian mass: diag range [{float(mass.min()):.3g}, "
             f"{float(mass.max()):.3g}]")
 
+    n_chains = args.chains
+
+    def chain_starts(key):
+        """(K, P) inits: chain 0 at the MAP, the rest jittered."""
+        j = args.chain_jitter * jax.random.normal(
+            key, (n_chains, map_vec.shape[0]), map_vec.dtype
+        )
+        return map_vec[None] + j.at[0].set(0.0)
+
     def score(name, run):
+        """``run(q0, key) -> (samples, grads)``; vmapped when --chains > 1.
+
+        Single-chain scoring keeps the historical min-ESS estimator (Geyer,
+        one chain) so numbers stay comparable across rounds; the many-chain
+        tier scores rank-normalized pooled ESS + max split-R-hat.
+        """
         t0 = time.time()
-        samples, grads = run()  # (S, P), total gradient evals
+        if n_chains == 1:
+            samples, grads = run(map_vec, jax.random.PRNGKey(1))
+            samples = samples[None]
+        else:
+            starts = chain_starts(jax.random.PRNGKey(7))
+            keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
+            samples, grads = jax.vmap(run)(starts, keys)  # (K, S, P)
+        jax.block_until_ready(samples)
         wall = time.time() - t0
+        grads = int(np.sum(np.asarray(grads)))
         if w is not None:
-            samples = w.from_white_batch(samples)
+            k_, s_, p_ = samples.shape
+            samples = w.from_white_batch(samples.reshape(k_ * s_, p_)).reshape(
+                k_, s_, p_
+            )
         s = np.asarray(samples)
-        ess = min(diagnostics.ess(s[:, j]) for j in range(0, s.shape[1], 7))
+        cols = range(0, s.shape[-1], 7)
+        if n_chains == 1:
+            ess = min(diagnostics.ess(s[0][:, j]) for j in cols)
+        else:
+            ess = min(diagnostics.ess_multichain(s[:, :, j]) for j in cols)
         out = {
             "min_ess": round(ess, 1),
             "ess_per_sec": round(ess / wall, 3),
@@ -150,66 +190,72 @@ def main():
             "wall_s": round(wall, 2),
             "grad_evals": int(grads),
         }
+        if n_chains > 1:
+            out["chains"] = n_chains
+            out["max_rhat"] = round(float(np.max(diagnostics.rhat(s))), 3)
+            out["min_ess_per_chain_sum"] = round(
+                min(
+                    sum(diagnostics.ess(s[c][:, j]) for c in range(s.shape[0]))
+                    for j in cols
+                ),
+                1,
+            )
         log(f"{name}: {out}")
         return out
 
     results = {}
     leap = args.leapfrog  # default 20: the reference budget (Nonseparable_model.py:229)
 
-    def run_hmc():
+    def run_hmc(q0, key):
         r = hmc.hmc_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            nlp, q0, args.draws, key,
             step_size=args.step_size, n_leapfrog=leap,
             n_warmup=args.warmup, adapt_step_size=True, mass_matrix=mass,
         )
-        jax.block_until_ready(r.samples)
         return r.samples, (args.draws + args.warmup) * leap
 
-    def run_hmc_window():
+    def run_hmc_window(q0, key):
         r = hmc.hmc_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            nlp, q0, args.draws, key,
             step_size=args.step_size, n_leapfrog=leap,
             n_warmup=args.warmup, adapt_mass=True,
         )
-        jax.block_until_ready(r.samples)
         return r.samples, (args.draws + args.warmup) * leap
 
-    def run_drhmc():
+    def run_drhmc(q0, key):
         r = drhmc.drhmc_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            nlp, q0, args.draws, key,
             step_size=args.step_size, n_leapfrog=leap,
             n_warmup=args.warmup, n_stages=args.dr_stages,
             reduction=args.dr_reduction, target_accept=args.dr_target,
             mass_matrix=mass,
         )
-        jax.block_until_ready(r.samples)
         # a draw that reached stage s paid 2**(s-1) extra trajectories of
         # ghost+proposal leapfrogs (drhmc.py docstring); stage 0 = reached all
-        st = np.asarray(r.accept_stage)
-        reached = np.where(st == 0, args.dr_stages, st)
-        grads = leap * int((2 ** reached - 1).sum())  # sum of 2^(s-1), s<=reached
-        log(f"drhmc: stage histogram {np.bincount(st, minlength=args.dr_stages + 1).tolist()}")
+        st = r.accept_stage
+        reached = jnp.where(st == 0, args.dr_stages, st)
+        grads = leap * jnp.sum(2 ** reached - 1)  # sum of 2^(s-1), s<=reached
         return r.samples, grads
 
-    def run_rmhmc():
-        # pilot chain picks the k worst-mixing (ridge) coordinates
+    # rmhmc: ONE pilot chain (at the MAP) picks the shared subspace so the
+    # vmapped chains run a single program; host-side, so outside run_rmhmc
+    rm_idx = None
+    if "rmhmc" in args.samplers:
         pilot = hmc.hmc_sample(
             nlp, map_vec, 200, jax.random.PRNGKey(3),
             step_size=args.step_size, n_leapfrog=leap, n_warmup=200,
             adapt_step_size=True,
         )
-        idx = rmhmc.slowest_coords(np.asarray(pilot.samples), args.rm_k)
-        log(f"rmhmc: subspace idx={idx.tolist()}")
+        rm_idx = rmhmc.slowest_coords(np.asarray(pilot.samples), args.rm_k)
+        log(f"rmhmc: subspace idx={rm_idx.tolist()}")
+
+    def run_rmhmc(q0, key):
         r = rmhmc.rmhmc_gibbs_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1), idx=idx,
+            nlp, q0, args.draws, key, idx=rm_idx,
             step_size=args.step_size, rm_step_size=args.rm_step_size,
             n_leapfrog=leap, rm_leapfrog=args.rm_leapfrog, n_fp=args.rm_fp,
             n_warmup=args.warmup,
         )
-        jax.block_until_ready(r.samples)
-        log(f"rmhmc: acceptA={float(np.mean(r.accept_prob)):.2f} "
-            f"acceptB={float(np.mean(r.rm_accept_prob)):.2f} "
-            f"epsA={float(r.step_size):.2e} epsB={float(r.rm_step_size):.2e}")
         # grad-equivalent accounting: stage A pays leap+1 full gradients per
         # draw (incl. the post-accept refresh); stage B pays, per leapfrog
         # step, n_fp+1 subspace Hessians (≈k HVPs ≈ 2k grads each) and one
@@ -221,15 +267,14 @@ def main():
             + (args.draws + args.warmup) * per_draw_b
         return r.samples, grads
 
-    def run_nuts():
+    def run_nuts(q0, key):
         r = nuts.nuts_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            nlp, q0, args.draws, key,
             step_size=args.step_size, n_warmup=args.warmup,
             max_depth=args.max_depth,
             mass_matrix=mass, adapt_mass=mass is None,
         )
-        jax.block_until_ready(r.samples)
-        return r.samples, int(np.asarray(r.n_leapfrog).sum())
+        return r.samples, jnp.sum(r.n_leapfrog)
 
     which = set(args.samplers.split(","))
     if "hmc" in which:

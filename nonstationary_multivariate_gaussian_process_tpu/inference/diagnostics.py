@@ -43,6 +43,67 @@ def ess(x: np.ndarray) -> float:
     return float(n / max(tau, 1.0))
 
 
+def _autocov(x: np.ndarray) -> np.ndarray:
+    """Biased (1/n) autocovariance of a 1-D chain via FFT, all lags."""
+    x = np.asarray(x, float)
+    n = x.shape[0]
+    xc = x - x.mean()
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft)
+    return np.fft.irfft(f * np.conjugate(f))[:n].real / n
+
+
+def ess_multichain(chains: np.ndarray, rank_normalize: bool = True) -> float:
+    """Bulk effective sample size across chains (Vehtari et al. 2021).
+
+    ``chains``: (C, S).  Each chain is split in half, values are replaced by
+    normal quantiles of their pooled fractional ranks, and the combined
+    correlation estimate mixes within- and between-chain variance — so K
+    chains that each look internally mixed but sit on different parts of a
+    ridge score LOW, unlike summing per-chain ESS.  This is the honest
+    denominator for the chip-level many-chain tier (a TPU runs dozens of
+    vmapped chains for nearly the latency of one; the claim "K chains ⇒
+    K× effective draws" is only true if THIS number says so).
+
+    Returns the pooled ESS (≈ C·S for independent white chains).
+    """
+    c = np.asarray(chains, float)
+    if c.ndim == 1:
+        c = c[None]
+    n_half = c.shape[1] // 2
+    if n_half < 2:
+        return float("nan")
+    c = np.concatenate([c[:, :n_half], c[:, n_half : 2 * n_half]], axis=0)
+    m, n = c.shape
+    if rank_normalize:
+        r = c.reshape(-1).argsort().argsort().reshape(m, n) + 1.0
+        from scipy.special import ndtri  # type: ignore
+
+        c = ndtri((r - 0.375) / (m * n + 0.25))
+    chain_vars = c.var(axis=1, ddof=1)
+    w = chain_vars.mean()
+    if not np.isfinite(w) or w <= 0:
+        return float(m * n)
+    b = n * c.mean(axis=1).var(ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * w + b / n
+    # mean within-chain autocovariance per lag
+    gamma = np.mean([_autocov(c[j]) for j in range(m)], axis=0)
+    rho = 1.0 - (w - gamma) / var_plus
+    # Geyer initial monotone positive sequence over paired sums
+    tau = 1.0
+    prev = np.inf
+    k = 1
+    while k + 1 < n:
+        pair = rho[k] + rho[k + 1]
+        if pair < 0:
+            break
+        pair = min(pair, prev)
+        prev = pair
+        tau += 2.0 * pair
+        k += 2
+    return float(m * n / max(tau, 1.0))
+
+
 def rhat(chains: np.ndarray) -> np.ndarray:
     """Split-R̂ potential-scale-reduction per parameter.
 

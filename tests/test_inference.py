@@ -241,6 +241,42 @@ class TestHMC:
         q = diagnostics.samples2quantiles(rng.normal(size=(500, 3)))
         assert q.shape == (3, 3)
 
+    def test_ess_multichain_independent(self):
+        """K independent white chains pool to ≈ K·S effective draws."""
+        rng = np.random.default_rng(1)
+        chains = rng.normal(size=(8, 500))
+        e = diagnostics.ess_multichain(chains)
+        assert 2000 < e <= 8 * 500 * 1.25  # near the nominal 4000
+
+    def test_ess_multichain_penalizes_disagreement(self):
+        """Chains stuck at different modes must score LOW — the property
+        that makes this the honest many-chain denominator (summing
+        per-chain ESS would report ~4000 here)."""
+        rng = np.random.default_rng(2)
+        offsets = np.linspace(-5, 5, 8)[:, None]
+        chains = 0.05 * rng.normal(size=(8, 500)) + offsets
+        e = diagnostics.ess_multichain(chains)
+        naive = sum(diagnostics.ess(c) for c in chains)
+        assert e < 100 < naive
+
+    def test_ess_multichain_single_chain_consistent(self):
+        """One well-mixed chain ≈ the single-chain estimator."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=1000)
+        e1 = diagnostics.ess(x)
+        em = diagnostics.ess_multichain(x[None])
+        assert 0.5 * e1 < em < 1.6 * e1
+
+    def test_ess_multichain_autocorrelated(self):
+        """AR(0.95) chains: pooled ESS far below nominal, above zero."""
+        rng = np.random.default_rng(4)
+        chains = np.zeros((4, 1000))
+        for c in range(4):
+            for i in range(1, 1000):
+                chains[c, i] = 0.95 * chains[c, i - 1] + rng.normal()
+        e = diagnostics.ess_multichain(chains)
+        assert 10 < e < 1000
+
 
 class TestMultiStartErrorRecords:
     def test_failed_start_is_recorded(self):
