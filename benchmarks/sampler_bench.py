@@ -46,7 +46,16 @@ def main():
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run (hmc, hmc_window, "
-                         "nuts, drhmc, rmhmc)")
+                         "nuts, drhmc, rmhmc, chees)")
+    ap.add_argument("--chees-chains", type=int, default=16,
+                    help="chees: lockstep chains (it adapts from the cross-"
+                         "chain ChEES criterion, so it brings its own "
+                         "chains regardless of --chains)")
+    ap.add_argument("--chees-max-leapfrog", type=int, default=256,
+                    help="chees: leapfrog cap per jittered trajectory")
+    ap.add_argument("--chees-traj", type=float, default=None,
+                    help="chees: initial mean trajectory time (default "
+                         "20 * step size, the reference budget)")
     ap.add_argument("--rm-k", type=int, default=12,
                     help="rmhmc: subspace size — the k worst-mixing pilot "
                          "coordinates get the position-dependent metric")
@@ -89,6 +98,7 @@ def main():
 
     from nonstationary_multivariate_gaussian_process_tpu.data import sim
     from nonstationary_multivariate_gaussian_process_tpu.inference import (
+        chees,
         diagnostics,
         drhmc,
         hmc,
@@ -285,6 +295,44 @@ def main():
         results["drhmc"] = score("drhmc", run_drhmc)
     if "rmhmc" in which:
         results["rmhmc"] = score("rmhmc", run_rmhmc)
+    if "chees" in which:
+        # brings its own lockstep chains — scored with the same pooled
+        # rank-normalized estimator as the --chains tier
+        kc = args.chees_chains
+        t0 = time.time()
+        r = chees.chees_sample(
+            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
+            n_chains=kc, step_size=args.step_size,
+            n_warmup=args.warmup, max_leapfrog=args.chees_max_leapfrog,
+            trajectory_length=args.chees_traj,
+            chain_jitter=args.chain_jitter,
+            inv_mass=(1.0 / mass) if mass is not None else None,
+            adapt_mass=mass is None,
+        )
+        jax.block_until_ready(r.samples)
+        wall = time.time() - t0
+        s = np.asarray(r.samples)  # (K, S, P)
+        k_, s_, p_ = s.shape
+        if w is not None:
+            s = np.asarray(
+                w.from_white_batch(s.reshape(k_ * s_, p_))
+            ).reshape(k_, s_, p_)
+        cols = range(0, p_, 7)
+        ess = min(diagnostics.ess_multichain(s[:, :, j]) for j in cols)
+        grads = int(kc * np.sum(np.asarray(r.n_leapfrog) + 1))
+        results["chees"] = {
+            "min_ess": round(float(ess), 1),
+            "ess_per_sec": round(float(ess) / wall, 3),
+            "ess_per_kgrad": round(1000.0 * float(ess) / grads, 3),
+            "wall_s": round(wall, 2),
+            "grad_evals": grads,
+            "chains": kc,
+            "max_rhat": round(float(np.max(diagnostics.rhat(s))), 3),
+            "trajectory_length": round(float(r.trajectory_length), 5),
+            "tuned_step_size": round(float(r.step_size), 6),
+            "mean_leapfrog": round(float(np.mean(np.asarray(r.n_leapfrog))), 1),
+        }
+        log(f"chees: {results['chees']}")
     if "nuts" in which:
         results["nuts"] = score("nuts", run_nuts)
     if "nuts" in results and "hmc" in results:

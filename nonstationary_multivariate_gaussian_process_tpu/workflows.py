@@ -76,6 +76,10 @@ class PipelineConfig:
     #                        | "rmhmc" (SoftAbs RMHMC-within-Gibbs: a
     #                        position-dependent metric on the rm_k worst-
     #                        mixing pilot coordinates, inference/rmhmc.py)
+    #                        | "chees" (n_chains lockstep chains with cross-
+    #                        chain adaptive trajectory lengths — the many-
+    #                        chain TPU posture, inference/chees.py; pooled
+    #                        min-ESS/max-R̂ land in result["sampling"])
     dr_stages: int = 3  # drhmc proposal stages (1 = plain HMC)
     dr_reduction: float = 4.0  # drhmc per-stage step-size reduction
     rm_k: int = 12  # rmhmc subspace size (worst-mixing pilot coordinates)
@@ -180,10 +184,15 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         )
         accept = float(np.mean(np.asarray(chain.accept_prob)[n_warm:]))
         return np.asarray(chain.samples), accept
+    if cfg.sampler == "chees":
+        # many-chain tier (whitening was already peeled off above); the
+        # pooled diagnostics are recomputed by callers that surface them
+        samples, accept, _ = _run_chain_chees(nlp, map_vec, cfg, key)
+        return samples, accept
     if cfg.sampler != "hmc":
         raise ValueError(
             f"unknown sampler {cfg.sampler!r} "
-            "(want 'hmc', 'nuts', 'drhmc' or 'rmhmc')"
+            "(want 'hmc', 'nuts', 'drhmc', 'rmhmc' or 'chees')"
         )
     mass = None
     if cfg.hmc_mass == "pilot":
@@ -201,6 +210,53 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         adapt_mass=(cfg.hmc_mass == "window"),
     )
     return np.asarray(chain.samples), float(np.mean(np.asarray(chain.accept_prob)))
+
+
+def _run_chain_chees(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
+    """ChEES-HMC sampling stage (``cfg.sampler == "chees"``).
+
+    Runs ``max(2, cfg.n_chains)`` lockstep chains with cross-chain adaptive
+    trajectory lengths (inference/chees.py) — chain 0 starts at the MAP, the
+    rest jittered (the fleet multichain convention).  Returns
+    ``(samples, accept, sampling)`` where ``samples`` is the pooled
+    ``(K * n_hmc, P)`` draw matrix in the natural space (chain-major, so
+    downstream chain-sample prediction consumes it unchanged) and
+    ``sampling`` carries the honest pooled diagnostics — rank-normalized
+    cross-chain min-ESS and max split-R̂ computed on natural-space
+    coordinates — plus the tuned step size and trajectory length.
+    """
+    from .inference import chees as chees_mod
+    from .inference import diagnostics as diag_mod
+
+    pot = nlp if whitener is None else whitener.wrap(nlp)
+    q0 = map_vec if whitener is None else whitener.to_white(map_vec)
+    n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+    r = chees_mod.chees_sample(
+        pot, q0, cfg.n_hmc, key,
+        n_chains=max(2, cfg.n_chains),
+        step_size=cfg.hmc_step_size,
+        n_warmup=n_warm,
+    )
+    k, s, p = r.samples.shape
+    flat = np.asarray(r.samples.reshape(k * s, p))
+    if whitener is not None:
+        flat = np.asarray(whitener.from_white_batch(flat))
+    nat = flat.reshape(k, s, p)
+    cols = range(0, p, 7)  # the sampler-bench column subsample convention
+    min_ess = float(min(diag_mod.ess_multichain(nat[:, :, j]) for j in cols))
+    max_rhat = float(np.max(diag_mod.rhat(nat)))
+    accept = float(np.mean(np.asarray(r.accept_prob)[n_warm:]))
+    sampling = {
+        "sampler": "chees",
+        "chains": int(k),
+        "min_ess": min_ess,
+        "max_rhat": max_rhat,
+        "accept": accept,
+        "step_size": float(r.step_size),
+        "trajectory_length": float(r.trajectory_length),
+        "mean_leapfrog": float(np.mean(np.asarray(r.n_leapfrog))),
+    }
+    return flat, accept, sampling
 
 
 def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
@@ -424,7 +480,13 @@ def run_subject(
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
         whitener = _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
-        samples, accept = _run_chain(nlp, map_vec, cfg, key, whitener=whitener)
+        if cfg.sampler == "chees":
+            samples, accept, sampling = _run_chain_chees(
+                nlp, map_vec, cfg, key, whitener=whitener
+            )
+            result["sampling"] = sampling
+        else:
+            samples, accept = _run_chain(nlp, map_vec, cfg, key, whitener=whitener)
         result["timings"]["hmc"] = time.time() - t0
         result["hmc_samples"] = samples
         result["hmc_accept"] = accept

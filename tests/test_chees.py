@@ -1,0 +1,153 @@
+"""ChEES-HMC (inference/chees.py).
+
+The many-chain cross-chain-adaptation tier — the TPU-native posture for the
+measured N=200 sampling wall (one chain is latency-bound; K lockstep chains
+fill the MXU and the ChEES criterion *requires* them).  Pinned here:
+
+(a) exactness on a correlated, badly scaled Gaussian — lockstep leapfrog +
+    per-chain MH must preserve the target, and the pooled cross-chain
+    metric must recover the marginal variances;
+(b) trajectory-length adaptation actually moves — the tuned T leaves the
+    (deliberately tiny) warm start and the shared leapfrog counts follow
+    the Halton jitter;
+(c) contracts — shapes, determinism under a fixed key, (K, P) explicit
+    starts, validation errors;
+(d) workflow routing — ``PipelineConfig(sampler="chees")`` runs the tier
+    end-to-end and surfaces pooled diagnostics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.inference import (
+    chees,
+    diagnostics,
+)
+
+
+def _gauss_potential(rng, d, cond=8.0):
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T / d + np.eye(d)
+    scales = np.linspace(1.0, cond, d)
+    cov = np.diag(scales) @ cov @ np.diag(scales)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def potential(q):
+        return 0.5 * q @ prec @ q
+
+    return potential, cov
+
+
+def test_gaussian_exactness_and_metric(rng):
+    potential, cov = _gauss_potential(rng, 5)
+    r = chees.chees_sample(
+        potential, jnp.zeros(5), 1500, jax.random.PRNGKey(0),
+        n_chains=16, step_size=0.5, n_warmup=800,
+    )
+    s = np.asarray(r.samples)  # (16, 1500, 5)
+    assert s.shape == (16, 1500, 5)
+    flat = s.reshape(-1, 5)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.35)
+    np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.35, atol=0.5)
+    # pooled chains must agree (split-Rhat) and mix
+    assert float(np.max(diagnostics.rhat(s))) < 1.05
+    ess = min(diagnostics.ess_multichain(s[:, :, j]) for j in range(5))
+    assert ess > 1000.0
+    # the pooled warmup metric should recover the marginal variances
+    np.testing.assert_allclose(
+        np.asarray(r.inv_mass), np.diag(cov), rtol=0.5
+    )
+
+
+def test_trajectory_adaptation_moves(rng):
+    potential, _ = _gauss_potential(rng, 4)
+    eps = 0.4
+    r = chees.chees_sample(
+        potential, jnp.zeros(4), 200, jax.random.PRNGKey(1),
+        n_chains=8, step_size=eps, trajectory_length=1.5 * eps,
+        n_warmup=600, max_leapfrog=128,
+    )
+    # warm start is ~1.5 steps; a correlated 4-d Gaussian needs more
+    assert float(r.trajectory_length) > 3.0 * eps
+    n_steps = np.asarray(r.n_leapfrog)
+    assert n_steps.min() >= 1 and n_steps.max() <= 128
+    assert len(np.unique(n_steps)) > 3  # Halton jitter stratifies lengths
+
+
+def test_contracts_and_determinism(rng):
+    potential, _ = _gauss_potential(rng, 3)
+    kw = dict(n_chains=4, step_size=0.4, n_warmup=50)
+    r1 = chees.chees_sample(
+        potential, jnp.zeros(3), 40, jax.random.PRNGKey(2), **kw
+    )
+    r2 = chees.chees_sample(
+        potential, jnp.zeros(3), 40, jax.random.PRNGKey(2), **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.samples), np.asarray(r2.samples)
+    )
+    assert r1.samples.shape == (4, 40, 3)
+    assert r1.accept_prob.shape == (90, 4)
+    assert r1.n_leapfrog.shape == (90,)
+    assert r1.potentials.shape == (4, 40)
+    # explicit (K, P) starts override n_chains
+    q0 = jnp.zeros((6, 3))
+    r3 = chees.chees_sample(
+        potential, q0, 10, jax.random.PRNGKey(3), step_size=0.4, n_warmup=20
+    )
+    assert r3.samples.shape == (6, 10, 3)
+
+    with pytest.raises(ValueError, match="2 chains"):
+        chees.chees_sample(
+            potential, jnp.zeros(3), 10, jax.random.PRNGKey(0), n_chains=1
+        )
+    with pytest.raises(ValueError, match="n_samples"):
+        chees.chees_sample(
+            potential, jnp.zeros(3), 0, jax.random.PRNGKey(0)
+        )
+    with pytest.raises(ValueError, match="inv_mass"):
+        chees.chees_sample(
+            potential, jnp.zeros(3), 10, jax.random.PRNGKey(0),
+            inv_mass=jnp.ones(5),
+        )
+    with pytest.raises(ValueError, match="q0"):
+        chees.chees_sample(
+            potential, jnp.zeros((2, 2, 2)), 10, jax.random.PRNGKey(0)
+        )
+
+
+def test_fixed_mass_respected(rng):
+    potential, cov = _gauss_potential(rng, 3)
+    inv_mass = jnp.asarray(np.diag(cov))
+    r = chees.chees_sample(
+        potential, jnp.zeros(3), 100, jax.random.PRNGKey(4),
+        n_chains=4, step_size=0.3, n_warmup=100, inv_mass=inv_mass,
+    )
+    # a supplied metric is frozen — adaptation must not touch it
+    np.testing.assert_array_equal(np.asarray(r.inv_mass), np.asarray(inv_mass))
+
+
+def test_workflow_sampler_routing(tmp_path):
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=12)
+    cfg = workflows.PipelineConfig(
+        model="gnmgp",
+        n_opt=30,
+        do_hmc=True,
+        sampler="chees",
+        n_chains=4,
+        n_hmc=20,
+        hmc_warmup=20,
+        whiten=True,
+    )
+    res = workflows.run_subject(d.x, d.y, cfg)
+    # pooled chain-major draws: 4 chains x 20 draws
+    assert res["hmc_samples"].shape[0] == 80
+    s = res["sampling"]
+    assert s["sampler"] == "chees" and s["chains"] == 4
+    assert np.isfinite(s["min_ess"]) and np.isfinite(s["max_rhat"])
+    assert s["trajectory_length"] > 0 and s["mean_leapfrog"] >= 1
