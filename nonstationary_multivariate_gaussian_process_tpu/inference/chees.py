@@ -205,7 +205,13 @@ def _run(
         adam_v = jnp.where(in_warmup, v_new, adam_v)
 
         # --- dual averaging on the harmonic-mean cross-chain accept ---
-        hm_accept = n_chains / jnp.sum(1.0 / (accept_prob + 1e-12))
+        # guards: a NaN accept (NaN potential at a degenerate start) counts
+        # as 0, and the mean is clipped into [0, 1] so one pathological
+        # chain can shrink eps but never NaN the adaptation state
+        acc_safe = jnp.where(jnp.isnan(accept_prob), 0.0, accept_prob)
+        hm_accept = jnp.clip(
+            n_chains / jnp.sum(1.0 / (acc_safe + 1e-6)), 0.0, 1.0
+        )
         eta = 1.0 / (m_i + t0)
         h_bar_new = (1 - eta) * h_bar + eta * (target_accept - hm_accept)
         log_eps_new = mu - jnp.sqrt(m_i) / gamma * h_bar_new
@@ -219,22 +225,30 @@ def _run(
 
         # --- pooled diagonal metric (warmup only) ---
         if adapt_mass:
-            w_count, w_mean, w_m2 = wf
-            cnt = w_count + n_chains
-            delta = q_out - w_mean[None, :]
-            mean_new = w_mean + jnp.sum(delta, axis=0) / cnt
-            w_m2_new = w_m2 + jnp.sum(delta * (q_out - mean_new[None, :]), axis=0)
+            # per-chain Welford, averaged across chains: the WITHIN-chain
+            # variance.  Total pooled variance would add the between-chain
+            # spread of the centers — before chains meet, that estimate is
+            # inflated by orders of magnitude and the resulting huge metric
+            # destabilizes the dynamics into a step-size collapse (measured
+            # on the GNMGP posterior: eps -> 1e-6, R-hat ~5e4).  The
+            # within-chain average is exactly what agreeing chains pool and
+            # what disagreeing chains cannot poison.
+            w_count, w_mean, w_m2 = wf  # scalar, (K, P), (K, P)
+            cnt = w_count + 1.0
+            delta = q_out - w_mean
+            mean_new = w_mean + delta / cnt
+            w_m2_new = w_m2 + delta * (q_out - mean_new)
             wf = (
                 jnp.where(in_warmup, cnt, w_count),
                 jnp.where(in_warmup, mean_new, w_mean),
                 jnp.where(in_warmup, w_m2_new, w_m2),
             )
-            # regularized variance -> inverse metric, live during warmup
-            # only after enough pooled draws to be better than identity
-            var = w_m2_new / jnp.maximum(cnt - 1.0, 1.0)
-            cnt_f = cnt
-            var = (cnt_f / (cnt_f + 5.0)) * var + (5.0 / (cnt_f + 5.0)) * 1e-3
-            ready = in_warmup & (cnt >= 20.0 * n_chains)
+            var = jnp.mean(w_m2_new, axis=0) / jnp.maximum(cnt - 1.0, 1.0)
+            # Stan-style shrink, toward the identity (the natural prior in
+            # a whitened space) rather than Stan's 1e-3
+            pooled = cnt * n_chains
+            var = (pooled / (pooled + 5.0)) * var + (5.0 / (pooled + 5.0))
+            ready = in_warmup & (cnt >= 20.0)
             m_inv = jnp.where(ready, var, m_inv)
 
         return (
@@ -249,9 +263,16 @@ def _run(
     da0 = (jnp.log(step_size0) + zero, jnp.log(step_size0) + zero, zero)
     wf0 = (
         zero,
-        jnp.zeros((dim,), dtype) + zero,
-        jnp.zeros((dim,), dtype) + zero,
+        jnp.zeros((n_chains, dim), dtype) + zero,
+        jnp.zeros((n_chains, dim), dtype) + zero,
     )
+    # sanitize starts: a chain whose initial potential is non-finite (an
+    # overdispersed jitter can overflow an f32 likelihood) would never
+    # accept, pin the shared cross-chain accept statistic at zero, and
+    # death-spiral eps for every chain — pull such chains back to chain 0's
+    # start instead (measured on GNMGP N=200: eps -> 0, R-hat ~1e149)
+    u0 = jax.vmap(potential_fn)(q0)
+    q0 = jnp.where(jnp.isfinite(u0)[:, None], q0, q0[0:1])
     u0, g0 = val_grad_u(q0)
     init = (
         q0, u0, g0, da0,

@@ -52,8 +52,17 @@ call is the cotangent contraction ``∂q tr(C·H(q))`` with ``C`` frozen
 The truncated fixed point's residual non-reversibility is measured in
 tests/test_rmhmc.py (round-trip error at working step sizes ≪ MH noise).
 
-Measured (benchmarks/sampler_bench.py --samplers rmhmc): see the test file
-and ROADMAP for the funnel validation and the GNMGP N=200 verdict.
+Measured (benchmarks/sampler_bench.py --samplers rmhmc): the funnel
+validation and Gaussian/Gibbs exactness run on CPU (tests/test_rmhmc.py).
+**On the TPU the Gibbs tier cannot run at model scale**: at N=200 the
+compiled chain (third-order AD through the GNMGP potential inside the
+scan) reproducibly trips a device fault on the current runtime — at
+k=12/fp=6 and at the reduced k=8/fp=4/leapfrog=4 alike — the same failure
+class as the monolithic f64 HMC scan (CLAUDE.md).  The N=200 wall verdict
+therefore falls to the many-chain tier (inference/chees.py), which attacks
+the same budget with K lockstep chains instead of a costlier single chain;
+RMHMC remains the CPU-tier escalation for posteriors whose necks DRHMC
+cannot thread.
 """
 
 from __future__ import annotations

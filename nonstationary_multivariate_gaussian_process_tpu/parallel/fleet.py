@@ -593,6 +593,108 @@ def drhmc_fleet(
     return samples[:s_real], stages[:s_real]
 
 
+def chees_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,  # (S, P) warm starts
+    key,
+    n_samples: int = 100,
+    n_chains: int = 8,
+    step_size: float = 0.01,
+    n_warmup: int = 200,
+    max_leapfrog: int = 256,
+    chain_jitter: float = 0.5,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = False,
+    masks: jnp.ndarray | None = None,
+):
+    """ChEES-HMC chains for a fleet of subjects, sharded over the mesh.
+
+    The many-chain tier (inference/chees.py) per subject: each subject runs
+    ``n_chains`` lockstep chains whose trajectory length follows the
+    cross-chain ChEES criterion, vmapped across subjects and sharded across
+    devices — the device sees (subjects-per-device × chains)-row batches, a
+    deeper MXU fill than any single-chain fleet.  ``whiten=True`` samples
+    each subject's prior-whitened space via the fleet's batched prior
+    factors; ``masks`` (S, N) makes padded ragged subjects exact.  Chain 0
+    starts at the MAP, chains 1..C-1 at ``chain_jitter``-jittered inits
+    (sampled-space units, the multichain convention), so split-R̂ across the
+    returned chain axis detects non-mixing.
+
+    Returns ``(samples (S, C, T, P), accept (S,), trajectory_length (S,))``.
+    """
+    from ..inference import chees as chees_mod
+
+    _validate_fleet(model_name, xs, ys, map_vecs, masks)
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    wfns = (
+        _fleet_whiten_fns(model_name, np.asarray(xs).shape[1],
+                          np.asarray(ys).shape[-1], hp)
+        if whiten else None
+    )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
+
+    def chain_one(vec0, x, y, p1, p2, p3, k, mask):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+            vec0 = tw(vec0, p1, p2, p3)
+        else:
+            pot = lambda v: nlp(v, *args)
+        res = chees_mod.chees_sample(
+            pot, vec0, n_samples, k, n_chains=n_chains,
+            step_size=step_size, n_warmup=n_warmup,
+            max_leapfrog=max_leapfrog, chain_jitter=chain_jitter,
+        )
+        samples = res.samples  # (C, T, P)
+        if wfns is not None:
+            samples = jax.vmap(jax.vmap(lambda u: wfns[0](u, p1, p2, p3)))(samples)
+        accept = jnp.mean(res.accept_prob[n_warmup:])
+        return samples, accept, res.trajectory_length
+
+    def shard_fn(vec0, x, y, p1, p2, p3, k, mask):
+        return jax.vmap(chain_one)(vec0, x, y, p1, p2, p3, k, mask)
+
+    # check_vma=False for the same reason as nuts_fleet: the lockstep
+    # leapfrog while_loop mixes replicated literals into a subject-varying
+    # carry; chain_one is purely subject-local (no collectives)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        check_vma=False,
+    )
+    samples, accept, traj = jax.jit(sharded)(
+        map_vecs, xs, ys, pc1, pc2, pc3, keys, masks
+    )
+    return samples[:s_real], accept[:s_real], traj[:s_real]
+
+
 # ---------------------------------------------------------------------------
 # Hadamard-layout fleets (one observation per (input, task) pair).
 # ---------------------------------------------------------------------------

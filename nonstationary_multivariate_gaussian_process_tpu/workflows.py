@@ -1108,11 +1108,25 @@ def run_cohort(
                                  "only (pncp is single-subject)")
             sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            x_t, y_t, vec_t, mask_t = _tile_chains(
-                jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
-                cfg.n_chains, jax.random.fold_in(k_bucket, 1),
-            )
-            if sampler == "nuts":
+            if sampler != "chees":  # chees brings its own chains, untiled
+                x_t, y_t, vec_t, mask_t = _tile_chains(
+                    jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
+                    cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+                )
+            if sampler == "chees":
+                # the many-chain tier brings its own lockstep chains per
+                # subject — no unit tiling; (S, C, T, P) comes back direct
+                n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+                samples, _, _ = fleet_mod.chees_fleet(
+                    cfg.model, jnp.asarray(x), jnp.asarray(y), res.vecs,
+                    k_bucket, n_samples=cfg.n_hmc,
+                    n_chains=max(2, cfg.n_chains),
+                    step_size=cfg.hmc_step_size, n_warmup=n_warm,
+                    hyper=cfg.hyper, mesh=mesh, whiten=whiten_flag,
+                    masks=jnp.asarray(mask),
+                )
+                out["hmc"] = np.asarray(samples)
+            elif sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet(
                     cfg.model, x_t, y_t, vec_t,
@@ -1140,8 +1154,9 @@ def run_cohort(
                 )
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
-            c = max(1, cfg.n_chains)
-            out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+            if "hmc" not in out:  # chees writes (S, C, T, P) itself
+                c = max(1, cfg.n_chains)
+                out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
 
     per_subject = (

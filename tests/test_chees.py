@@ -129,6 +129,58 @@ def test_fixed_mass_respected(rng):
     np.testing.assert_array_equal(np.asarray(r.inv_mass), np.asarray(inv_mass))
 
 
+def test_chees_fleet_whitened():
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    S, n = 2, 12
+    ds = [sim.sim_mnts(k, n=n) for k in jax.random.split(jax.random.PRNGKey(0), S)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+    res = fleet.fit_fleet_map(
+        "gnmgp", xs, ys,
+        jnp.zeros((S, gnmgp.n_params(n, 2)), ys.dtype), n_iters=150, lr=0.1,
+    )
+    samples, accept, traj = fleet.chees_fleet(
+        "gnmgp", xs, ys, res.vecs, jax.random.PRNGKey(2),
+        n_samples=10, n_chains=4, n_warmup=30, step_size=1e-2,
+        max_leapfrog=32, whiten=True,
+    )
+    p = res.vecs.shape[1]
+    assert samples.shape == (S, 4, 10, p)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    a = np.asarray(accept)
+    assert a.shape == (S,) and np.all((a >= 0.0) & (a <= 1.0)), a
+    t = np.asarray(traj)
+    assert t.shape == (S,) and np.all(t > 0), t
+
+
+def test_cohort_chees_routing(tmp_path):
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    rng_keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    subjects = {}
+    for i, k in enumerate(rng_keys):
+        d = sim.sim_mnts(k, n=10 + 2 * i)
+        subjects[f"s{i}"] = (np.asarray(d.x), np.asarray(d.y))
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=30, do_hmc=True, n_hmc=8, hmc_warmup=16,
+        n_chains=2, cohort_sampler="config", sampler="chees", whiten=True,
+        do_evaluation=False,
+    )
+    out = workflows.run_cohort(subjects, cfg, n_buckets=1)
+    assert len(out["subjects"]) == 3
+    for sid, rec in out["subjects"].items():
+        # pooled chain-major draws: 2 chains x 8 draws
+        assert rec["hmc_samples"].shape[0] == 16
+        assert np.all(np.isfinite(rec["hmc_samples"]))
+        assert "sampling" in rec and np.isfinite(rec["sampling"]["max_rhat"])
+        assert rec["sampling"]["n_chains"] == 2
+
+
 def test_workflow_sampler_routing(tmp_path):
     from nonstationary_multivariate_gaussian_process_tpu import workflows
     from nonstationary_multivariate_gaussian_process_tpu.data import sim
