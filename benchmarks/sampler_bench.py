@@ -91,6 +91,12 @@ def main():
                          "one latency-bound chain leaves idle")
     ap.add_argument("--chain-jitter", type=float, default=0.5,
                     help="init jitter (sampled-space units) for chains > 0")
+    ap.add_argument("--descend-iters", type=int, default=300,
+                    help="Adam steps pulling each jittered start back into "
+                         "the typical set (0 = raw position jitter; raw "
+                         "jitter strands chains thousands of nats up and "
+                         "no 400-draw warmup recovers — see "
+                         "inference.init.multichain_starts)")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +108,7 @@ def main():
         diagnostics,
         drhmc,
         hmc,
+        init as init_mod,
         map as map_mod,
         nuts,
         rmhmc,
@@ -157,12 +164,21 @@ def main():
 
     n_chains = args.chains
 
-    def chain_starts(key):
-        """(K, P) inits: chain 0 at the MAP, the rest jittered."""
-        j = args.chain_jitter * jax.random.normal(
-            key, (n_chains, map_vec.shape[0]), map_vec.dtype
+    def chain_starts(key, k=None):
+        """(K, P) inits: chain 0 at the MAP, the rest jittered and (by
+        default) descended back into the typical set — raw jitter strands
+        chains thousands of nats up and defeats every warmup
+        (init.multichain_starts docstring has the measured numbers)."""
+        k = n_chains if k is None else k
+        starts = init_mod.multichain_starts(
+            nlp, map_vec, k, key,
+            jitter=args.chain_jitter, descent_iters=args.descend_iters,
         )
-        return map_vec[None] + j.at[0].set(0.0)
+        u = np.asarray(jax.vmap(nlp)(starts))
+        log(f"chain starts: u range [{u.min():.1f}, {u.max():.1f}] "
+            f"(map {float(nlp(map_vec)):.1f}, jitter {args.chain_jitter}, "
+            f"descent {args.descend_iters})")
+        return starts
 
     def score(name, run):
         """``run(q0, key) -> (samples, grads)``; vmapped when --chains > 1.
@@ -171,12 +187,13 @@ def main():
         one chain) so numbers stay comparable across rounds; the many-chain
         tier scores rank-normalized pooled ESS + max split-R-hat.
         """
+        if n_chains > 1:
+            starts = chain_starts(jax.random.PRNGKey(7))
         t0 = time.time()
         if n_chains == 1:
             samples, grads = run(map_vec, jax.random.PRNGKey(1))
             samples = samples[None]
         else:
-            starts = chain_starts(jax.random.PRNGKey(7))
             keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
             samples, grads = jax.vmap(run)(starts, keys)  # (K, S, P)
         jax.block_until_ready(samples)
@@ -299,13 +316,13 @@ def main():
         # brings its own lockstep chains — scored with the same pooled
         # rank-normalized estimator as the --chains tier
         kc = args.chees_chains
+        starts = chain_starts(jax.random.PRNGKey(7), kc)
         t0 = time.time()
         r = chees.chees_sample(
-            nlp, map_vec, args.draws, jax.random.PRNGKey(1),
-            n_chains=kc, step_size=args.step_size,
+            nlp, starts, args.draws, jax.random.PRNGKey(1),
+            step_size=args.step_size,
             n_warmup=args.warmup, max_leapfrog=args.chees_max_leapfrog,
             trajectory_length=args.chees_traj,
-            chain_jitter=args.chain_jitter,
             inv_mass=(1.0 / mass) if mass is not None else None,
             adapt_mass=mass is None,
         )

@@ -267,12 +267,22 @@ def _run(
         jnp.zeros((n_chains, dim), dtype) + zero,
     )
     # sanitize starts: a chain whose initial potential is non-finite (an
-    # overdispersed jitter can overflow an f32 likelihood) would never
-    # accept, pin the shared cross-chain accept statistic at zero, and
-    # death-spiral eps for every chain — pull such chains back to chain 0's
-    # start instead (measured on GNMGP N=200: eps -> 0, R-hat ~1e149)
+    # overdispersed jitter can overflow an f32 likelihood) — or stranded so
+    # far above the typical set that no shared step size ever accepts its
+    # moves (measured on GNMGP N=200: +9k nats at 0.5-std jitter) — would
+    # pin the shared cross-chain accept statistic at zero and death-spiral
+    # eps for every chain — pull such chains back to chain 0's start
+    # instead (measured collapse signature: eps -> 1e-6, R-hat ~1e149).
+    # Threshold: 10·dim nats above the best chain — a chi-square typical
+    # set is O(sqrt(dim)) nats wide and a descended start lands within a
+    # few hundred, so 10·dim only fires on genuinely stranded chains.
+    # Use init.multichain_starts (jitter + short descent) to build starts
+    # that keep their dispersion *inside* the feasible set.
     u0 = jax.vmap(potential_fn)(q0)
-    q0 = jnp.where(jnp.isfinite(u0)[:, None], q0, q0[0:1])
+    ok0 = jnp.isfinite(u0) & (
+        u0 <= jnp.min(jnp.where(jnp.isfinite(u0), u0, jnp.inf)) + 10 * dim
+    )
+    q0 = jnp.where(ok0[:, None], q0, q0[0:1])
     u0, g0 = val_grad_u(q0)
     init = (
         q0, u0, g0, da0,

@@ -157,3 +157,97 @@ def gnmgp_random(key, n: int, m: int) -> jnp.ndarray:
     ul_vecs = jax.random.normal(k1, (n * t,), dtype=settings.dtype)
     ts2 = jnp.log(jax.random.uniform(k2, (), dtype=settings.dtype))
     return jnp.concatenate([-4.0 * jnp.ones((n,), settings.dtype), ul_vecs, ts2[None]])
+
+
+# -- Multichain start construction -------------------------------------------
+
+
+def adam_descent(potential_fn, q0, n_iters: int, *, lr: float = 1e-1):
+    """``n_iters`` guarded Adam steps on ``potential_fn`` from ``q0``.
+
+    Non-finite values/gradients skip the update (the fit_map guard idiom).
+    Traceable — safe under ``vmap``/``shard_map`` for batched descents.
+    """
+    import jax
+    import optax
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(potential_fn)
+
+    def step(carry, _):
+        q, s = carry
+        val, g = grad_fn(q)
+        ok = jnp.all(jnp.isfinite(g)) & jnp.isfinite(val)
+        g = jnp.where(ok, g, jnp.zeros_like(g))
+        up, s_new = opt.update(g, s, q)
+        q_new = jnp.where(ok, optax.apply_updates(q, up), q)
+        s_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            s_new,
+            s,
+        )
+        return (q_new, s_new), None
+
+    (qf, _), _ = jax.lax.scan(step, (q0, opt.init(q0)), None, length=n_iters)
+    return qf
+
+
+def multichain_starts(
+    potential_fn,
+    center,
+    n_chains: int,
+    key,
+    *,
+    jitter: float = 0.1,
+    descent_iters: int = 300,
+    lr: float = 1e-1,
+    include_center: bool = True,
+):
+    """Overdispersed-but-feasible multichain inits: jitter, then descend.
+
+    Raw position jitter is the classic multichain init (chain 0 at the MAP,
+    the rest at ``center + jitter * N(0, I)``), but on a sharp
+    high-dimensional posterior it strands chains far above the typical set:
+    measured on the whitened GNMGP at N=200 (P=801), a 0.1-std jitter sits
+    +2-3k nats above the mode with gradient norms of ~5e3, a 400-draw
+    warmup cannot relax it (split-R-hat ~1e5), and ChEES-style *shared*
+    adaptation death-spirals (the stranded chain pins the cross-chain
+    accept statistic at zero; eps -> 1e-6).  The reference sidesteps the
+    question by never running multiple chains at all
+    (``Nonseparable_model.py:228-231`` — one chain, one start).
+
+    The fix: each jittered start runs a short vmapped Adam descent of the
+    potential, so every chain *enters the typical set* before sampling
+    while keeping a distinct position (and basin, if there are several).
+    On the TPU the K descents batch into one program — K-row matmuls on
+    the MXU — so this costs about one chain's descent in wall clock.
+
+    Returns ``(n_chains, P)`` starts; chain 0 is ``center`` itself when
+    ``include_center`` (the multichain convention).  Non-finite descents
+    fall back to ``center``.
+    """
+    import jax
+    import optax
+
+    center = jnp.asarray(center)
+    if center.ndim != 1:
+        raise ValueError(f"center must be (P,), got {center.shape}")
+    k_init, _ = jax.random.split(jnp.asarray(key))
+    noise = jitter * jax.random.normal(
+        k_init, (n_chains,) + center.shape, center.dtype
+    )
+    if include_center:
+        noise = noise.at[0].set(0.0)
+    starts = center[None] + noise
+    if descent_iters <= 0:
+        return starts
+
+    out = jax.jit(jax.vmap(
+        lambda q: adam_descent(potential_fn, q, descent_iters, lr=lr)
+    ))(starts)
+    if include_center:
+        out = out.at[0].set(center)
+    u = jax.vmap(potential_fn)(out)
+    return jnp.where(jnp.isfinite(u)[:, None], out, center[None])

@@ -609,6 +609,7 @@ def chees_fleet(
     mesh: Mesh | None = None,
     whiten: bool = False,
     masks: jnp.ndarray | None = None,
+    descend_iters: int = 300,
 ):
     """ChEES-HMC chains for a fleet of subjects, sharded over the mesh.
 
@@ -620,12 +621,16 @@ def chees_fleet(
     each subject's prior-whitened space via the fleet's batched prior
     factors; ``masks`` (S, N) makes padded ragged subjects exact.  Chain 0
     starts at the MAP, chains 1..C-1 at ``chain_jitter``-jittered inits
-    (sampled-space units, the multichain convention), so split-R̂ across the
+    pulled back into the typical set by ``descend_iters`` guarded Adam
+    steps (``inference.init.multichain_starts`` — raw position jitter
+    strands chains thousands of nats up and death-spirals the shared
+    adaptation; measured numbers in that docstring), so split-R̂ across the
     returned chain axis detects non-mixing.
 
     Returns ``(samples (S, C, T, P), accept (S,), trajectory_length (S,))``.
     """
     from ..inference import chees as chees_mod
+    from ..inference import init as init_mod
 
     _validate_fleet(model_name, xs, ys, map_vecs, masks)
     model = _MODELS[model_name]
@@ -665,10 +670,15 @@ def chees_fleet(
             vec0 = tw(vec0, p1, p2, p3)
         else:
             pot = lambda v: nlp(v, *args)
+        k_start, k_run = jax.random.split(k)
+        starts = init_mod.multichain_starts(
+            pot, vec0, n_chains, k_start,
+            jitter=chain_jitter, descent_iters=descend_iters,
+        )
         res = chees_mod.chees_sample(
-            pot, vec0, n_samples, k, n_chains=n_chains,
+            pot, starts, n_samples, k_run,
             step_size=step_size, n_warmup=n_warmup,
-            max_leapfrog=max_leapfrog, chain_jitter=chain_jitter,
+            max_leapfrog=max_leapfrog,
         )
         samples = res.samples  # (C, T, P)
         if wfns is not None:
@@ -693,6 +703,104 @@ def chees_fleet(
         map_vecs, xs, ys, pc1, pc2, pc3, keys, masks
     )
     return samples[:s_real], accept[:s_real], traj[:s_real]
+
+
+def descend_starts(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    vecs: jnp.ndarray,  # (U, P) starts, one per unit
+    *,
+    hyper: dict | None = None,
+    masks: jnp.ndarray | None = None,
+    iters: int = 300,
+    lr: float = 1e-1,
+    keep: jnp.ndarray | None = None,
+):
+    """Pull jittered multichain starts back into the typical set, batched.
+
+    Runs ``iters`` guarded Adam steps of each unit's posterior potential
+    (natural space — the typical set is parameterization-independent) on
+    every row of ``vecs``, vmapped so the whole fleet descends as one
+    program.  ``keep`` (U,) bool marks units to leave untouched (the
+    chain-0-at-the-MAP convention).  Units whose descended potential is
+    non-finite also keep their original start.
+
+    Why: raw position jitter strands chains thousands of nats above a sharp
+    posterior's typical set, no realistic warmup relaxes them, and shared
+    (ChEES) adaptation death-spirals — measured numbers in
+    ``inference.init.multichain_starts``.
+    """
+    from ..inference import init as init_mod
+
+    _validate_fleet(model_name, xs, ys, vecs, masks)
+    hp = {**_MODELS[model_name].DEFAULT_HYPERS, **(hyper or {})}
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    vecs = jnp.asarray(vecs, settings.dtype)
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
+    masked = masks is not None
+    nlp = _subject_nlp(model_name, hp, masked=masked)
+    if masked:
+        masks = jnp.asarray(masks, bool)
+    else:
+        masks = jnp.ones(xs.shape[:2], bool)
+
+    def one(v, x, y, p1, p2, p3, m):
+        args = (x, y, p1, p2, p3) + ((m,) if masked else ())
+        pot = lambda u: nlp(u, *args)
+        vf = init_mod.adam_descent(pot, v, iters, lr=lr)
+        return jnp.where(jnp.isfinite(pot(vf)), vf, v)
+
+    out = jax.jit(jax.vmap(one))(vecs, xs, ys, pc1, pc2, pc3, masks)
+    if keep is not None:
+        out = jnp.where(jnp.asarray(keep, bool)[:, None], vecs, out)
+    return out
+
+
+def descend_starts_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,
+    indxs: jnp.ndarray,
+    ys: jnp.ndarray,
+    m: int,
+    vecs: jnp.ndarray,
+    *,
+    hyper: dict | None = None,
+    masks: jnp.ndarray | None = None,
+    iters: int = 300,
+    lr: float = 1e-1,
+    keep: jnp.ndarray | None = None,
+):
+    """:func:`descend_starts` for the Hadamard (input, task)-pair layout."""
+    from ..inference import init as init_mod
+
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    vecs = jnp.asarray(vecs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+    if masks is None:
+        masks = jnp.ones(xs.shape, bool)
+    else:
+        masks = jnp.asarray(masks, bool)
+
+    def one(v, x, ix, y, p1, p2, mk):
+        pot = lambda u: nlp(u, x, ix, y, p1, p2, mk)
+        vf = init_mod.adam_descent(pot, v, iters, lr=lr)
+        return jnp.where(jnp.isfinite(pot(vf)), vf, v)
+
+    out = jax.jit(jax.vmap(one))(vecs, xs, indxs, ys, pc1, pc2, masks)
+    if keep is not None:
+        out = jnp.where(jnp.asarray(keep, bool)[:, None], vecs, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1155,6 +1263,7 @@ def hmc_fleet_multichain(
     masses=None,
     init_jitter: float = 0.05,
     whiten: bool = False,
+    descend_iters: int = 300,
 ):
     """Multi-chain fleet HMC with split-R̂-driven stopping.
 
@@ -1163,11 +1272,16 @@ def hmc_fleet_multichain(
     the per-subject split-R̂ (max over parameters) is computed on the host and
     sampling stops when every subject is below ``rhat_target`` (or at
     ``max_chunks``).  ``masses``: optional (S, P) diag or (S, P, P) dense
-    per-subject mass matrices (see :func:`pilot_mass_fleet`).
+    per-subject mass matrices (see :func:`pilot_mass_fleet`).  Jittered
+    starts are pulled back into the typical set by ``descend_iters``
+    guarded Adam steps on each unit's posterior (raw jitter strands chains
+    above the typical set and warmup never recovers —
+    ``inference.init.multichain_starts``); chain 0 stays at the MAP.
 
     Returns (samples (S, C, T, P), rhat (S,), n_chunks_used).
     """
     from ..inference import diagnostics
+    from ..inference import init as init_mod
 
     xs = jnp.asarray(xs, settings.dtype)
     ys = jnp.asarray(ys, settings.dtype)
@@ -1185,6 +1299,11 @@ def hmc_fleet_multichain(
         init_jitter * jax.random.normal(k_init, q.shape, q.dtype),
         0.0,
     )
+    if descend_iters > 0:
+        q = descend_starts(
+            model_name, xs_t, ys_t, q, hyper=hyper,
+            iters=descend_iters, keep=~jit_mask,
+        )
     masses_t = None if masses is None else jnp.repeat(
         jnp.asarray(masses, settings.dtype), n_chains, axis=0
     )

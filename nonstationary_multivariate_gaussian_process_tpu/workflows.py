@@ -227,13 +227,17 @@ def _run_chain_chees(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     """
     from .inference import chees as chees_mod
     from .inference import diagnostics as diag_mod
+    from .inference import init as init_mod
 
     pot = nlp if whitener is None else whitener.wrap(nlp)
     q0 = map_vec if whitener is None else whitener.to_white(map_vec)
     n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+    k_start, k_run = jax.random.split(key)
+    starts = init_mod.multichain_starts(
+        pot, q0, max(2, cfg.n_chains), k_start,
+    )
     r = chees_mod.chees_sample(
-        pot, q0, cfg.n_hmc, key,
-        n_chains=max(2, cfg.n_chains),
+        pot, starts, cfg.n_hmc, k_run,
         step_size=cfg.hmc_step_size,
         n_warmup=n_warm,
     )
@@ -304,12 +308,20 @@ def _cohort_sampling_posture(cfg: PipelineConfig):
                      "(want 'auto' or 'config')")
 
 
-def _tile_chains(x, y, vecs, mask, n_chains: int, key):
+def _tile_chains(x, y, vecs, mask, n_chains: int, key, *,
+                 model: str | None = None, hyper: dict | None = None,
+                 indx=None, m: int | None = None, descend_iters: int = 300):
     """Tile a bucket's subjects across ``n_chains`` jittered chains.
 
     Unit ``i*C + c`` is chain c of subject i; chain 0 starts at the MAP and
     the rest at jittered inits (the :func:`parallel.fleet.hmc_fleet_multichain`
-    recipe), so split-R̂ across chains detects non-mixing.
+    recipe), so split-R̂ across chains detects non-mixing.  When ``model``
+    is given, the jittered units are pulled back into the typical set with
+    ``descend_iters`` guarded Adam steps of their own posterior
+    (``parallel.fleet.descend_starts``; raw jitter strands chains above the
+    typical set and warmup never relaxes them — measured numbers in
+    ``inference.init.multichain_starts``).  ``indx``/``m`` select the
+    Hadamard layout.
     """
     c = max(1, n_chains)
     if c == 1:
@@ -322,6 +334,18 @@ def _tile_chains(x, y, vecs, mask, n_chains: int, key):
     q = q + jnp.where(
         jit_mask[:, None], 0.05 * jax.random.normal(key, q.shape, q.dtype), 0.0
     )
+    if model is not None and descend_iters > 0:
+        if indx is not None:
+            indx_t = jnp.repeat(indx, c, axis=0)
+            q = fleet_mod.descend_starts_hadamard(
+                model, x_t, indx_t, y_t, m, q, hyper=hyper, masks=mask_t,
+                iters=descend_iters, keep=~jit_mask,
+            )
+        else:
+            q = fleet_mod.descend_starts(
+                model, x_t, y_t, q, hyper=hyper, masks=mask_t,
+                iters=descend_iters, keep=~jit_mask,
+            )
     return x_t, y_t, q, mask_t
 
 
@@ -752,6 +776,8 @@ def run_cohort_hadamard(
             x_t, y_t, vec_t, mask_t = _tile_chains(
                 jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
                 cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+                model=cfg.model, hyper=cfg.hyper,
+                indx=jnp.asarray(indx), m=m,
             )
             c = max(1, cfg.n_chains)
             indx_t = jnp.repeat(jnp.asarray(indx), c, axis=0)
@@ -1112,6 +1138,7 @@ def run_cohort(
                 x_t, y_t, vec_t, mask_t = _tile_chains(
                     jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
                     cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+                    model=cfg.model, hyper=cfg.hyper,
                 )
             if sampler == "chees":
                 # the many-chain tier brings its own lockstep chains per

@@ -203,3 +203,77 @@ def test_workflow_sampler_routing(tmp_path):
     assert s["sampler"] == "chees" and s["chains"] == 4
     assert np.isfinite(s["min_ess"]) and np.isfinite(s["max_rhat"])
     assert s["trajectory_length"] > 0 and s["mean_leapfrog"] >= 1
+
+
+def test_stranded_start_pullback(rng):
+    """A chain stranded far above the typical set (10*dim nats over the best
+    chain) is pulled back to chain 0's start before sampling, so the shared
+    adaptation cannot death-spiral (the measured eps->1e-6 collapse)."""
+    potential, _ = _gauss_potential(rng, 4)
+    starts = jnp.stack([
+        jnp.zeros(4),
+        0.3 * jnp.ones(4),
+        1e3 * jnp.ones(4),  # potential ~1e6 nats: stranded
+    ])
+    r = chees.chees_sample(
+        potential, starts, 100, jax.random.PRNGKey(0),
+        step_size=0.3, n_warmup=200,
+    )
+    s = np.asarray(r.samples)
+    # the stranded chain sampled from the target, not from 1e3-land
+    assert np.abs(s[2]).max() < 100.0
+    assert float(r.step_size) > 1e-3  # adaptation survived
+
+
+def test_multichain_starts_descend(rng):
+    """Jittered starts descend into the typical set; chain 0 stays put."""
+    from nonstationary_multivariate_gaussian_process_tpu.inference import init
+
+    potential, _ = _gauss_potential(rng, 6)
+    center = jnp.zeros(6)
+    raw = init.multichain_starts(
+        potential, center, 5, jax.random.PRNGKey(3),
+        jitter=20.0, descent_iters=0,
+    )
+    desc = init.multichain_starts(
+        potential, center, 5, jax.random.PRNGKey(3),
+        jitter=20.0, descent_iters=400,
+    )
+    u_raw = np.asarray(jax.vmap(potential)(raw))
+    u_desc = np.asarray(jax.vmap(potential)(desc))
+    np.testing.assert_allclose(np.asarray(desc[0]), 0.0, atol=1e-12)
+    assert (u_desc[1:] < u_raw[1:] / 5.0).all()
+    # still distinct starts, not all collapsed onto the center
+    assert np.abs(np.asarray(desc[1:])).max() > 1e-3
+
+
+def test_fleet_descend_starts():
+    """descend_starts lowers every jittered unit's posterior; keep= rows and
+    non-finite descents are untouched."""
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+    from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=12)
+    x, y = jnp.asarray(d.x), jnp.asarray(d.y)
+    n, m = y.shape
+    p = gnmgp.n_params(n, m)
+    xs = jnp.stack([x, x, x])
+    ys = jnp.stack([y, y, y])
+    key = jax.random.PRNGKey(5)
+    vecs = jnp.stack([
+        jnp.zeros(p),
+        1.5 * jax.random.normal(key, (p,)),
+        2.5 * jax.random.normal(jax.random.fold_in(key, 1), (p,)),
+    ])
+    out = fleet.descend_starts(
+        "gnmgp", xs, ys, vecs, iters=150,
+        keep=jnp.array([True, False, False]),
+    )
+    nlp = gnmgp.make_objective(FullData(x, y))
+    u_before = np.asarray(jax.vmap(nlp)(vecs))
+    u_after = np.asarray(jax.vmap(nlp)(out))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(vecs[0]))
+    assert u_after[1] < u_before[1] / 100.0
+    assert u_after[2] < u_before[2] / 100.0
