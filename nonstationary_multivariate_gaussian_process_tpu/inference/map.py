@@ -27,7 +27,7 @@ import optax
 
 
 class MapResult(NamedTuple):
-    vec: jnp.ndarray  # final parameter vector
+    vec: jnp.ndarray  # best-seen parameter vector (lowest objective visited)
     target_hist: jnp.ndarray  # per-iteration log-posterior values (−objective)
     n_iters: int  # iterations actually run
     converged: bool
@@ -45,14 +45,25 @@ def _scale_by_vector(lr_vec):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4))
-def _run_chunk(objective, optimizer, vec, opt_state, n_steps: int):
-    """Scan ``n_steps`` Adam iterations; non-finite grads skip the update."""
+@partial(jax.jit, static_argnums=(0, 1, 6))
+def _run_chunk(objective, optimizer, vec, opt_state, best_vec, best_val,
+               n_steps: int):
+    """Scan ``n_steps`` Adam iterations; non-finite grads skip the update.
+
+    Carries the best-seen iterate: Adam at the reference's learning rates
+    descends fast and then *destabilizes* on these stiff posteriors
+    (measured on GNMGP N=200: 400 iters end at −3918 but 6000 iters end at
+    −1294 — the trajectory bounces out of the basin it found), so the
+    returned optimum must be the best visited point, never the last one.
+    """
 
     def step(carry, _):
-        v, s = carry
+        v, s, bv, bval = carry
         val, grad = jax.value_and_grad(objective)(v)
         ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
+        better = ok & (val < bval)
+        bv = jnp.where(better, v, bv)
+        bval = jnp.where(better, val, bval)
         grad = jnp.where(ok, grad, jnp.zeros_like(grad))
         updates, s_new = optimizer.update(grad, s, v)
         v_new = optax.apply_updates(v, updates)
@@ -64,10 +75,12 @@ def _run_chunk(objective, optimizer, vec, opt_state, n_steps: int):
             s_new,
             s,
         )
-        return (v_new, s_new), -val
+        return (v_new, s_new, bv, bval), -val
 
-    (vec, opt_state), targets = jax.lax.scan(step, (vec, opt_state), None, length=n_steps)
-    return vec, opt_state, targets
+    (vec, opt_state, best_vec, best_val), targets = jax.lax.scan(
+        step, (vec, opt_state, best_vec, best_val), None, length=n_steps
+    )
+    return vec, opt_state, best_vec, best_val, targets
 
 
 def fit_map(
@@ -96,25 +109,34 @@ def fit_map(
     )
     vec = init_vec
     opt_state = optimizer.init(vec)
+    best_vec = vec
+    best_val = jnp.asarray(jnp.inf, vec.dtype)
     hists = []
     prev_mean = None
     it = 0
     converged = False
     while it < n_iters:
         steps = min(chunk, n_iters - it)
-        vec, opt_state, targets = _run_chunk(objective, optimizer, vec, opt_state, steps)
+        vec, opt_state, best_vec, best_val, targets = _run_chunk(
+            objective, optimizer, vec, opt_state, best_vec, best_val, steps
+        )
         hists.append(targets)
         it += steps
         if checkpoint_fn is not None:
-            checkpoint_fn(vec, it)
+            checkpoint_fn(best_vec, it)
         if err_opt is not None:
             cur_mean = float(jnp.mean(targets))
             if prev_mean is not None and abs(cur_mean - prev_mean) < err_opt:
                 converged = True
                 break
             prev_mean = cur_mean
+    # the post-update final iterate is never scored inside the scan; give it
+    # one chance to beat the running best
+    final_val = objective(vec)
+    take_final = jnp.isfinite(final_val) & (final_val < best_val)
+    best_vec = jnp.where(take_final, vec, best_vec)
     return MapResult(
-        vec=vec,
+        vec=best_vec,
         target_hist=jnp.concatenate(hists) if hists else jnp.zeros((0,)),
         n_iters=it,
         converged=converged,

@@ -187,9 +187,14 @@ def fit_fleet_map(
         obj = lambda v: nlp(v, x, y, p1, p2, p3, mask)
 
         def step(carry, _):
-            v, s = carry
+            v, s, bv, bval = carry
             val, grad = jax.value_and_grad(obj)(v)
             ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
+            # best-seen iterate: Adam destabilizes late on stiff posteriors
+            # (inference/map._run_chunk), so the optimum is the best visited
+            better = ok & (val < bval)
+            bv = jnp.where(better, v, bv)
+            bval = jnp.where(better, val, bval)
             grad = jnp.where(ok, grad, jnp.zeros_like(grad))
             updates, s_new = optimizer.update(grad, s, v)
             v_new = optax.apply_updates(v, updates)
@@ -203,12 +208,18 @@ def fit_fleet_map(
                 s_new,
                 s,
             )
-            return (v_new, s_new), -val
+            return (v_new, s_new, bv, bval), -val
 
-        (v, _), hist = jax.lax.scan(
-            step, (vec0, optimizer.init(vec0)), None, length=n_iters
+        # tie the scalar carry to vec0 so it is subject-varying under
+        # shard_map (a replicated literal would change VMA across the scan)
+        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
+        (v, _, bv, bval), hist = jax.lax.scan(
+            step, (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
-        return v, obj(v), hist
+        v_fin = obj(v)
+        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
+        bv = jnp.where(take_final, v, bv)
+        return bv, jnp.where(take_final, v_fin, bval), hist
 
     def shard_fn(vec0, x, y, p1, p2, p3, mask):
         vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, p1, p2, p3, mask)
@@ -927,9 +938,13 @@ def fit_fleet_map_hadamard(
         obj = lambda v: nlp(v, x, indx, y, p1, p2, mask)
 
         def step(carry, _):
-            v, s = carry
+            v, s, bv, bval = carry
             val, grad = jax.value_and_grad(obj)(v)
             ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
+            # best-seen iterate (inference/map._run_chunk rationale)
+            better = ok & (val < bval)
+            bv = jnp.where(better, v, bv)
+            bval = jnp.where(better, val, bval)
             grad = jnp.where(ok, grad, jnp.zeros_like(grad))
             updates, s_new = optimizer.update(grad, s, v)
             v_new = optax.apply_updates(v, updates)
@@ -941,12 +956,18 @@ def fit_fleet_map_hadamard(
                 s_new,
                 s,
             )
-            return (v_new, s_new), -val
+            return (v_new, s_new, bv, bval), -val
 
-        (v, _), hist = jax.lax.scan(
-            step, (vec0, optimizer.init(vec0)), None, length=n_iters
+        # tie the scalar carry to vec0 so it is subject-varying under
+        # shard_map (a replicated literal would change VMA across the scan)
+        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
+        (v, _, bv, bval), hist = jax.lax.scan(
+            step, (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
-        return v, obj(v), hist
+        v_fin = obj(v)
+        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
+        bv = jnp.where(take_final, v, bv)
+        return bv, jnp.where(take_final, v_fin, bval), hist
 
     def shard_fn(vec0, x, indx, y, p1, p2, mask):
         vecs, finals, hists = jax.vmap(fit_one)(vec0, x, indx, y, p1, p2, mask)

@@ -151,13 +151,17 @@ class TestEndToEndSlice:
             "separable": init_mod.gnmgp_from_separable(snmgp_res.vec, n, m),
             "empirical": init_mod.gnmgp_from_empirical(emp, n, m),
         }
-        gname, gn_res, _ = map_mod.multi_start_map(gn_nlp, gn_inits, n_iters=100, lr=0.2)
+        # 400 iters: at 100-200 the half-converged separable start still wins
+        # the multi-start and its lengthscale process is uncorrelated with
+        # truth; by 400 the empirical start has converged past it (measured:
+        # corr 0.94, nlp -563 vs -507)
+        gname, gn_res, _ = map_mod.multi_start_map(gn_nlp, gn_inits, n_iters=400, lr=0.2)
         final = float(gn_nlp(gn_res.vec))
         assert np.isfinite(final)
         # the fitted lengthscale process should correlate with the truth
         est_tilde_l = np.asarray(gn_res.vec[:n])
         true_tilde_l = np.log(np.asarray(d.l))
-        assert np.corrcoef(est_tilde_l, true_tilde_l)[0, 1] > 0.0
+        assert np.corrcoef(est_tilde_l, true_tilde_l)[0, 1] > 0.5
 
 
 class TestHMC:
