@@ -1,0 +1,442 @@
+"""Adaptive tempered SMC: prior-to-posterior continuation, mass-parallel.
+
+This is the terminal escalation of the round-3 sampler study.  Every
+chain-based sampler measured on the GNMGP posterior at the reference scale
+(N=200) — HMC/NUTS/DRHMC x {prior, pncp} whitening x {identity,
+Hessian-diag} metrics, replica exchange, and K lockstep chains with
+cross-chain (ChEES) adaptation — stalls on the same obstruction: chains
+equilibrate at log-posterior levels thousands of nats apart and never
+reconcile (ROADMAP, "many-chain verdict").  The pathology is *between-basin
+/ level-set mixing*, which no amount of within-chain dynamics buys back.
+
+Tempered SMC attacks it structurally instead of dynamically:
+
+* a population of ``n_particles`` starts as exact draws from a tractable
+  reference ``pi_0`` (standard normal in the whitened space — the actual
+  prior for the latent-GP blocks, see ``inference/whiten.py``), and follows
+  the geometric path ``pi_b \\propto pi_0^{1-b} pi_1^b`` to the posterior;
+  basins are populated in proportion to their mass as they *form*, rather
+  than discovered by a chain after they have separated,
+* the inverse temperature schedule is adaptive: the next ``b`` is chosen by
+  bisection so the conditional ESS of the incremental importance weights
+  stays at ``target_cess * n_particles`` — steep stretches of the path get
+  automatically finer steps (Del Moral, Doucet & Jasra 2012; Zhou,
+  Johansen & Aston 2016 for the CESS criterion),
+* after systematic resampling, particles decorrelate through ``n_mutations``
+  batched-HMC steps targeting the *current* tempered density — and the
+  metric for those steps is estimated from the population itself (the
+  per-coordinate particle variance), information a single chain can never
+  have; the step size follows a Robbins-Monro drift toward a target accept
+  rate across stages,
+* everything is one XLA program: a ``lax.while_loop`` over stages whose body
+  does (reweight -> bisect -> resample -> mutate) on the full ``(N, P)``
+  particle block.  This is the TPU-native sampler shape: where one chain's
+  gradient is a latency-bound vector program that starves the MXU, the
+  particle population turns every leapfrog step into an ``(N, P)``-batched
+  matmul sweep at fleet-tier utilization.
+
+The normalizing-constant telescope comes for free: ``logz`` estimates
+``log \\int exp(-U(q)) dq`` (the model evidence, up to the whitener's
+constant Jacobian — ``Whitener.logdet()`` converts to the natural space),
+which upgrades model comparison from AIC/BIC/DIC (``evaluate.py``) to exact
+Bayes factors.  The reference has no counterpart for any of this; its
+sampler is a fixed-budget external HMC (``Nonseparable_model.py:228-231``).
+
+Scoring: SMC particles carry resampling ancestry, so chain-style ESS does
+not apply.  :func:`smc_ess_estimate` measures effective samples the honest
+way — R independent runs, ``N_eff = Var_pooled(f) / Var_runs(mean f)`` per
+slot — directly comparable to the chain tiers' rank-normalized pooled ESS.
+
+Measured (benchmarks/sampler_bench.py --samplers smc): see ROADMAP for the
+GNMGP N=200 verdict.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from .drhmc import _log1m_exp
+
+
+class SMCResult(NamedTuple):
+    particles: jnp.ndarray  # (N, P) unweighted particles at beta_final
+    logz: jnp.ndarray  # log integral of exp(-potential) (see module docstring)
+    n_stages: jnp.ndarray  # number of tempering stages used
+    beta_final: jnp.ndarray  # 1.0 when the path completed within max_stages
+    betas: jnp.ndarray  # (max_stages,) beta after each stage (padded with 1)
+    cess: jnp.ndarray  # (max_stages,) conditional-ESS fraction per stage
+    accept: jnp.ndarray  # (max_stages,) mean mutation accept prob per stage
+    step_sizes: jnp.ndarray  # (max_stages,) step size in effect per stage
+    potentials: jnp.ndarray  # (N,) potential at the final particles
+
+
+def _ess_fraction(log_w: jnp.ndarray) -> jnp.ndarray:
+    """ESS(w)/N = exp(2 lse(lw) - lse(2 lw)) / N for unnormalized log-weights."""
+    n = log_w.shape[0]
+    return jnp.exp(2.0 * logsumexp(log_w) - logsumexp(2.0 * log_w)) / n
+
+
+def _systematic_resample(key, log_w: jnp.ndarray) -> jnp.ndarray:
+    """Systematic resampling: one uniform, N stratified points, O(N log N)."""
+    n = log_w.shape[0]
+    w = jnp.exp(log_w - logsumexp(log_w))
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    idx = jnp.searchsorted(cum, pts)
+    return jnp.clip(idx, 0, n - 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn",
+        "n_mutations",
+        "n_leapfrog",
+        "max_stages",
+        "n_bisect",
+        "dr_reduction",
+    ),
+)
+def _run_smc(
+    potential_fn,
+    q0,  # (N, P) draws from the reference
+    key,
+    ref_mean,  # (P,)
+    ref_scale,  # (P,)
+    n_mutations: int,
+    n_leapfrog: int,
+    max_stages: int,
+    n_bisect: int,
+    dr_reduction: float,
+    target_cess,
+    target_accept,
+    step_size0,
+    adapt_rate,
+    min_beta_step,
+):
+    n, dim = q0.shape
+    dtype = q0.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+
+    def k_ref(q):  # reference potential (per particle)
+        z = (q - ref_mean) / ref_scale
+        return 0.5 * jnp.sum(z * z)
+
+    u_batch = jax.vmap(potential_fn)
+    k_batch = jax.vmap(k_ref)
+
+    def pot_b(q, b):
+        return (1.0 - b) * k_ref(q) + b * potential_fn(q)
+
+    val_grad_b = jax.vmap(jax.value_and_grad(pot_b), in_axes=(0, None))
+    grad_b = jax.vmap(jax.grad(pot_b), in_axes=(0, None))
+
+    u_b = jax.vmap(pot_b, in_axes=(0, None))
+    use_dr = dr_reduction > 0
+
+    def propose(qs, p, b, eps, m_inv):
+        """Leapfrog(eps, n_leapfrog) + flip on the (N, P) batch.
+
+        Fused leapfrog (one grad per step, hmc.py:99); shared step size,
+        diagonal metric ``m_inv`` = per-coordinate particle variance.
+        Returns proposal, flipped momentum, and per-particle total energy.
+        """
+        g = grad_b(qs, b)
+        p = p - 0.5 * eps * g
+        q = qs + eps * m_inv * p
+
+        def body(_, carry):
+            q, p = carry
+            p = p - eps * grad_b(q, b)
+            q = q + eps * m_inv * p
+            return (q, p)
+
+        q, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (q, p))
+        u, g = val_grad_b(q, b)
+        p = p - 0.5 * eps * g
+        h = u + 0.5 * jnp.sum(p * p * m_inv, axis=1)
+        return q, -p, h
+
+    def hmc_sweep(qs, b, eps, m_inv, k):
+        """One batched-HMC (or 2-stage delayed-rejection) step on all N
+        particles at temperature ``b``.
+
+        DR (``dr_reduction > 0``): rejected particles retry at
+        ``eps / dr_reduction`` with the Mira/Green involutive ratio
+        (inference/drhmc.py) — in a lockstep batch both stages always run
+        (3 trajectories per sweep), the usual batched trade.  This is what
+        lets the sweep serve funnel necks whose local step size sits far
+        below the population's adapted one.
+        """
+        k_mom, k_acc = jax.random.split(k)
+        p = jax.random.normal(k_mom, (n, dim), dtype=dtype) / jnp.sqrt(m_inv)
+        u_q = u_b(qs, b)
+        h0 = u_q + 0.5 * jnp.sum(p * p * m_inv, axis=1)
+        q1, _, h1 = propose(qs, p, b, eps, m_inv)
+        la1 = jnp.where(
+            jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf
+        )
+        if not use_dr:
+            accept = (
+                jnp.log(jax.random.uniform(k_acc, (n,), dtype=dtype)) < la1
+            )
+            qs = jnp.where(accept[:, None], q1, qs)
+            return qs, jnp.mean(jnp.exp(la1))
+        us = jax.random.uniform(k_acc, (n, 2), dtype=dtype)
+        acc1 = jnp.log(us[:, 0]) < la1
+        # stage 2 from the same (q, p) at eps/red; ghost stage-1 from (q2, p2)
+        eps2 = eps / jnp.asarray(dr_reduction, dtype)
+        q2, p2, h2 = propose(qs, p, b, eps2, m_inv)
+        _, _, hg = propose(q2, p2, b, eps, m_inv)
+        la1_ghost = jnp.where(
+            jnp.isfinite(hg), jnp.minimum(0.0, h2 - hg), -jnp.inf
+        )
+        num = -h2 + _log1m_exp(la1_ghost)
+        den = -h0 + _log1m_exp(la1)
+        ok = jnp.isfinite(h2) & jnp.isfinite(num) & jnp.isfinite(den)
+        la2 = jnp.where(ok, jnp.minimum(0.0, num - den), -jnp.inf)
+        acc2 = (~acc1) & (jnp.log(us[:, 1]) < la2)
+        qs = jnp.where(acc1[:, None], q1, jnp.where(acc2[:, None], q2, qs))
+        # adaptation tracks the stage-1 rate: DR's retries are a safety
+        # net, not a license to inflate eps
+        return qs, jnp.mean(jnp.exp(la1))
+
+    def next_beta(b, v):
+        """Largest b' in (b, 1] whose incremental-weight CESS >= target."""
+
+        def cess(b2):
+            return _ess_fraction(-(b2 - b) * v)
+
+        def bisect_body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            ok = cess(mid) >= target_cess
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(
+            0, n_bisect, bisect_body, (b, jnp.asarray(1.0, dtype))
+        )
+        full = cess(jnp.asarray(1.0, dtype)) >= target_cess
+        b2 = jnp.where(full, jnp.asarray(1.0, dtype), lo)
+        # Any schedule is unbiased; forcing a floor step only guards the
+        # while_loop against zero progress on pathological weight spreads.
+        return jnp.minimum(jnp.asarray(1.0, dtype), jnp.maximum(b2, b + min_beta_step))
+
+    def cond(c):
+        qs, b, logz, log_eps, k, stage, hists = c
+        return (b < 1.0) & (stage < max_stages)
+
+    def body(c):
+        qs, b, logz, log_eps, k, stage, hists = c
+        betas_h, cess_h, acc_h, eps_h = hists
+        v = u_batch(qs) - k_batch(qs)
+        v = jnp.where(jnp.isfinite(v), v, big)  # dead particles get weight 0
+        b2 = next_beta(b, v)
+        dlw = -(b2 - b) * v
+        logz = logz + logsumexp(dlw) - jnp.log(jnp.asarray(n, dtype))
+        cess_frac = _ess_fraction(dlw)
+
+        k, k_res, k_mut = jax.random.split(k, 3)
+        idx = _systematic_resample(k_res, dlw)
+        qs = qs[idx]
+
+        # population metric: inverse mass = per-coordinate particle variance
+        m_inv = jnp.clip(jnp.var(qs, axis=0), 1e-8, None)
+
+        def mut_body(carry, kk):
+            q, le = carry
+            q, acc = hmc_sweep(q, b2, jnp.exp(le), m_inv, kk)
+            le = le + adapt_rate * (acc - target_accept)
+            return (q, le), acc
+
+        (qs, log_eps), accs = jax.lax.scan(
+            mut_body, (qs, log_eps), jax.random.split(k_mut, n_mutations)
+        )
+
+        hists = (
+            betas_h.at[stage].set(b2),
+            cess_h.at[stage].set(cess_frac),
+            acc_h.at[stage].set(jnp.mean(accs)),
+            eps_h.at[stage].set(jnp.exp(log_eps)),
+        )
+        return (qs, b2, logz, log_eps, k, stage + 1, hists)
+
+    hists0 = (
+        jnp.ones((max_stages,), dtype),
+        jnp.zeros((max_stages,), dtype),
+        jnp.zeros((max_stages,), dtype),
+        jnp.zeros((max_stages,), dtype),
+    )
+    init = (
+        q0,
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.log(jnp.asarray(step_size0, dtype)),
+        key,
+        jnp.asarray(0, jnp.int32),
+        hists0,
+    )
+    qs, b, logz, log_eps, _, stage, hists = jax.lax.while_loop(cond, body, init)
+    betas_h, cess_h, acc_h, eps_h = hists
+    # reference normalizer: log Z0 = P/2 log 2pi + sum log scale
+    logz0 = 0.5 * dim * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)) + jnp.sum(
+        jnp.log(ref_scale)
+    )
+    pots = u_batch(qs)
+    return qs, logz + logz0, stage, b, betas_h, cess_h, acc_h, eps_h, pots
+
+
+def smc_sample(
+    potential_fn: Callable,
+    dim: int,
+    key,
+    n_particles: int = 1024,
+    *,
+    n_mutations: int = 5,
+    n_leapfrog: int = 10,
+    max_stages: int = 64,
+    target_cess: float = 0.5,
+    target_accept: float = 0.65,
+    step_size: float = 0.1,
+    adapt_rate: float = 0.3,
+    min_beta_step: float = 1e-5,
+    n_bisect: int = 32,
+    dr_reduction: float = 0.0,
+    ref_mean=None,
+    ref_scale=None,
+    init_particles=None,
+    dtype=None,
+) -> SMCResult:
+    """Sample ``exp(-potential_fn)`` by adaptive tempered SMC.
+
+    Same potential-over-packed-vector contract as :func:`.hmc.hmc_sample`;
+    intended pairing is the whitened space, where the reference
+    ``pi_0 = N(ref_mean, diag(ref_scale^2))`` (default standard normal) is
+    the exact prior for the latent-GP blocks::
+
+        w = whiten.make_whitener("gnmgp", x, n, m)
+        r = smc.smc_sample(w.wrap(nlp), w.n_params, key, 1024)
+        draws = w.from_white_batch(r.particles)
+
+    Returns unweighted particles (the last stage ends resample->mutate), the
+    log normalizing constant, and the per-stage schedule diagnostics.  Check
+    ``beta_final == 1.0``: the adaptive schedule refusing to reach 1 within
+    ``max_stages`` means the path needs more stages (raise ``max_stages``)
+    or the mutation kernel is frozen (check ``accept``).
+
+    ``dr_reduction > 0`` upgrades the mutation sweeps to 2-stage delayed
+    rejection (retry at ``eps/dr_reduction``) at 3x the trajectory cost —
+    reach for it when the target has funnel necks (heavy-tailed scale
+    hypers); plain sweeps leave necks underdispersed.
+    """
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
+    key, k_init = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    ref_mean = (
+        jnp.zeros((dim,), dtype)
+        if ref_mean is None
+        else jnp.broadcast_to(jnp.asarray(ref_mean, dtype), (dim,))
+    )
+    ref_scale = (
+        jnp.ones((dim,), dtype)
+        if ref_scale is None
+        else jnp.broadcast_to(jnp.asarray(ref_scale, dtype), (dim,))
+    )
+    if init_particles is None:
+        q0 = ref_mean + ref_scale * jax.random.normal(
+            k_init, (int(n_particles), int(dim)), dtype=dtype
+        )
+    else:
+        q0 = jnp.asarray(init_particles, dtype)
+    qs, logz, stage, b, betas, cess, acc, eps, pots = _run_smc(
+        potential_fn,
+        q0,
+        key,
+        ref_mean,
+        ref_scale,
+        int(n_mutations),
+        int(n_leapfrog),
+        int(max_stages),
+        int(n_bisect),
+        float(dr_reduction),
+        jnp.asarray(target_cess, dtype),
+        jnp.asarray(target_accept, dtype),
+        float(step_size),
+        jnp.asarray(adapt_rate, dtype),
+        jnp.asarray(min_beta_step, dtype),
+    )
+    return SMCResult(
+        particles=qs,
+        logz=logz,
+        n_stages=stage,
+        beta_final=b,
+        betas=betas,
+        cess=cess,
+        accept=acc,
+        step_sizes=eps,
+        potentials=pots,
+    )
+
+
+def smc_sample_runs(
+    potential_fn: Callable,
+    dim: int,
+    key,
+    n_runs: int,
+    n_particles: int = 1024,
+    **kwargs,
+) -> SMCResult:
+    """R independent SMC runs vmapped into one XLA program.
+
+    Every field of the returned :class:`SMCResult` gains a leading
+    ``(n_runs,)`` axis.  Feed ``particles`` to :func:`smc_ess_estimate` for
+    the honest effective-sample count.
+    """
+    keys = jax.random.split(
+        jax.random.PRNGKey(key) if isinstance(key, int) else key, int(n_runs)
+    )
+    return jax.vmap(
+        lambda k: smc_sample(
+            potential_fn, dim, k, n_particles, **kwargs
+        )
+    )(keys)
+
+
+def smc_ess_estimate(particle_runs: np.ndarray, slots=None) -> dict:
+    """Effective samples from R independent runs, per slot.
+
+    SMC particles share resampling ancestry, so neither chain ESS nor the
+    naive particle count is honest.  The estimator-variance definition is:
+    for a test function f (here each coordinate), ``Var_runs(mean_r f)``
+    is approximately ``Var_post(f) / N_eff``, hence
+
+        ``N_eff(f) = Var_pooled(f) / Var_runs(mean_r f)``.
+
+    With small R this is itself noisy (chi^2 with R-1 dof — at R=4, a
+    2x error bar); report R alongside.  Returns min/median over ``slots``
+    (default: every 7th coordinate, matching sampler_bench's chain scoring).
+    """
+    runs = np.asarray(particle_runs)  # (R, N, P)
+    r, n, p = runs.shape
+    if slots is None:
+        slots = range(0, p, 7)
+    slots = list(slots)
+    pooled = runs.reshape(r * n, p)[:, slots]
+    var_post = pooled.var(axis=0, ddof=1)  # (S,)
+    run_means = runs[:, :, slots].mean(axis=1)  # (R, S)
+    var_means = run_means.var(axis=0, ddof=1)  # (S,)
+    n_eff = var_post / np.maximum(var_means, 1e-300)
+    return {
+        "min_ess": float(np.min(n_eff)),
+        "median_ess": float(np.median(n_eff)),
+        "n_runs": int(r),
+        "n_particles": int(n),
+    }

@@ -57,6 +57,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -143,6 +145,29 @@ class Whitener(NamedTuple):
             return potential_fn(self.from_white(u))
 
         return wrapped
+
+    def logdet(self) -> jnp.ndarray:
+        """log |det d(from_white)/du| — the (constant) Jacobian of the map.
+
+        Converts whitened-space normalizing constants to natural-space ones:
+        ``log \\int exp(-nlp(vec)) dvec = smc.logz + whitener.logdet()``
+        (the map is affine, so the Jacobian is position-independent).
+        """
+        total = jnp.asarray(0.0)
+        covered = np.zeros(self.n_params, dtype=bool)
+        for b in self.blocks:
+            covered[b.start : b.stop] = True
+            if b.basis is not None:  # orthogonal basis: |det| = 1
+                total = total + jnp.sum(jnp.log(jnp.abs(b.scale)))
+            else:
+                total = total + float(b.k) * jnp.sum(
+                    jnp.log(jnp.diag(b.l))
+                )
+        if self.raw_scale is not None:
+            total = total + jnp.sum(
+                jnp.log(jnp.abs(self.raw_scale[~covered]))
+            )
+        return total
 
 
 #: Hadamard-layout GNMGP prior defaults (models/gnmgp.nlogpos_hadamard).
