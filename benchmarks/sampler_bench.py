@@ -49,7 +49,22 @@ def main():
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run (hmc, hmc_window, "
-                         "nuts, drhmc, rmhmc, chees)")
+                         "nuts, drhmc, rmhmc, chees, smc)")
+    ap.add_argument("--smc-particles", type=int, default=1024)
+    ap.add_argument("--smc-runs", type=int, default=4,
+                    help="smc: independent runs (vmapped into one program) "
+                         "for the estimator-variance N_eff — SMC particles "
+                         "share ancestry, so chain ESS does not apply")
+    ap.add_argument("--smc-mutations", type=int, default=5,
+                    help="smc: batched-HMC decorrelation sweeps per stage")
+    ap.add_argument("--smc-leapfrog", type=int, default=10)
+    ap.add_argument("--smc-cess", type=float, default=0.5,
+                    help="smc: conditional-ESS fraction targeted by the "
+                         "adaptive beta schedule")
+    ap.add_argument("--smc-dr", type=float, default=0.0,
+                    help="smc: >0 upgrades mutation sweeps to 2-stage "
+                         "delayed rejection at eps/this (3x trajectories)")
+    ap.add_argument("--smc-max-stages", type=int, default=64)
     ap.add_argument("--chees-chains", type=int, default=16,
                     help="chees: lockstep chains (it adapts from the cross-"
                          "chain ChEES criterion, so it brings its own "
@@ -115,6 +130,7 @@ def main():
         map as map_mod,
         nuts,
         rmhmc,
+        smc,
         whiten,
     )
     from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
@@ -353,6 +369,65 @@ def main():
             "mean_leapfrog": round(float(np.mean(np.asarray(r.n_leapfrog))), 1),
         }
         log(f"chees: {results['chees']}")
+    if "smc" in which:
+        # tempered SMC brings its own population and scoring: R independent
+        # runs (one vmapped program), N_eff = Var_pooled / Var_runs(mean) —
+        # the honest cross-run estimator (smc.smc_ess_estimate), the same
+        # quantity pooled chain ESS estimates for mixing chains
+        # runs go sequentially (same shapes -> one compile): vmapping them
+        # multiplies the batched-Cholesky temps past HBM at N=200.  Host
+        # dispatch: the tunneled TPU runtime faults minutes-long
+        # single-program executions (the f64-HMC-scan failure class).
+        t0 = time.time()
+        run_results = []
+        for i in range(args.smc_runs):
+            ri = smc.smc_sample(
+                nlp, int(map_vec.shape[0]), jax.random.PRNGKey(1000 + i),
+                args.smc_particles,
+                n_mutations=args.smc_mutations, n_leapfrog=args.smc_leapfrog,
+                target_cess=args.smc_cess, dr_reduction=args.smc_dr,
+                max_stages=args.smc_max_stages, dispatch="host",
+                progress=lambda d, i=i: log(f"smc run {i} {d}"),
+            )
+            jax.block_until_ready(ri.particles)
+            log(f"smc run {i}: stages={int(ri.n_stages)} "
+                f"beta={float(ri.beta_final):.3f} logz={float(ri.logz):.1f}")
+            run_results.append(ri)
+        wall = time.time() - t0
+        rr = jax.tree.map(lambda *xs: jnp.stack(xs), *run_results)
+        r_, np_, p_ = rr.particles.shape
+        parts = rr.particles.reshape(r_ * np_, p_)
+        if w is not None:
+            parts = w.from_white_batch(parts)
+        parts = np.asarray(parts).reshape(r_, np_, p_)
+        est = smc.smc_ess_estimate(parts)
+        stages = np.asarray(rr.n_stages)
+        traj = 3 if args.smc_dr > 0 else 1
+        grads = int(
+            np.sum(stages) * args.smc_particles
+            * (args.smc_mutations * traj * args.smc_leapfrog + 1)
+        )
+        logzs = np.asarray(rr.logz)
+        results["smc"] = {
+            "min_ess": round(est["min_ess"], 1),
+            "median_ess": round(est["median_ess"], 1),
+            "pooled_ess": round(est["pooled_ess"], 1),
+            "ess_per_sec": round(est["min_ess"] / wall, 3),
+            "ess_per_kgrad": round(1000.0 * est["min_ess"] / grads, 3),
+            "wall_s": round(wall, 2),
+            "grad_evals": grads,
+            "runs": r_,
+            "particles": np_,
+            "stages": stages.tolist(),
+            "beta_final": np.asarray(rr.beta_final).tolist(),
+            "logz_mean": round(float(logzs.mean()), 2),
+            "logz_std": round(float(logzs.std()), 3),
+            "final_accept": [
+                round(float(np.asarray(rr.accept)[i, s - 1]), 3)
+                for i, s in enumerate(stages)
+            ],
+        }
+        log(f"smc: {results['smc']}")
     if "nuts" in which:
         results["nuts"] = score("nuts", run_nuts)
     if "nuts" in results and "hmc" in results:

@@ -94,36 +94,31 @@ def _systematic_resample(key, log_w: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(idx, 0, n - 1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "potential_fn",
-        "n_mutations",
-        "n_leapfrog",
-        "max_stages",
-        "n_bisect",
-        "dr_reduction",
-    ),
-)
-def _run_smc(
+def _build_stage(
     potential_fn,
-    q0,  # (N, P) draws from the reference
-    key,
-    ref_mean,  # (P,)
-    ref_scale,  # (P,)
+    n,
+    dim,
+    dtype,
+    ref_mean,
+    ref_scale,
     n_mutations: int,
     n_leapfrog: int,
-    max_stages: int,
     n_bisect: int,
     dr_reduction: float,
     target_cess,
     target_accept,
-    step_size0,
     adapt_rate,
     min_beta_step,
 ):
-    n, dim = q0.shape
-    dtype = q0.dtype
+    """One tempering stage as a pure function of (particles, beta, ...).
+
+    Shared by both drivers: :func:`_run_smc` wraps it in a device-side
+    ``lax.while_loop`` (one XLA program — the fleet/CPU shape), while
+    :func:`_run_smc_host` jits it alone and loops stages from the host —
+    required on the tunneled TPU, where minutes-long single-program
+    executions trip the runtime's device fault (the monolithic f64 HMC
+    scan's failure class, CLAUDE.md).
+    """
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
 
     def k_ref(q):  # reference potential (per particle)
@@ -138,7 +133,6 @@ def _run_smc(
 
     val_grad_b = jax.vmap(jax.value_and_grad(pot_b), in_axes=(0, None))
     grad_b = jax.vmap(jax.grad(pot_b), in_axes=(0, None))
-
     u_b = jax.vmap(pot_b, in_axes=(0, None))
     use_dr = dr_reduction > 0
 
@@ -227,16 +221,11 @@ def _run_smc(
         full = cess(jnp.asarray(1.0, dtype)) >= target_cess
         b2 = jnp.where(full, jnp.asarray(1.0, dtype), lo)
         # Any schedule is unbiased; forcing a floor step only guards the
-        # while_loop against zero progress on pathological weight spreads.
+        # stage loop against zero progress on pathological weight spreads.
         return jnp.minimum(jnp.asarray(1.0, dtype), jnp.maximum(b2, b + min_beta_step))
 
-    def cond(c):
-        qs, b, logz, log_eps, k, stage, hists = c
-        return (b < 1.0) & (stage < max_stages)
-
-    def body(c):
-        qs, b, logz, log_eps, k, stage, hists = c
-        betas_h, cess_h, acc_h, eps_h = hists
+    def stage(qs, b, logz, log_eps, key):
+        """(reweight -> bisect -> resample -> mutate) at the next beta."""
         v = u_batch(qs) - k_batch(qs)
         v = jnp.where(jnp.isfinite(v), v, big)  # dead particles get weight 0
         b2 = next_beta(b, v)
@@ -244,12 +233,22 @@ def _run_smc(
         logz = logz + logsumexp(dlw) - jnp.log(jnp.asarray(n, dtype))
         cess_frac = _ess_fraction(dlw)
 
-        k, k_res, k_mut = jax.random.split(k, 3)
+        key, k_res, k_mut = jax.random.split(key, 3)
         idx = _systematic_resample(k_res, dlw)
         qs = qs[idx]
 
         # population metric: inverse mass = per-coordinate particle variance
         m_inv = jnp.clip(jnp.var(qs, axis=0), 1e-8, None)
+
+        # feed-forward step scaling: the likelihood Hessian enters the
+        # tempered potential as b*H, so the stable step shrinks ~1/sqrt(b);
+        # pre-scaling by sqrt(b/b2) means Robbins-Monro only corrects the
+        # *residual* curvature growth instead of chasing the known part
+        log_eps = log_eps + jnp.where(
+            b > 0,
+            0.5 * (jnp.log(jnp.maximum(b, min_beta_step)) - jnp.log(b2)),
+            jnp.asarray(0.0, dtype),
+        )
 
         def mut_body(carry, kk):
             q, le = carry
@@ -260,14 +259,71 @@ def _run_smc(
         (qs, log_eps), accs = jax.lax.scan(
             mut_body, (qs, log_eps), jax.random.split(k_mut, n_mutations)
         )
+        return qs, b2, logz, log_eps, key, cess_frac, jnp.mean(accs)
 
+    return stage, u_batch
+
+
+def _logz0(dim, ref_scale, dtype):
+    """log normalizer of the reference: P/2 log 2pi + sum log scale."""
+    return 0.5 * dim * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)) + jnp.sum(
+        jnp.log(ref_scale)
+    )
+
+
+_STAGE_STATICS = dict(
+    static_argnames=(
+        "potential_fn",
+        "n_mutations",
+        "n_leapfrog",
+        "max_stages",
+        "n_bisect",
+        "dr_reduction",
+    ),
+)
+
+
+@partial(jax.jit, **_STAGE_STATICS)
+def _run_smc(
+    potential_fn,
+    q0,  # (N, P) draws from the reference
+    key,
+    ref_mean,  # (P,)
+    ref_scale,  # (P,)
+    n_mutations: int,
+    n_leapfrog: int,
+    max_stages: int,
+    n_bisect: int,
+    dr_reduction: float,
+    target_cess,
+    target_accept,
+    step_size0,
+    adapt_rate,
+    min_beta_step,
+):
+    n, dim = q0.shape
+    dtype = q0.dtype
+    stage, u_batch = _build_stage(
+        potential_fn, n, dim, dtype, ref_mean, ref_scale,
+        n_mutations, n_leapfrog, n_bisect, dr_reduction,
+        target_cess, target_accept, adapt_rate, min_beta_step,
+    )
+
+    def cond(c):
+        qs, b, logz, log_eps, k, i, hists = c
+        return (b < 1.0) & (i < max_stages)
+
+    def body(c):
+        qs, b, logz, log_eps, k, i, hists = c
+        betas_h, cess_h, acc_h, eps_h = hists
+        qs, b, logz, log_eps, k, cess_frac, acc = stage(qs, b, logz, log_eps, k)
         hists = (
-            betas_h.at[stage].set(b2),
-            cess_h.at[stage].set(cess_frac),
-            acc_h.at[stage].set(jnp.mean(accs)),
-            eps_h.at[stage].set(jnp.exp(log_eps)),
+            betas_h.at[i].set(b),
+            cess_h.at[i].set(cess_frac),
+            acc_h.at[i].set(acc),
+            eps_h.at[i].set(jnp.exp(log_eps)),
         )
-        return (qs, b2, logz, log_eps, k, stage + 1, hists)
+        return (qs, b, logz, log_eps, k, i + 1, hists)
 
     hists0 = (
         jnp.ones((max_stages,), dtype),
@@ -284,14 +340,76 @@ def _run_smc(
         jnp.asarray(0, jnp.int32),
         hists0,
     )
-    qs, b, logz, log_eps, _, stage, hists = jax.lax.while_loop(cond, body, init)
+    qs, b, logz, log_eps, _, i, hists = jax.lax.while_loop(cond, body, init)
     betas_h, cess_h, acc_h, eps_h = hists
-    # reference normalizer: log Z0 = P/2 log 2pi + sum log scale
-    logz0 = 0.5 * dim * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)) + jnp.sum(
-        jnp.log(ref_scale)
-    )
     pots = u_batch(qs)
-    return qs, logz + logz0, stage, b, betas_h, cess_h, acc_h, eps_h, pots
+    return (
+        qs, logz + _logz0(dim, ref_scale, dtype),
+        i, b, betas_h, cess_h, acc_h, eps_h, pots,
+    )
+
+
+def _run_smc_host(
+    potential_fn,
+    q0,
+    key,
+    ref_mean,
+    ref_scale,
+    n_mutations: int,
+    n_leapfrog: int,
+    max_stages: int,
+    n_bisect: int,
+    dr_reduction: float,
+    target_cess,
+    target_accept,
+    step_size0,
+    adapt_rate,
+    min_beta_step,
+    progress=None,
+):
+    """Host-driven stage loop: one XLA dispatch per tempering stage.
+
+    Identical math and draws to :func:`_run_smc` (same stage body, same key
+    threading) — only the loop lives on the host, so no single device
+    program runs longer than one stage.  ``progress`` (optional callable)
+    receives a dict per stage.
+    """
+    n, dim = q0.shape
+    dtype = q0.dtype
+    stage, u_batch = _build_stage(
+        potential_fn, n, dim, dtype, ref_mean, ref_scale,
+        n_mutations, n_leapfrog, n_bisect, dr_reduction,
+        jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
+        jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
+    )
+    stage_j = jax.jit(stage)
+    qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    log_eps = jnp.log(jnp.asarray(step_size0, dtype))
+    betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
+    cess_h = np.zeros_like(betas_h)
+    acc_h = np.zeros_like(betas_h)
+    eps_h = np.zeros_like(betas_h)
+    i = 0
+    while i < max_stages and float(b) < 1.0:
+        qs, b, logz, log_eps, key, cess_frac, acc = stage_j(
+            qs, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        betas_h[i] = float(b)
+        cess_h[i] = float(cess_frac)
+        acc_h[i] = float(acc)
+        eps_h[i] = float(jnp.exp(log_eps))
+        i += 1
+        if progress is not None:
+            progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
+                      "accept": float(acc), "step_size": eps_h[i - 1]})
+    pots = u_batch(qs)
+    return (
+        qs, logz + _logz0(dim, ref_scale, dtype),
+        jnp.asarray(i, jnp.int32), b,
+        jnp.asarray(betas_h), jnp.asarray(cess_h),
+        jnp.asarray(acc_h), jnp.asarray(eps_h), pots,
+    )
 
 
 def smc_sample(
@@ -314,6 +432,8 @@ def smc_sample(
     ref_scale=None,
     init_particles=None,
     dtype=None,
+    dispatch: str = "device",
+    progress=None,
 ) -> SMCResult:
     """Sample ``exp(-potential_fn)`` by adaptive tempered SMC.
 
@@ -336,6 +456,12 @@ def smc_sample(
     rejection (retry at ``eps/dr_reduction``) at 3x the trajectory cost —
     reach for it when the target has funnel necks (heavy-tailed scale
     hypers); plain sweeps leave necks underdispersed.
+
+    ``dispatch="host"`` runs the same stage body one XLA dispatch per stage
+    (bit-identical draws) instead of a single device-side ``while_loop``
+    program — required at model scale on the tunneled TPU, whose runtime
+    faults minutes-long single-program executions (CLAUDE.md); ``progress``
+    then receives a per-stage dict.  Keep the default for vmapped/fleet use.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
@@ -356,7 +482,10 @@ def smc_sample(
         )
     else:
         q0 = jnp.asarray(init_particles, dtype)
-    qs, logz, stage, b, betas, cess, acc, eps, pots = _run_smc(
+    if dispatch not in ("device", "host"):
+        raise ValueError(f"unknown dispatch {dispatch!r} "
+                         "(want 'device' or 'host')")
+    run_args = (
         potential_fn,
         q0,
         key,
@@ -373,6 +502,11 @@ def smc_sample(
         jnp.asarray(adapt_rate, dtype),
         jnp.asarray(min_beta_step, dtype),
     )
+    if dispatch == "host":
+        out = _run_smc_host(*run_args, progress=progress)
+    else:
+        out = _run_smc(*run_args)
+    qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,
         logz=logz,
@@ -420,9 +554,13 @@ def smc_ess_estimate(particle_runs: np.ndarray, slots=None) -> dict:
 
         ``N_eff(f) = Var_pooled(f) / Var_runs(mean_r f)``.
 
-    With small R this is itself noisy (chi^2 with R-1 dof — at R=4, a
-    2x error bar); report R alongside.  Returns min/median over ``slots``
-    (default: every 7th coordinate, matching sampler_bench's chain scoring).
+    With small R each slot's ratio is chi^2_{R-1}-noisy, so the min over S
+    slots is downward-biased by the noise alone (order 10x at R=4, S~100) —
+    a *conservative* floor.  ``pooled_ess`` averages the per-slot inverse
+    ratios first (~S*(R-1) effective dof), assuming ancestral coalescence
+    degrades all slots comparably; it is the better point estimate, the min
+    the better guarantee.  Returns min/median/pooled over ``slots`` (default:
+    every 7th coordinate, matching sampler_bench's chain scoring).
     """
     runs = np.asarray(particle_runs)  # (R, N, P)
     r, n, p = runs.shape
@@ -437,6 +575,7 @@ def smc_ess_estimate(particle_runs: np.ndarray, slots=None) -> dict:
     return {
         "min_ess": float(np.min(n_eff)),
         "median_ess": float(np.median(n_eff)),
+        "pooled_ess": float(1.0 / np.mean(1.0 / n_eff)),
         "n_runs": int(r),
         "n_particles": int(n),
     }

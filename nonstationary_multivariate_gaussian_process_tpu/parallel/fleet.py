@@ -312,6 +312,34 @@ def _fleet_whiten_fns(model_name: str, n: int, m: int, hp: dict):
     return from_white, to_white
 
 
+def _fleet_whiten_logdet(model_name: str, n: int, m: int, hp: dict):
+    """Per-subject log|det| of the fleet whitening map (see
+    :func:`_fleet_whiten_fns` — the same block table): converts a
+    whitened-space normalizing constant (smc_fleet's ``logz``) to the
+    natural parameter space, mirroring ``Whitener.logdet()``.  Returns
+    ``logdet_fn(p1, p2, p3) -> scalar`` or ``None`` for lmc."""
+    from ..ops import transforms
+
+    t = transforms.tri_size(m)
+    if model_name == "gnmgp":
+        blocks = ((1, 0), (t, 1))
+    elif model_name == "snmgp":
+        blocks = ((1, 0), (1, 1))
+    elif model_name == "gnmgp_hetero":
+        blocks = ((1, 0), (t, 1), (m, 2))
+    else:
+        return None
+
+    def logdet_fn(p1, p2, p3):
+        facs = (p1, p2, p3)
+        total = jnp.asarray(0.0, settings.dtype)
+        for k, which in blocks:
+            total = total + k * jnp.sum(jnp.log(jnp.diag(facs[which])))
+        return total
+
+    return logdet_fn
+
+
 def hmc_fleet(
     model_name: str,
     xs: jnp.ndarray,
@@ -714,6 +742,129 @@ def chees_fleet(
         map_vecs, xs, ys, pc1, pc2, pc3, keys, masks
     )
     return samples[:s_real], accept[:s_real], traj[:s_real]
+
+
+class SMCFleetResult(NamedTuple):
+    particles: jnp.ndarray  # (S, N_particles, P) natural-space particles
+    logz: jnp.ndarray  # (S,) natural-space log evidence per subject
+    beta_final: jnp.ndarray  # (S,) 1.0 where the tempering path completed
+    n_stages: jnp.ndarray  # (S,) adaptive stage counts
+    accept: jnp.ndarray  # (S,) final-stage mean mutation accept
+
+
+def smc_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    key,
+    n_particles: int = 256,
+    n_mutations: int = 5,
+    n_leapfrog: int = 10,
+    target_cess: float = 0.5,
+    dr_reduction: float = 0.0,
+    max_stages: int = 64,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = True,
+    masks: jnp.ndarray | None = None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a fleet of subjects, sharded over the mesh.
+
+    The between-basin tier (inference/smc.py) per subject: each subject's
+    particle population follows its own adaptive prior→posterior tempering
+    schedule, vmapped across subjects and sharded across devices — the
+    device integrates (subjects-per-device × particles)-row leapfrog
+    batches, the deepest MXU fill of any fleet sampler.  Needs no MAP warm
+    start (populations start at the prior), so it can run *before* or
+    without the MAP stage.  ``whiten=True`` (default — the reference
+    distribution is then the exact latent-GP prior) samples each subject's
+    prior-whitened space via the fleet's batched prior factors; ``masks``
+    (S, N) makes padded ragged subjects exact.  ``logz`` comes back in the
+    *natural* space (the whitening Jacobian is added per subject), so
+    per-subject Bayes factors across models are directly comparable.
+
+    Under vmap the per-subject ``while_loop`` runs until the slowest
+    subject's schedule completes (others no-op); per-subject ``n_stages``
+    and ``beta_final`` land in the result.  Particles are exchangeable, so
+    any leading subset serves as a chain-sample draw matrix downstream.
+    """
+    from ..inference import smc as smc_mod
+
+    s_in = np.asarray(xs).shape[0]
+    _validate_fleet(model_name, xs, ys,
+                    jnp.zeros((s_in, 1), settings.dtype), masks)
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_pts, m = np.asarray(xs).shape[1], np.asarray(ys).shape[-1]
+    wfns = _fleet_whiten_fns(model_name, n_pts, m, hp) if whiten else None
+    ld_fn = _fleet_whiten_logdet(model_name, n_pts, m, hp) if whiten else None
+    p_dim = (model.n_params(m) if model_name == "lmc"
+             else model.n_params(n_pts, m))
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
+
+    def subject_one(x, y, p1, p2, p3, k, mask):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
+        if wfns is not None:
+            fw, _ = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+        else:
+            pot = lambda v: nlp(v, *args)
+        r = smc_mod.smc_sample(
+            pot, p_dim, k, n_particles,
+            n_mutations=n_mutations, n_leapfrog=n_leapfrog,
+            target_cess=target_cess, dr_reduction=dr_reduction,
+            max_stages=max_stages, dtype=settings.dtype,
+        )
+        parts = r.particles
+        logz = r.logz
+        if wfns is not None:
+            parts = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(parts)
+            logz = logz + ld_fn(p1, p2, p3)
+        ns = jnp.maximum(r.n_stages, 1)
+        acc = jnp.take(r.accept, ns - 1)
+        return parts, logz, r.beta_final, r.n_stages, acc
+
+    def shard_fn(x, y, p1, p2, p3, k, mask):
+        return jax.vmap(subject_one)(x, y, p1, p2, p3, k, mask)
+
+    # check_vma=False for the same reason as nuts_fleet: the tempering
+    # while_loop mixes replicated literals into a subject-varying carry;
+    # subject_one is purely subject-local (no collectives)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
+        out_specs=tuple([P(SUBJECT_AXIS)] * 5),
+        check_vma=False,
+    )
+    parts, logz, bf, ns, acc = jax.jit(sharded)(
+        xs, ys, pc1, pc2, pc3, keys, masks
+    )
+    return SMCFleetResult(
+        particles=parts[:s_real],
+        logz=logz[:s_real],
+        beta_final=bf[:s_real],
+        n_stages=ns[:s_real],
+        accept=acc[:s_real],
+    )
 
 
 def descend_starts(

@@ -80,6 +80,16 @@ class PipelineConfig:
     #                        chain adaptive trajectory lengths — the many-
     #                        chain TPU posture, inference/chees.py; pooled
     #                        min-ESS/max-R̂ land in result["sampling"])
+    #                        | "smc" (adaptive tempered SMC: a particle
+    #                        population follows the prior→posterior path —
+    #                        the between-basin posture, inference/smc.py;
+    #                        the evidence estimate lands in
+    #                        result["sampling"]["log_evidence"])
+    smc_particles: int = 0  # smc population size (0 = max(256, n_hmc))
+    smc_mutations: int = 5  # smc batched-HMC decorrelation sweeps per stage
+    smc_leapfrog: int = 10  # smc leapfrog steps per mutation sweep
+    smc_cess: float = 0.5  # smc conditional-ESS target for the beta schedule
+    smc_dr: float = 0.0  # smc >0: delayed-rejection sweeps at eps/this
     dr_stages: int = 3  # drhmc proposal stages (1 = plain HMC)
     dr_reduction: float = 4.0  # drhmc per-stage step-size reduction
     rm_k: int = 12  # rmhmc subspace size (worst-mixing pilot coordinates)
@@ -189,10 +199,15 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         # pooled diagnostics are recomputed by callers that surface them
         samples, accept, _ = _run_chain_chees(nlp, map_vec, cfg, key)
         return samples, accept
+    if cfg.sampler == "smc":
+        # tempered-SMC tier (whitening already peeled off above); callers
+        # that surface evidence/diagnostics call _run_chain_smc directly
+        samples, accept, _ = _run_chain_smc(nlp, map_vec, cfg, key)
+        return samples, accept
     if cfg.sampler != "hmc":
         raise ValueError(
             f"unknown sampler {cfg.sampler!r} "
-            "(want 'hmc', 'nuts', 'drhmc', 'rmhmc' or 'chees')"
+            "(want 'hmc', 'nuts', 'drhmc', 'rmhmc', 'chees' or 'smc')"
         )
     mass = None
     if cfg.hmc_mass == "pilot":
@@ -261,6 +276,48 @@ def _run_chain_chees(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         "mean_leapfrog": float(np.mean(np.asarray(r.n_leapfrog))),
     }
     return flat, accept, sampling
+
+
+def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
+    """Adaptive tempered SMC sampling stage (``cfg.sampler == "smc"``).
+
+    A particle population follows the prior→posterior tempering path
+    (inference/smc.py) — the between-basin posture where chain samplers
+    measured at N=200 equilibrate at disagreeing levels.  Returns
+    ``(samples, accept, sampling)``: ``samples`` are ``cfg.n_hmc``
+    natural-space particles (exchangeable, so the leading subset of the
+    population is a valid draw matrix for chain-sample prediction), and
+    ``sampling`` carries the tempering diagnostics plus the log model
+    evidence (``logz`` mapped through ``Whitener.logdet()`` when whitened —
+    exact Bayes-factor model comparison, beyond evaluate.py's AIC/BIC/DIC).
+    """
+    from .inference import smc as smc_mod
+
+    pot = nlp if whitener is None else whitener.wrap(nlp)
+    n_particles = cfg.smc_particles or max(256, cfg.n_hmc)
+    r = smc_mod.smc_sample(
+        pot, int(map_vec.shape[0]), key, n_particles,
+        n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+        target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+    )
+    parts = np.asarray(
+        r.particles if whitener is None
+        else whitener.from_white_batch(r.particles)
+    )
+    ns = int(r.n_stages)
+    logz = float(r.logz)
+    sampling = {
+        "sampler": "smc",
+        "n_particles": int(n_particles),
+        "n_stages": ns,
+        "beta_final": float(r.beta_final),
+        "log_evidence": logz if whitener is None
+        else logz + float(whitener.logdet()),
+        "final_accept": float(np.asarray(r.accept)[max(ns - 1, 0)]),
+        "step_size": float(np.asarray(r.step_sizes)[max(ns - 1, 0)]),
+    }
+    accept = sampling["final_accept"]
+    return parts[: cfg.n_hmc], accept, sampling
 
 
 def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
@@ -506,6 +563,11 @@ def run_subject(
         whitener = _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
         if cfg.sampler == "chees":
             samples, accept, sampling = _run_chain_chees(
+                nlp, map_vec, cfg, key, whitener=whitener
+            )
+            result["sampling"] = sampling
+        elif cfg.sampler == "smc":
+            samples, accept, sampling = _run_chain_smc(
                 nlp, map_vec, cfg, key, whitener=whitener
             )
             result["sampling"] = sampling
@@ -1134,7 +1196,8 @@ def run_cohort(
                                  "only (pncp is single-subject)")
             sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            if sampler != "chees":  # chees brings its own chains, untiled
+            if sampler not in ("chees", "smc"):  # these bring their own
+                # populations/chains — no unit tiling
                 x_t, y_t, vec_t, mask_t = _tile_chains(
                     jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
                     cfg.n_chains, jax.random.fold_in(k_bucket, 1),
@@ -1153,6 +1216,25 @@ def run_cohort(
                     masks=jnp.asarray(mask),
                 )
                 out["hmc"] = np.asarray(samples)
+            elif sampler == "smc":
+                # tempered-SMC tier: per-subject particle populations follow
+                # the prior→posterior path (needs no warm start, returns
+                # per-subject evidence); particles are exchangeable, so the
+                # leading n_hmc serve as the draw matrix, chain axis = 1
+                r = fleet_mod.smc_fleet(
+                    cfg.model, jnp.asarray(x), jnp.asarray(y), k_bucket,
+                    n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                    cfg.n_hmc),
+                    n_mutations=cfg.smc_mutations,
+                    n_leapfrog=cfg.smc_leapfrog,
+                    target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                    hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
+                    masks=jnp.asarray(mask),
+                )
+                out["hmc"] = np.asarray(r.particles[:, : cfg.n_hmc, :])[:, None]
+                out["smc_logz"] = np.asarray(r.logz)
+                out["smc_beta"] = np.asarray(r.beta_final)
+                out["smc_stages"] = np.asarray(r.n_stages)
             elif sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet(
@@ -1201,17 +1283,37 @@ def run_cohort(
         if "hmc" in entry:
             chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
             rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
-            rec["sampling"] = _sampling_record(chains, chains.shape[0])
-            if store is not None:
-                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
-                           samples=rec["hmc_samples"])
-                store.save(
-                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
-                    min_ess=rec["sampling"]["min_ess"],
-                    median_ess=rec["sampling"]["median_ess"],
-                    max_rhat=rec["sampling"]["max_rhat"],
-                    n_chains=rec["sampling"]["n_chains"],
-                )
+            if "smc_logz" in entry:
+                # SMC particles are exchangeable, not a chain — chain
+                # ESS/R-hat do not apply; surface the tempering health
+                # (beta_final == 1) and the per-subject evidence instead
+                rec["sampling"] = {
+                    "sampler": "smc",
+                    "log_evidence": float(entry["smc_logz"]),
+                    "beta_final": float(entry["smc_beta"]),
+                    "n_stages": int(entry["smc_stages"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        log_evidence=rec["sampling"]["log_evidence"],
+                        beta_final=rec["sampling"]["beta_final"],
+                        n_stages=rec["sampling"]["n_stages"],
+                    )
+            else:
+                rec["sampling"] = _sampling_record(chains, chains.shape[0])
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        min_ess=rec["sampling"]["min_ess"],
+                        median_ess=rec["sampling"]["median_ess"],
+                        max_rhat=rec["sampling"]["max_rhat"],
+                        n_chains=rec["sampling"]["n_chains"],
+                    )
         x_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test:
             # bucket staging may have cropped (truncate) or padded (pad) the

@@ -115,6 +115,23 @@ def test_multirun_ess_estimator():
     assert est["min_ess"] > 50.0
 
 
+def test_host_dispatch_bit_identity():
+    """dispatch="host" (one XLA dispatch per stage — the TPU posture, where
+    minutes-long single-program executions fault the tunneled runtime) must
+    reproduce the device while_loop bit-for-bit: same stage body, same key
+    threading."""
+    pot = lambda q: 0.5 * jnp.dot(q * jnp.arange(1.0, 6.0), q)
+    r_dev = smc.smc_sample(pot, 5, 3, 512)
+    seen = []
+    r_host = smc.smc_sample(
+        pot, 5, 3, 512, dispatch="host", progress=seen.append
+    )
+    assert np.array_equal(np.asarray(r_dev.particles), np.asarray(r_host.particles))
+    assert float(r_dev.logz) == float(r_host.logz)
+    assert int(r_dev.n_stages) == int(r_host.n_stages) == len(seen)
+    assert seen[-1]["beta"] == 1.0
+
+
 def test_determinism_and_contract():
     pot = lambda q: 0.5 * jnp.dot(q, q)
     r1 = smc.smc_sample(pot, 3, 7, 256, max_stages=16)
@@ -123,6 +140,95 @@ def test_determinism_and_contract():
     assert r1.betas.shape == (16,) and r1.accept.shape == (16,)
     assert r1.potentials.shape == (256,)
     assert np.all(np.isfinite(np.asarray(r1.potentials)))
+
+
+def test_smc_fleet_contract():
+    """smc_fleet: per-subject tempering populations sharded over the mesh —
+    shapes, completed schedules, per-subject evidence, and masked ragged
+    subjects all finite.  Needs no MAP warm start (starts at the prior)."""
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    n = 16
+    ds = [sim.sim_mnts(jax.random.PRNGKey(i), n=n) for i in range(3)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    masks = jnp.ones((3, n), bool).at[2, 12:].set(False)
+    r = fleet.smc_fleet(
+        "gnmgp", xs, ys, jax.random.PRNGKey(0),
+        n_particles=64, n_mutations=3, n_leapfrog=6, masks=masks,
+    )
+    assert r.particles.shape[0] == 3 and r.particles.shape[1] == 64
+    assert np.all(np.isfinite(np.asarray(r.particles)))
+    assert np.all(np.asarray(r.beta_final) == 1.0)
+    assert np.all(np.isfinite(np.asarray(r.logz)))
+    assert np.all(np.asarray(r.n_stages) >= 1)
+    # subjects are different problems: populations and evidence must differ
+    assert not np.allclose(np.asarray(r.particles[0]), np.asarray(r.particles[1]))
+    assert len(set(np.asarray(r.logz).round(3).tolist())) == 3
+
+
+def test_cohort_smc_routing(tmp_path):
+    """run_cohort(cohort_sampler="config", sampler="smc"): per-subject
+    tempering populations per bucket, evidence + tempering health surfaced
+    per subject (chain ESS/R-hat do not apply to exchangeable particles)."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    subjects = {}
+    for i, (k, n) in enumerate(zip(keys, [14, 16, 16])):
+        d = sim.sim_mnts(k, n=n)
+        subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=30, window_size=5, do_hmc=True, n_hmc=8,
+        whiten=True, do_pred_test=False,
+        cohort_sampler="config", sampler="smc",
+        smc_particles=64, smc_mutations=3, smc_leapfrog=6,
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = workflows.run_cohort(subjects, cfg, store=store, n_buckets=2)
+    for sid, rec in out["subjects"].items():
+        assert rec["hmc_samples"].shape[0] == 8
+        assert np.all(np.isfinite(rec["hmc_samples"]))
+        s = rec["sampling"]
+        assert s["sampler"] == "smc" and s["beta_final"] == 1.0
+        assert np.isfinite(s["log_evidence"])
+    assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "sampling"))
+
+
+def test_workflow_sampler_routing():
+    """PipelineConfig(sampler="smc") runs the full single-subject stage
+    (whitened) — exchangeable particles serve as the chain-sample draw
+    matrix — and surfaces the evidence + tempering diagnostics."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=24)
+    res = workflows.run_subject(
+        d.x,
+        d.y,
+        workflows.PipelineConfig(
+            model="gnmgp",
+            n_opt=60,
+            do_hmc=True,
+            n_hmc=16,
+            sampler="smc",
+            smc_particles=128,
+            smc_mutations=3,
+            smc_leapfrog=6,
+            whiten=True,
+        ),
+    )
+    assert res["hmc_samples"].shape[0] == 16
+    assert np.all(np.isfinite(res["hmc_samples"]))
+    s = res["sampling"]
+    assert s["sampler"] == "smc" and s["beta_final"] == 1.0
+    assert np.isfinite(s["log_evidence"])
+    assert s["n_stages"] >= 1 and 0.0 <= s["final_accept"] <= 1.0
 
 
 def test_gnmgp_whitened_pairing():
