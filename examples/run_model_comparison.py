@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--n-opt", type=int, default=400)
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="HMC draws for DIC (0 = AIC/BIC only)")
+    ap.add_argument("--evidence", action="store_true",
+                    help="also estimate each family's log marginal "
+                         "likelihood by tempered SMC (inference/smc.py) and "
+                         "report pairwise log Bayes factors -- exact model "
+                         "comparison where AIC/BIC/DIC are asymptotic "
+                         "approximations (lmc is skipped: no latent-GP "
+                         "blocks to whiten, so no tractable reference)")
+    ap.add_argument("--smc-particles", type=int, default=512)
     ap.add_argument("--test-size", type=float, default=0.25)
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
@@ -43,7 +51,10 @@ def main():
         stats, summary,
     )
 
+    import dataclasses
+
     per_model_scores = {m: [] for m in MODELS}
+    evidence_by_model = {m: [] for m in MODELS}
     rmse_by_model = {m: {} for m in MODELS}
     for seed in range(args.seeds):
         d = sim.sim_mnts(jax.random.PRNGKey(seed), n=args.n)
@@ -55,6 +66,12 @@ def main():
                 whiten=args.n_hmc > 0 and model != "lmc",
                 do_pred_grid=False, do_map_analysis=False, seed=seed,
             )
+            if args.evidence and model != "lmc":
+                cfg = dataclasses.replace(
+                    cfg, do_hmc=True, sampler="smc", whiten=True,
+                    n_hmc=max(args.n_hmc, 64),
+                    smc_particles=args.smc_particles,
+                )
             res = workflows.run_subject(x, y, cfg)
             scores = {
                 k: float(res[k])
@@ -62,6 +79,10 @@ def main():
                           "test_lpd", "test_pmse")
                 if k in res
             }
+            if args.evidence and "sampling" in res \
+                    and "log_evidence" in res["sampling"]:
+                scores["log_evidence"] = res["sampling"]["log_evidence"]
+                evidence_by_model[model].append(scores["log_evidence"])
             per_model_scores[model].append(scores)
             rmse_by_model[model][seed] = scores.get("test_rmse", float("nan"))
             print(f"[compare] seed={seed} {model}: " + json.dumps(scores),
@@ -81,6 +102,21 @@ def main():
         }
     out = {"n": args.n, "seeds": args.seeds, "scores": report,
            "paired_rmse": pairs}
+    if args.evidence:
+        # mean log Bayes factor per pair (positive favors the second family)
+        bf = {}
+        for a, b in (("snmgp", "gnmgp"),):
+            if evidence_by_model[a] and evidence_by_model[b]:
+                diffs = [zb - za for za, zb in
+                         zip(evidence_by_model[a], evidence_by_model[b])]
+                bf[f"{b}_vs_{a}"] = {
+                    "mean_log_bayes_factor": float(np.mean(diffs)),
+                    "per_seed": [float(v) for v in diffs],
+                }
+        out["log_evidence"] = {
+            m: [float(v) for v in vs] for m, vs in evidence_by_model.items() if vs
+        }
+        out["bayes_factors"] = bf
     text = json.dumps(out, indent=1)
     if args.out:
         with open(args.out, "w") as f:
