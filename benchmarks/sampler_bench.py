@@ -65,6 +65,11 @@ def main():
                     help="smc: >0 upgrades mutation sweeps to 2-stage "
                          "delayed rejection at eps/this (3x trajectories)")
     ap.add_argument("--smc-max-stages", type=int, default=64)
+    ap.add_argument("--smc-metric", default="diag", choices=["diag", "full"],
+                    help="smc: mutation metric — per-coordinate particle "
+                         "scales, or the full population covariance "
+                         "(affine-invariant; the move that aligns with the "
+                         "GNMGP collective ridge)")
     ap.add_argument("--chees-chains", type=int, default=16,
                     help="chees: lockstep chains (it adapts from the cross-"
                          "chain ChEES criterion, so it brings its own "
@@ -386,6 +391,7 @@ def main():
                 args.smc_particles,
                 n_mutations=args.smc_mutations, n_leapfrog=args.smc_leapfrog,
                 target_cess=args.smc_cess, dr_reduction=args.smc_dr,
+                metric=args.smc_metric,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -418,6 +424,7 @@ def main():
             "grad_evals": grads,
             "runs": r_,
             "particles": np_,
+            "metric": args.smc_metric,
             "stages": stages.tolist(),
             "beta_final": np.asarray(rr.beta_final).tolist(),
             "logz_mean": round(float(logzs.mean()), 2),

@@ -109,6 +109,8 @@ def _build_stage(
     target_accept,
     adapt_rate,
     min_beta_step,
+    metric: str = "diag",
+    shrink: float = 0.1,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -118,6 +120,18 @@ def _build_stage(
     required on the tunneled TPU, where minutes-long single-program
     executions trip the runtime's device fault (the monolithic f64 HMC
     scan's failure class, CLAUDE.md).
+
+    ``metric="full"``: mutations run in the population-covariance-whitened
+    space — per stage, ``q = mu + L z`` with ``L = chol`` of the
+    (shrinkage-regularized) particle covariance, identity mass in ``z``.
+    This is the affine-invariant move that only a population can make: the
+    GNMGP posterior's measured obstruction is a *correlated* ridge
+    (inference/drhmc.py diagnosis), invisible to every diagonal metric —
+    measured here too: with ``metric="diag"`` at N=200 the mid-path stages
+    (beta 0.2-0.6) force eps to ~1e-5 and the resampled duplicates never
+    decorrelate (min_ess < 1 across runs).  One P x P Cholesky per stage +
+    two (N,P)x(P,P) matmuls per leapfrog step — noise next to the N
+    potential gradients.
     """
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
 
@@ -136,32 +150,41 @@ def _build_stage(
     u_b = jax.vmap(pot_b, in_axes=(0, None))
     use_dr = dr_reduction > 0
 
-    def propose(qs, p, b, eps, m_inv):
-        """Leapfrog(eps, n_leapfrog) + flip on the (N, P) batch.
+    def propose(zs, p, b, eps, lin):
+        """Leapfrog(eps, n_leapfrog) + flip on the (N, P) batch, in the
+        metric-whitened space ``q = mu + L z`` (identity mass in z).
 
-        Fused leapfrog (one grad per step, hmc.py:99); shared step size,
-        diagonal metric ``m_inv`` = per-coordinate particle variance.
+        Fused leapfrog (one grad per step, hmc.py:99); shared step size.
         Returns proposal, flipped momentum, and per-particle total energy.
         """
-        g = grad_b(qs, b)
+        mu, lmul, ltmul, _ = lin
+
+        def val_grad_z(z):
+            u, gq = val_grad_b(mu + lmul(z), b)
+            return u, ltmul(gq)
+
+        def grad_z(z):
+            return ltmul(grad_b(mu + lmul(z), b))
+
+        g = grad_z(zs)
         p = p - 0.5 * eps * g
-        q = qs + eps * m_inv * p
+        z = zs + eps * p
 
         def body(_, carry):
-            q, p = carry
-            p = p - eps * grad_b(q, b)
-            q = q + eps * m_inv * p
-            return (q, p)
+            z, p = carry
+            p = p - eps * grad_z(z)
+            z = z + eps * p
+            return (z, p)
 
-        q, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (q, p))
-        u, g = val_grad_b(q, b)
+        z, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (z, p))
+        u, g = val_grad_z(z)
         p = p - 0.5 * eps * g
-        h = u + 0.5 * jnp.sum(p * p * m_inv, axis=1)
-        return q, -p, h
+        h = u + 0.5 * jnp.sum(p * p, axis=1)
+        return z, -p, h
 
-    def hmc_sweep(qs, b, eps, m_inv, k):
+    def hmc_sweep(zs, b, eps, lin, k):
         """One batched-HMC (or 2-stage delayed-rejection) step on all N
-        particles at temperature ``b``.
+        particles at temperature ``b``, in the whitened z-space.
 
         DR (``dr_reduction > 0``): rejected particles retry at
         ``eps / dr_reduction`` with the Mira/Green involutive ratio
@@ -170,11 +193,12 @@ def _build_stage(
         lets the sweep serve funnel necks whose local step size sits far
         below the population's adapted one.
         """
+        mu, lmul, _, _ = lin
         k_mom, k_acc = jax.random.split(k)
-        p = jax.random.normal(k_mom, (n, dim), dtype=dtype) / jnp.sqrt(m_inv)
-        u_q = u_b(qs, b)
-        h0 = u_q + 0.5 * jnp.sum(p * p * m_inv, axis=1)
-        q1, _, h1 = propose(qs, p, b, eps, m_inv)
+        p = jax.random.normal(k_mom, (n, dim), dtype=dtype)
+        u_q = u_b(mu + lmul(zs), b)
+        h0 = u_q + 0.5 * jnp.sum(p * p, axis=1)
+        z1, _, h1 = propose(zs, p, b, eps, lin)
         la1 = jnp.where(
             jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf
         )
@@ -182,14 +206,14 @@ def _build_stage(
             accept = (
                 jnp.log(jax.random.uniform(k_acc, (n,), dtype=dtype)) < la1
             )
-            qs = jnp.where(accept[:, None], q1, qs)
-            return qs, jnp.mean(jnp.exp(la1))
+            zs = jnp.where(accept[:, None], z1, zs)
+            return zs, jnp.mean(jnp.exp(la1))
         us = jax.random.uniform(k_acc, (n, 2), dtype=dtype)
         acc1 = jnp.log(us[:, 0]) < la1
-        # stage 2 from the same (q, p) at eps/red; ghost stage-1 from (q2, p2)
+        # stage 2 from the same (z, p) at eps/red; ghost stage-1 from (z2, p2)
         eps2 = eps / jnp.asarray(dr_reduction, dtype)
-        q2, p2, h2 = propose(qs, p, b, eps2, m_inv)
-        _, _, hg = propose(q2, p2, b, eps, m_inv)
+        z2, p2, h2 = propose(zs, p, b, eps2, lin)
+        _, _, hg = propose(z2, p2, b, eps, lin)
         la1_ghost = jnp.where(
             jnp.isfinite(hg), jnp.minimum(0.0, h2 - hg), -jnp.inf
         )
@@ -198,10 +222,42 @@ def _build_stage(
         ok = jnp.isfinite(h2) & jnp.isfinite(num) & jnp.isfinite(den)
         la2 = jnp.where(ok, jnp.minimum(0.0, num - den), -jnp.inf)
         acc2 = (~acc1) & (jnp.log(us[:, 1]) < la2)
-        qs = jnp.where(acc1[:, None], q1, jnp.where(acc2[:, None], q2, qs))
+        zs = jnp.where(acc1[:, None], z1, jnp.where(acc2[:, None], z2, zs))
         # adaptation tracks the stage-1 rate: DR's retries are a safety
         # net, not a license to inflate eps
-        return qs, jnp.mean(jnp.exp(la1))
+        return zs, jnp.mean(jnp.exp(la1))
+
+    def make_lin(qs):
+        """Per-stage metric map from the resampled population.
+
+        diag: ``L = diag(particle std)``.  full: ``L = chol`` of the
+        shrinkage-regularized particle covariance — the affine-invariant
+        metric (module docstring); the shrinkage floor also repairs the
+        N < P rank deficiency.
+        """
+        mu = jnp.mean(qs, axis=0)
+        xc = qs - mu
+        if metric == "diag":
+            sd = jnp.sqrt(jnp.clip(jnp.var(qs, axis=0), 1e-8, None))
+            return (
+                mu,
+                lambda z: z * sd,
+                lambda g: g * sd,
+                lambda x: x / sd,
+            )
+        cov = xc.T @ xc / (n - 1)
+        dvar = jnp.clip(jnp.diag(cov), 1e-8, None)
+        cov = (1.0 - shrink) * cov + shrink * jnp.diag(dvar)
+        cov = cov + 1e-6 * jnp.mean(dvar) * jnp.eye(dim, dtype=dtype)
+        l_cov = jnp.linalg.cholesky(cov)
+        return (
+            mu,
+            lambda z: z @ l_cov.T,
+            lambda g: g @ l_cov,
+            lambda x: jax.scipy.linalg.solve_triangular(
+                l_cov, x.T, lower=True
+            ).T,
+        )
 
     def next_beta(b, v):
         """Largest b' in (b, 1] whose incremental-weight CESS >= target."""
@@ -237,13 +293,15 @@ def _build_stage(
         idx = _systematic_resample(k_res, dlw)
         qs = qs[idx]
 
-        # population metric: inverse mass = per-coordinate particle variance
-        m_inv = jnp.clip(jnp.var(qs, axis=0), 1e-8, None)
+        # per-stage population metric (diag scales or full covariance)
+        lin = make_lin(qs)
+        zs = lin[3](qs - lin[0])
 
         # feed-forward step scaling: the likelihood Hessian enters the
         # tempered potential as b*H, so the stable step shrinks ~1/sqrt(b);
         # pre-scaling by sqrt(b/b2) means Robbins-Monro only corrects the
         # *residual* curvature growth instead of chasing the known part
+        # (the metric is one stage stale, so the contraction is unmodeled)
         log_eps = log_eps + jnp.where(
             b > 0,
             0.5 * (jnp.log(jnp.maximum(b, min_beta_step)) - jnp.log(b2)),
@@ -251,14 +309,15 @@ def _build_stage(
         )
 
         def mut_body(carry, kk):
-            q, le = carry
-            q, acc = hmc_sweep(q, b2, jnp.exp(le), m_inv, kk)
+            z, le = carry
+            z, acc = hmc_sweep(z, b2, jnp.exp(le), lin, kk)
             le = le + adapt_rate * (acc - target_accept)
-            return (q, le), acc
+            return (z, le), acc
 
-        (qs, log_eps), accs = jax.lax.scan(
-            mut_body, (qs, log_eps), jax.random.split(k_mut, n_mutations)
+        (zs, log_eps), accs = jax.lax.scan(
+            mut_body, (zs, log_eps), jax.random.split(k_mut, n_mutations)
         )
+        qs = lin[0] + lin[1](zs)
         return qs, b2, logz, log_eps, key, cess_frac, jnp.mean(accs)
 
     return stage, u_batch
@@ -279,6 +338,8 @@ _STAGE_STATICS = dict(
         "max_stages",
         "n_bisect",
         "dr_reduction",
+        "metric",
+        "shrink",
     ),
 )
 
@@ -300,6 +361,8 @@ def _run_smc(
     step_size0,
     adapt_rate,
     min_beta_step,
+    metric: str = "diag",
+    shrink: float = 0.1,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -307,6 +370,7 @@ def _run_smc(
         potential_fn, n, dim, dtype, ref_mean, ref_scale,
         n_mutations, n_leapfrog, n_bisect, dr_reduction,
         target_cess, target_accept, adapt_rate, min_beta_step,
+        metric=metric, shrink=shrink,
     )
 
     def cond(c):
@@ -365,6 +429,8 @@ def _run_smc_host(
     step_size0,
     adapt_rate,
     min_beta_step,
+    metric: str = "diag",
+    shrink: float = 0.1,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -381,6 +447,7 @@ def _run_smc_host(
         n_mutations, n_leapfrog, n_bisect, dr_reduction,
         jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
+        metric=metric, shrink=shrink,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
@@ -428,6 +495,8 @@ def smc_sample(
     min_beta_step: float = 1e-5,
     n_bisect: int = 32,
     dr_reduction: float = 0.0,
+    metric: str = "diag",
+    shrink: float = 0.1,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -502,10 +571,13 @@ def smc_sample(
         jnp.asarray(adapt_rate, dtype),
         jnp.asarray(min_beta_step, dtype),
     )
+    if metric not in ("diag", "full"):
+        raise ValueError(f"unknown metric {metric!r} (want 'diag' or 'full')")
     if dispatch == "host":
-        out = _run_smc_host(*run_args, progress=progress)
+        out = _run_smc_host(*run_args, metric=metric, shrink=float(shrink),
+                            progress=progress)
     else:
-        out = _run_smc(*run_args)
+        out = _run_smc(*run_args, metric=metric, shrink=float(shrink))
     qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,
