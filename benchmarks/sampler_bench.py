@@ -65,7 +65,7 @@ def main():
                     help="smc: >0 upgrades mutation sweeps to 2-stage "
                          "delayed rejection at eps/this (3x trajectories)")
     ap.add_argument("--smc-max-stages", type=int, default=64)
-    ap.add_argument("--smc-metric", default="diag", choices=["diag", "full"],
+    ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
                          "(affine-invariant; the move that aligns with the "

@@ -762,6 +762,7 @@ def smc_fleet(
     n_leapfrog: int = 10,
     target_cess: float = 0.5,
     dr_reduction: float = 0.0,
+    metric: str = "full",
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -831,7 +832,7 @@ def smc_fleet(
             pot, p_dim, k, n_particles,
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
-            max_stages=max_stages, dtype=settings.dtype,
+            metric=metric, max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
         logz = r.logz

@@ -90,6 +90,11 @@ class PipelineConfig:
     smc_leapfrog: int = 10  # smc leapfrog steps per mutation sweep
     smc_cess: float = 0.5  # smc conditional-ESS target for the beta schedule
     smc_dr: float = 0.0  # smc >0: delayed-rejection sweeps at eps/this
+    smc_metric: str = "full"  # mutation metric: full population covariance
+    #                  (affine-invariant — aligns with the measured GNMGP
+    #                  collective ridge; N=200/TPU: logz run-to-run spread
+    #                  113 nats -> 0.9 nats vs "diag") or per-coordinate
+    #                  "diag" scales
     dr_stages: int = 3  # drhmc proposal stages (1 = plain HMC)
     dr_reduction: float = 4.0  # drhmc per-stage step-size reduction
     rm_k: int = 12  # rmhmc subspace size (worst-mixing pilot coordinates)
@@ -299,6 +304,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         pot, int(map_vec.shape[0]), key, n_particles,
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+        metric=cfg.smc_metric,
     )
     parts = np.asarray(
         r.particles if whitener is None
@@ -1228,6 +1234,7 @@ def run_cohort(
                     n_mutations=cfg.smc_mutations,
                     n_leapfrog=cfg.smc_leapfrog,
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                    metric=cfg.smc_metric,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
