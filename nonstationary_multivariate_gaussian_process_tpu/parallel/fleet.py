@@ -1035,6 +1035,123 @@ def _subject_nlp_hadamard(model_name: str, m: int, hp: dict):
     return nlp
 
 
+def _hadamard_n_params(model_name: str, n: int, m: int) -> int:
+    """Packed Hadamard-layout parameter count (workflows.run_cohort_hadamard
+    init convention)."""
+    from ..ops import transforms
+
+    t = transforms.tri_size(m)
+    return {"lmc": 2 + t + 1, "snmgp": 2 * n + t + 1,
+            "gnmgp": n + n * t + 1}[model_name]
+
+
+def smc_fleet_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    key,
+    n_particles: int = 256,
+    n_mutations: int = 5,
+    n_leapfrog: int = 10,
+    target_cess: float = 0.5,
+    dr_reduction: float = 0.0,
+    metric: str = "full",
+    max_stages: int = 64,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = True,
+    masks: jnp.ndarray | None = None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a fleet of Hadamard-layout subjects.
+
+    The Hadamard counterpart of :func:`smc_fleet` (same contract and
+    defaults: prior-whitened reference, full population-covariance metric,
+    per-subject natural-space evidence, no MAP warm start needed).
+    """
+    from ..inference import smc as smc_mod
+
+    s_in = np.asarray(xs).shape[0]
+    _validate_fleet(model_name, xs, ys,
+                    jnp.zeros((s_in, 1), settings.dtype), masks,
+                    hadamard=True)
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_pts = np.asarray(xs).shape[1]
+    wfns = _fleet_whiten_fns(model_name, n_pts, m, hp) if whiten else None
+    ld_fn = _fleet_whiten_logdet(model_name, n_pts, m, hp) if whiten else None
+    p_dim = _hadamard_n_params(model_name, n_pts, m)
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+
+    def subject_one(x, indx, y, p1, p2, k, mask):
+        p3 = jnp.zeros((0,), p1.dtype)
+        if wfns is not None:
+            fw, _ = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), x, indx, y, p1, p2, mask)
+        else:
+            pot = lambda v: nlp(v, x, indx, y, p1, p2, mask)
+        r = smc_mod.smc_sample(
+            pot, p_dim, k, n_particles,
+            n_mutations=n_mutations, n_leapfrog=n_leapfrog,
+            target_cess=target_cess, dr_reduction=dr_reduction,
+            metric=metric, max_stages=max_stages, dtype=settings.dtype,
+        )
+        parts = r.particles
+        logz = r.logz
+        if wfns is not None:
+            parts = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(parts)
+            logz = logz + ld_fn(p1, p2, p3)
+        ns = jnp.maximum(r.n_stages, 1)
+        acc = jnp.take(r.accept, ns - 1)
+        return parts, logz, r.beta_final, r.n_stages, acc
+
+    def shard_fn(x, indx, y, p1, p2, k, mask):
+        return jax.vmap(subject_one)(x, indx, y, p1, p2, k, mask)
+
+    # check_vma=False for the same reason as nuts_fleet
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 7),
+        out_specs=tuple([P(SUBJECT_AXIS)] * 5),
+        check_vma=False,
+    )
+    parts, logz, bf, ns, acc = jax.jit(sharded)(
+        xs, indxs, ys, pc1, pc2, keys, masks
+    )
+    return SMCFleetResult(
+        particles=parts[:s_real],
+        logz=logz[:s_real],
+        beta_final=bf[:s_real],
+        n_stages=ns[:s_real],
+        accept=acc[:s_real],
+    )
+
+
 def fit_fleet_map_hadamard(
     model_name: str,
     xs: jnp.ndarray,  # (S, N)

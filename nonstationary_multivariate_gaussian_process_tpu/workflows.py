@@ -841,15 +841,36 @@ def run_cohort_hadamard(
                                  "'prior' only (pncp is single-subject)")
             sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            x_t, y_t, vec_t, mask_t = _tile_chains(
-                jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
-                cfg.n_chains, jax.random.fold_in(k_bucket, 1),
-                model=cfg.model, hyper=cfg.hyper,
-                indx=jnp.asarray(indx), m=m,
-            )
             c = max(1, cfg.n_chains)
-            indx_t = jnp.repeat(jnp.asarray(indx), c, axis=0)
-            if sampler == "nuts":
+            if sampler != "smc":  # smc brings its own population, untiled
+                x_t, y_t, vec_t, mask_t = _tile_chains(
+                    jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
+                    cfg.n_chains, jax.random.fold_in(k_bucket, 1),
+                    model=cfg.model, hyper=cfg.hyper,
+                    indx=jnp.asarray(indx), m=m,
+                )
+                indx_t = jnp.repeat(jnp.asarray(indx), c, axis=0)
+            if sampler == "smc":
+                r = fleet_mod.smc_fleet_hadamard(
+                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
+                    jnp.asarray(y), m, k_bucket,
+                    n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                    cfg.n_hmc),
+                    n_mutations=cfg.smc_mutations,
+                    n_leapfrog=cfg.smc_leapfrog,
+                    target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                    metric=cfg.smc_metric,
+                    hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
+                    masks=jnp.asarray(mask),
+                )
+                c = 1
+                out["hmc"] = np.asarray(
+                    r.particles[:, : cfg.n_hmc, :]
+                ).reshape(s, 1, cfg.n_hmc, -1)
+                out["smc_logz"] = np.asarray(r.logz)
+                out["smc_beta"] = np.asarray(r.beta_final)
+                out["smc_stages"] = np.asarray(r.n_stages)
+            elif sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet_hadamard(
                     cfg.model, x_t, indx_t, y_t, m, vec_t, k_bucket,
@@ -867,7 +888,8 @@ def run_cohort_hadamard(
                 )
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
-            out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+            if "smc_logz" not in out:  # smc wrote (S, 1, T, P) itself
+                out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
 
     y_pairs = [np.stack([indxs[i], ys[i]], axis=-1) for i in range(len(ids))]
@@ -882,17 +904,36 @@ def run_cohort_hadamard(
         if "hmc" in entry:
             chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
             rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
-            rec["sampling"] = _sampling_record(chains, chains.shape[0])
-            if store is not None:
-                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
-                           samples=rec["hmc_samples"])
-                store.save(
-                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
-                    min_ess=rec["sampling"]["min_ess"],
-                    median_ess=rec["sampling"]["median_ess"],
-                    max_rhat=rec["sampling"]["max_rhat"],
-                    n_chains=rec["sampling"]["n_chains"],
-                )
+            if "smc_logz" in entry:
+                # exchangeable particles: surface evidence + tempering
+                # health instead of chain ESS/R-hat (run_cohort convention)
+                rec["sampling"] = {
+                    "sampler": "smc",
+                    "log_evidence": float(entry["smc_logz"]),
+                    "beta_final": float(entry["smc_beta"]),
+                    "n_stages": int(entry["smc_stages"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        log_evidence=rec["sampling"]["log_evidence"],
+                        beta_final=rec["sampling"]["beta_final"],
+                        n_stages=rec["sampling"]["n_stages"],
+                    )
+            else:
+                rec["sampling"] = _sampling_record(chains, chains.shape[0])
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        min_ess=rec["sampling"]["min_ess"],
+                        median_ess=rec["sampling"]["median_ess"],
+                        max_rhat=rec["sampling"]["max_rhat"],
+                        n_chains=rec["sampling"]["n_chains"],
+                    )
         n_real = int(entry["n_train"])
         x_u = xs[pos][:n_real]
         i_u = indxs[pos][:n_real]

@@ -200,6 +200,34 @@ def test_cohort_smc_routing(tmp_path):
     assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "sampling"))
 
 
+def test_cohort_hadamard_smc_routing(tmp_path):
+    """run_cohort_hadamard with sampler="smc": the Hadamard fleet tier
+    (smc_fleet_hadamard) — evidence surfaced, particles as draws."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    rng = np.random.default_rng(0)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    subjects = {}
+    for i, (k, n) in enumerate(zip(keys, [20, 24, 24])):
+        d = sim.sim_mnts(k, n=n)
+        indx = rng.integers(0, 2, size=n)
+        y = np.asarray(d.y)[np.arange(n), indx]
+        subjects[f"s{i}"] = (np.asarray(d.x), indx, y)
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=25, do_hmc=True, n_hmc=8, whiten=True,
+        do_pred_test=False, cohort_sampler="config", sampler="smc",
+        smc_particles=64, smc_mutations=3, smc_leapfrog=6,
+    )
+    out = workflows.run_cohort_hadamard(subjects, m=2, cfg=cfg, n_buckets=2)
+    for rec in out["subjects"].values():
+        assert rec["hmc_samples"].shape[0] == 8
+        assert np.all(np.isfinite(rec["hmc_samples"]))
+        s = rec["sampling"]
+        assert s["sampler"] == "smc" and s["beta_final"] == 1.0
+        assert np.isfinite(s["log_evidence"])
+
+
 def test_workflow_sampler_routing():
     """PipelineConfig(sampler="smc") runs the full single-subject stage
     (whitened) — exchangeable particles serve as the chain-sample draw
