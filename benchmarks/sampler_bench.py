@@ -65,6 +65,9 @@ def main():
                     help="smc: >0 upgrades mutation sweeps to 2-stage "
                          "delayed rejection at eps/this (3x trajectories)")
     ap.add_argument("--smc-max-stages", type=int, default=64)
+    ap.add_argument("--smc-polish", type=int, default=0,
+                    help="smc: extra mutation-only stages at beta=1 (cheap "
+                         "decorrelation against resampling coalescence)")
     ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
@@ -391,7 +394,7 @@ def main():
                 args.smc_particles,
                 n_mutations=args.smc_mutations, n_leapfrog=args.smc_leapfrog,
                 target_cess=args.smc_cess, dr_reduction=args.smc_dr,
-                metric=args.smc_metric,
+                metric=args.smc_metric, n_polish=args.smc_polish,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -409,6 +412,7 @@ def main():
         est = smc.smc_ess_estimate(parts)
         stages = np.asarray(rr.n_stages)
         traj = 3 if args.smc_dr > 0 else 1
+        # stages counts tempering + polish stage calls (both pay the sweeps)
         grads = int(
             np.sum(stages) * args.smc_particles
             * (args.smc_mutations * traj * args.smc_leapfrog + 1)

@@ -24,10 +24,14 @@ Tempered SMC attacks it structurally instead of dynamically:
   Johansen & Aston 2016 for the CESS criterion),
 * after systematic resampling, particles decorrelate through ``n_mutations``
   batched-HMC steps targeting the *current* tempered density — and the
-  metric for those steps is estimated from the population itself (the
-  per-coordinate particle variance), information a single chain can never
-  have; the step size follows a Robbins-Monro drift toward a target accept
-  rate across stages,
+  metric for those steps is estimated from the population itself,
+  information a single chain can never have: per-coordinate scales
+  (``metric="diag"``) or the full shrinkage-regularized particle
+  covariance (``metric="full"`` — the affine-invariant move that aligns
+  with the GNMGP posterior's measured *collective ridge*, which defeats
+  every diagonal metric; see :func:`_build_stage`).  The shared step size
+  follows a Robbins-Monro drift toward a target accept rate with a
+  feed-forward ``1/sqrt(beta)`` pre-scale,
 * everything is one XLA program: a ``lax.while_loop`` over stages whose body
   does (reweight -> bisect -> resample -> mutate) on the full ``(N, P)``
   particle block.  This is the TPU-native sampler shape: where one chain's
@@ -68,7 +72,7 @@ from .drhmc import _log1m_exp
 class SMCResult(NamedTuple):
     particles: jnp.ndarray  # (N, P) unweighted particles at beta_final
     logz: jnp.ndarray  # log integral of exp(-potential) (see module docstring)
-    n_stages: jnp.ndarray  # number of tempering stages used
+    n_stages: jnp.ndarray  # stage calls used (tempering + any beta=1 polish)
     beta_final: jnp.ndarray  # 1.0 when the path completed within max_stages
     betas: jnp.ndarray  # (max_stages,) beta after each stage (padded with 1)
     cess: jnp.ndarray  # (max_stages,) conditional-ESS fraction per stage
@@ -340,6 +344,7 @@ _STAGE_STATICS = dict(
         "dr_reduction",
         "metric",
         "shrink",
+        "n_polish",
     ),
 )
 
@@ -363,6 +368,7 @@ def _run_smc(
     min_beta_step,
     metric: str = "diag",
     shrink: float = 0.1,
+    n_polish: int = 0,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -374,20 +380,27 @@ def _run_smc(
     )
 
     def cond(c):
-        qs, b, logz, log_eps, k, i, hists = c
-        return (b < 1.0) & (i < max_stages)
+        qs, b, logz, log_eps, k, i, j, hists = c
+        # keep tempering until beta=1, then run n_polish extra mutation-only
+        # stages (at b=1 a stage is uniform-resample + metric refresh +
+        # sweeps; logz increment exactly 0)
+        return ((b < 1.0) & (i < max_stages)) | ((b >= 1.0) & (j < n_polish))
 
     def body(c):
-        qs, b, logz, log_eps, k, i, hists = c
+        qs, b, logz, log_eps, k, i, j, hists = c
         betas_h, cess_h, acc_h, eps_h = hists
+        was_done = b >= 1.0
         qs, b, logz, log_eps, k, cess_frac, acc = stage(qs, b, logz, log_eps, k)
+        # out-of-range .at[] writes drop silently: polish stages beyond
+        # max_stages leave the recorded schedule untouched
         hists = (
             betas_h.at[i].set(b),
             cess_h.at[i].set(cess_frac),
             acc_h.at[i].set(acc),
             eps_h.at[i].set(jnp.exp(log_eps)),
         )
-        return (qs, b, logz, log_eps, k, i + 1, hists)
+        return (qs, b, logz, log_eps, k, i + 1,
+                j + was_done.astype(jnp.int32), hists)
 
     hists0 = (
         jnp.ones((max_stages,), dtype),
@@ -402,9 +415,10 @@ def _run_smc(
         jnp.log(jnp.asarray(step_size0, dtype)),
         key,
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
         hists0,
     )
-    qs, b, logz, log_eps, _, i, hists = jax.lax.while_loop(cond, body, init)
+    qs, b, logz, log_eps, _, i, _, hists = jax.lax.while_loop(cond, body, init)
     betas_h, cess_h, acc_h, eps_h = hists
     pots = u_batch(qs)
     return (
@@ -431,6 +445,7 @@ def _run_smc_host(
     min_beta_step,
     metric: str = "diag",
     shrink: float = 0.1,
+    n_polish: int = 0,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -470,6 +485,20 @@ def _run_smc_host(
         if progress is not None:
             progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
                       "accept": float(acc), "step_size": eps_h[i - 1]})
+    for jp in range(n_polish if float(b) >= 1.0 else 0):
+        qs, b, logz, log_eps, key, cess_frac, acc = stage_j(
+            qs, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        if i < max_stages:  # mirror the device driver's recording exactly
+            betas_h[i] = float(b)
+            cess_h[i] = float(cess_frac)
+            acc_h[i] = float(acc)
+            eps_h[i] = float(jnp.exp(log_eps))
+        i += 1
+        if progress is not None:
+            progress({"polish": jp + 1, "accept": float(acc),
+                      "step_size": float(jnp.exp(log_eps))})
     pots = u_batch(qs)
     return (
         qs, logz + _logz0(dim, ref_scale, dtype),
@@ -497,6 +526,7 @@ def smc_sample(
     dr_reduction: float = 0.0,
     metric: str = "diag",
     shrink: float = 0.1,
+    n_polish: int = 0,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -575,9 +605,10 @@ def smc_sample(
         raise ValueError(f"unknown metric {metric!r} (want 'diag' or 'full')")
     if dispatch == "host":
         out = _run_smc_host(*run_args, metric=metric, shrink=float(shrink),
-                            progress=progress)
+                            n_polish=int(n_polish), progress=progress)
     else:
-        out = _run_smc(*run_args, metric=metric, shrink=float(shrink))
+        out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
+                       n_polish=int(n_polish))
     qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,

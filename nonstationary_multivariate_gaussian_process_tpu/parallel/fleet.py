@@ -763,6 +763,7 @@ def smc_fleet(
     target_cess: float = 0.5,
     dr_reduction: float = 0.0,
     metric: str = "full",
+    n_polish: int = 0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -832,7 +833,8 @@ def smc_fleet(
             pot, p_dim, k, n_particles,
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
-            metric=metric, max_stages=max_stages, dtype=settings.dtype,
+            metric=metric, n_polish=n_polish,
+            max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
         logz = r.logz
@@ -1058,6 +1060,7 @@ def smc_fleet_hadamard(
     target_cess: float = 0.5,
     dr_reduction: float = 0.0,
     metric: str = "full",
+    n_polish: int = 0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -1118,7 +1121,8 @@ def smc_fleet_hadamard(
             pot, p_dim, k, n_particles,
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
-            metric=metric, max_stages=max_stages, dtype=settings.dtype,
+            metric=metric, n_polish=n_polish,
+            max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
         logz = r.logz

@@ -90,6 +90,8 @@ class PipelineConfig:
     smc_leapfrog: int = 10  # smc leapfrog steps per mutation sweep
     smc_cess: float = 0.5  # smc conditional-ESS target for the beta schedule
     smc_dr: float = 0.0  # smc >0: delayed-rejection sweeps at eps/this
+    smc_polish: int = 0  # extra mutation-only stages at beta=1 (cheap
+    #                  decorrelation against resampling coalescence)
     smc_metric: str = "full"  # mutation metric: full population covariance
     #                  (affine-invariant — aligns with the measured GNMGP
     #                  collective ridge; N=200/TPU: logz run-to-run spread
@@ -304,7 +306,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         pot, int(map_vec.shape[0]), key, n_particles,
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
-        metric=cfg.smc_metric,
+        metric=cfg.smc_metric, n_polish=cfg.smc_polish,
     )
     parts = np.asarray(
         r.particles if whitener is None
@@ -859,7 +861,7 @@ def run_cohort_hadamard(
                     n_mutations=cfg.smc_mutations,
                     n_leapfrog=cfg.smc_leapfrog,
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
-                    metric=cfg.smc_metric,
+                    metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1275,7 +1277,7 @@ def run_cohort(
                     n_mutations=cfg.smc_mutations,
                     n_leapfrog=cfg.smc_leapfrog,
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
-                    metric=cfg.smc_metric,
+                    metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
