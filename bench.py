@@ -246,6 +246,48 @@ def bench_jax(x, y, vec, run_hmc: bool):
         except Exception as e:
             _log(f"[{dtype_name}] fleet sweep failed ({type(e).__name__})")
             fleet_sweep = None
+    # tempered-SMC probe (f32 headline only): the round-3 sampler tier's
+    # health signal — two independent prior->posterior runs at the
+    # reference scale (N=200) must agree on the log evidence; spread is
+    # the reproducibility number chain samplers never achieved at this N
+    smc_row = {}
+    if (run_hmc and settings.precision_mode == "f32"
+            and os.environ.get("NMGP_BENCH_SMC", "1") != "0"):
+        try:
+            from nonstationary_multivariate_gaussian_process_tpu.data import sim
+            from nonstationary_multivariate_gaussian_process_tpu.inference import (
+                smc, whiten,
+            )
+
+            smc_n = int(os.environ.get("NMGP_BENCH_SMC_N", "200"))
+            d = sim.sim_mnts(jax.random.PRNGKey(0), n=smc_n)
+            snlp = gnmgp.make_objective(FullData(
+                jnp.asarray(d.x, settings.dtype), jnp.asarray(d.y, settings.dtype)
+            ))
+            w = whiten.make_whitener("gnmgp", jnp.asarray(d.x, settings.dtype),
+                                     smc_n, M)
+            t0 = time.perf_counter()
+            logzs, stages = [], []
+            for i in range(2):
+                r = smc.smc_sample(
+                    w.wrap(snlp), w.n_params, jax.random.PRNGKey(100 + i),
+                    256, n_mutations=3, n_leapfrog=8, metric="full",
+                    dispatch="host",
+                )
+                logzs.append(float(r.logz + w.logdet()))
+                stages.append(int(r.n_stages))
+                _log(f"[{dtype_name}] smc run {i}: stages={stages[-1]} "
+                     f"beta={float(r.beta_final):.2f} logz={logzs[-1]:.1f}")
+            smc_row = {
+                "smc_logz_mean": float(np.mean(logzs)),
+                "smc_logz_spread": float(abs(logzs[0] - logzs[1])),
+                "smc_stages": stages,
+                "smc_wall_s": time.perf_counter() - t0,
+                "smc_n": smc_n,
+            }
+        except Exception as e:
+            _log(f"[{dtype_name}] smc probe failed ({type(e).__name__}: {e})")
+
     # secondary models at this precision (SNMGP/LMC ride the Kronecker path;
     # in mixed mode it routes through the corrected per-block solver)
     other = {}
@@ -302,6 +344,7 @@ def bench_jax(x, y, vec, run_hmc: bool):
         "mfu_fraction": achieved_tflops / PEAK_TFLOPS,
         "fleet_achieved_tflops": fleet_achieved,
         "dtype": dtype_name,
+        **smc_row,
         **other,
     }
 
@@ -504,6 +547,10 @@ def main():
                 "fleet_sweep_evals_per_sec": {
                     str(k): r(v, 1) for k, v in (head.get("fleet_sweep") or {}).items()
                 } or None,
+                "smc_logz_mean": r(head.get("smc_logz_mean"), 1),
+                "smc_logz_spread_2runs": r(head.get("smc_logz_spread"), 2),
+                "smc_n": head.get("smc_n"),
+                "smc_wall_s": r(head.get("smc_wall_s"), 1),
                 "n": N,
                 "m": M,
                 "parity": "log-posterior matches reference at 1e-6 rtol in f64 AND mixed (tests/test_models_parity.py, tests/test_mixed.py)",
