@@ -286,3 +286,30 @@ def test_gnmgp_whitened_pairing():
         jax.random.normal(jax.random.PRNGKey(1), (256, w.n_params))
     )
     assert float(r.potentials.mean()) < float(np.median(np.asarray(prior_u)))
+
+
+@pytest.mark.slow
+def test_evidence_ranks_true_family():
+    """Bayes factors from the SMC telescope must prefer the richer family
+    on nonstationary-truth data (sim_mnts) — the exact-model-comparison
+    capability AIC/BIC/DIC only approximate.  Two seeds, both must agree;
+    the measured per-run logz spread (~1 nat) sits far below the ~4-nat
+    gnmgp-vs-snmgp gap at this size."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    for seed in (0, 1):
+        d = sim.sim_mnts(jax.random.PRNGKey(seed), n=32)
+        ev = {}
+        for model in ("snmgp", "gnmgp"):
+            res = workflows.run_subject(
+                d.x, d.y,
+                workflows.PipelineConfig(
+                    model=model, n_opt=80, do_hmc=True, n_hmc=16,
+                    sampler="smc", smc_particles=256, whiten=True,
+                    do_pred_grid=False, do_pred_test=False,
+                    do_map_analysis=False, seed=seed,
+                ),
+            )
+            ev[model] = res["sampling"]["log_evidence"]
+        assert ev["gnmgp"] > ev["snmgp"], f"seed {seed}: {ev}"
