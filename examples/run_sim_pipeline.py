@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--n-opt", type=int, default=1000)
     ap.add_argument("--n-hmc", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--sampler", default="hmc", choices=["hmc", "nuts"])
+    ap.add_argument("--sampler", default="hmc",
+                    choices=["hmc", "nuts", "drhmc", "rmhmc", "chees", "smc"])
     ap.add_argument("--whiten", default="off",
                     choices=["off", "prior", "pncp"],
                     help="sampling reparameterization: prior-whitened latent "
