@@ -301,7 +301,8 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     from .inference import smc as smc_mod
 
     pot = nlp if whitener is None else whitener.wrap(nlp)
-    n_particles = cfg.smc_particles or max(256, cfg.n_hmc)
+    # never return fewer draws than asked: the population at least n_hmc
+    n_particles = max(cfg.smc_particles or 256, cfg.n_hmc)
     r = smc_mod.smc_sample(
         pot, int(map_vec.shape[0]), key, n_particles,
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
