@@ -168,6 +168,26 @@ def test_smc_fleet_contract():
     assert len(set(np.asarray(r.logz).round(3).tolist())) == 3
 
 
+def test_smc_fleet_hetero():
+    """The hetero GNMGP rides the same SMC fleet tier (third prior factor
+    whitens the noise rows; evidence in the natural space)."""
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    n = 14
+    ds = [sim.sim_mnts(jax.random.PRNGKey(i), n=n) for i in range(2)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    r = fleet.smc_fleet(
+        "gnmgp_hetero", xs, ys, jax.random.PRNGKey(0),
+        n_particles=48, n_mutations=2, n_leapfrog=5,
+    )
+    assert r.particles.shape[:2] == (2, 48)
+    assert np.all(np.isfinite(np.asarray(r.particles)))
+    assert np.all(np.asarray(r.beta_final) == 1.0)
+    assert np.all(np.isfinite(np.asarray(r.logz)))
+
+
 def test_cohort_smc_routing(tmp_path):
     """run_cohort(cohort_sampler="config", sampler="smc"): per-subject
     tempering populations per bucket, evidence + tempering health surfaced
