@@ -259,7 +259,7 @@ def bench_jax(x, y, vec, run_hmc: bool):
                 smc, whiten,
             )
 
-            smc_n = int(os.environ.get("NMGP_BENCH_SMC_N", "200"))
+            smc_n = int(os.environ.get("NMGP_BENCH_SMC_N", "128"))
             d = sim.sim_mnts(jax.random.PRNGKey(0), n=smc_n)
             snlp = gnmgp.make_objective(FullData(
                 jnp.asarray(d.x, settings.dtype), jnp.asarray(d.y, settings.dtype)
@@ -269,9 +269,12 @@ def bench_jax(x, y, vec, run_hmc: bool):
             t0 = time.perf_counter()
             logzs, stages = [], []
             for i in range(2):
+                # the mutation budget that measured ~1-nat run-to-run
+                # agreement at N=200 (ROADMAP); n=128 keeps the probe under
+                # ~5 min on one chip
                 r = smc.smc_sample(
                     w.wrap(snlp), w.n_params, jax.random.PRNGKey(100 + i),
-                    256, n_mutations=3, n_leapfrog=8, metric="full",
+                    512, n_mutations=5, n_leapfrog=10, metric="full",
                     dispatch="host",
                 )
                 logzs.append(float(r.logz + w.logdet()))
