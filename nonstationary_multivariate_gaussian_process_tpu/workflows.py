@@ -90,6 +90,11 @@ class PipelineConfig:
     smc_leapfrog: int = 10  # smc leapfrog steps per mutation sweep
     smc_cess: float = 0.5  # smc conditional-ESS target for the beta schedule
     smc_dr: float = 0.0  # smc >0: delayed-rejection sweeps at eps/this
+    escalate_rhat: float = 0.0  # >0: cohort subjects whose multichain max
+    #                  split-R-hat exceeds this are automatically re-sampled
+    #                  by tempered SMC inside the bucket (chains where they
+    #                  work, the population sampler where diagnostics prove
+    #                  they don't); 0 = off
     smc_polish: int = 0  # extra mutation-only stages at beta=1 (cheap
     #                  decorrelation against resampling coalescence)
     smc_metric: str = "full"  # mutation metric: full population covariance
@@ -1317,6 +1322,56 @@ def run_cohort(
             if "hmc" not in out:  # chees writes (S, C, T, P) itself
                 c = max(1, cfg.n_chains)
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+            if (cfg.escalate_rhat > 0 and sampler != "smc"
+                    and out["hmc"].shape[1] >= 2):
+                # diagnostic-driven escalation: subjects whose chains
+                # disagree (max split-R-hat over slots above the threshold)
+                # are re-sampled by tempered SMC in the same padded bucket
+                # shapes — chains where they work, the population sampler
+                # where the diagnostics prove they don't (the measured
+                # N=200 posture, ROADMAP "Adaptive tempered SMC")
+                from .inference import diagnostics as diag_mod
+
+                chains_arr = out["hmc"]  # (S, C, T, P)
+                flagged = np.array([
+                    float(np.max(diag_mod.rhat(chains_arr[i])))
+                    > cfg.escalate_rhat
+                    for i in range(s)
+                ])
+                if flagged.any():
+                    idx_f = np.where(flagged)[0]
+                    r = fleet_mod.smc_fleet(
+                        cfg.model, jnp.asarray(x)[idx_f],
+                        jnp.asarray(y)[idx_f],
+                        jax.random.fold_in(k_bucket, 99),
+                        n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                        cfg.n_hmc),
+                        n_mutations=cfg.smc_mutations,
+                        n_leapfrog=cfg.smc_leapfrog,
+                        target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                        metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                        hyper=cfg.hyper, mesh=mesh, whiten=True,
+                        masks=jnp.asarray(mask)[idx_f],
+                    )
+                    esc_draws = np.asarray(r.particles[:, : cfg.n_hmc, :])
+                    hmc_new = chains_arr.copy()
+                    # exchangeable particles: one pseudo-chain, repeated
+                    # across the chain axis so downstream pooling is a no-op
+                    hmc_new[idx_f] = esc_draws[:, None, :, :]
+                    out["hmc"] = hmc_new
+                    esc_logz = np.full(s, np.nan)
+                    esc_beta = np.full(s, np.nan)
+                    esc_from = np.full(s, np.nan)
+                    esc_logz[idx_f] = np.asarray(r.logz)
+                    esc_beta[idx_f] = np.asarray(r.beta_final)
+                    esc_from[idx_f] = [
+                        float(np.max(diag_mod.rhat(chains_arr[i])))
+                        for i in idx_f
+                    ]
+                    out["escalated"] = flagged
+                    out["esc_logz"] = esc_logz
+                    out["esc_beta"] = esc_beta
+                    out["esc_from_rhat"] = esc_from
         return out
 
     per_subject = (
@@ -1334,7 +1389,25 @@ def run_cohort(
         if "hmc" in entry:
             chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
             rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
-            if "smc_logz" in entry:
+            if entry.get("escalated", False):
+                # chains disagreed past cfg.escalate_rhat; draws were
+                # replaced by a tempered-SMC population inside the bucket
+                rec["sampling"] = {
+                    "sampler": "smc",
+                    "escalated_from_rhat": float(entry["esc_from_rhat"]),
+                    "log_evidence": float(entry["esc_logz"]),
+                    "beta_final": float(entry["esc_beta"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        log_evidence=rec["sampling"]["log_evidence"],
+                        beta_final=rec["sampling"]["beta_final"],
+                        escalated_from_rhat=rec["sampling"]["escalated_from_rhat"],
+                    )
+            elif "smc_logz" in entry:
                 # SMC particles are exchangeable, not a chain — chain
                 # ESS/R-hat do not apply; surface the tempering health
                 # (beta_final == 1) and the per-subject evidence instead

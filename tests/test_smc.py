@@ -248,6 +248,42 @@ def test_cohort_hadamard_smc_routing(tmp_path):
         assert np.isfinite(s["log_evidence"])
 
 
+def test_cohort_rhat_escalation(tmp_path):
+    """escalate_rhat: subjects whose multichain split-R-hat exceeds the
+    threshold are automatically re-sampled by tempered SMC inside the
+    bucket — chains where they work, the population sampler where the
+    diagnostics prove they don't.  A starved chain budget (2 warmup draws)
+    guarantees disagreement; every escalated subject must come back with a
+    completed tempering path and finite evidence."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    subjects = {}
+    for i, (k, n) in enumerate(zip(keys, [14, 16, 16])):
+        d = sim.sim_mnts(k, n=n)
+        subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=30, window_size=5, do_hmc=True, n_hmc=6,
+        hmc_warmup=2, whiten=True, do_pred_test=False, n_chains=2,
+        escalate_rhat=1.05,
+        smc_particles=64, smc_mutations=3, smc_leapfrog=6,
+    )
+    out = workflows.run_cohort(subjects, cfg, n_buckets=2)
+    escalated = [
+        rec for rec in out["subjects"].values()
+        if rec["sampling"].get("sampler") == "smc"
+    ]
+    assert escalated, "starved chains should have tripped escalation"
+    for rec in escalated:
+        s = rec["sampling"]
+        assert s["escalated_from_rhat"] > 1.05
+        assert s["beta_final"] == 1.0
+        assert np.isfinite(s["log_evidence"])
+        assert rec["hmc_samples"].shape[0] == 2 * 6  # pooled pseudo-chains
+        assert np.all(np.isfinite(rec["hmc_samples"]))
+
+
 def test_workflow_sampler_routing():
     """PipelineConfig(sampler="smc") runs the full single-subject stage
     (whitened) — exchangeable particles serve as the chain-sample draw
