@@ -308,11 +308,16 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     pot = nlp if whitener is None else whitener.wrap(nlp)
     # never return fewer draws than asked: the population at least n_hmc
     n_particles = max(cfg.smc_particles or 256, cfg.n_hmc)
+    # off-CPU, dispatch stages from the host: the tunneled TPU runtime
+    # faults minutes-long single-program executions (CLAUDE.md); the
+    # draws are bit-identical either way (tests/test_smc.py)
+    dispatch = "device" if jax.devices()[0].platform == "cpu" else "host"
     r = smc_mod.smc_sample(
         pot, int(map_vec.shape[0]), key, n_particles,
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+        dispatch=dispatch,
     )
     parts = np.asarray(
         r.particles if whitener is None
