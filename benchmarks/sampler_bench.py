@@ -434,7 +434,11 @@ def main():
             "logz_mean": round(float(logzs.mean()), 2),
             "logz_std": round(float(logzs.std()), 3),
             "final_accept": [
-                round(float(np.asarray(rr.accept)[i, s - 1]), 3)
+                # stage counts include beta=1 polish; histories hold
+                # max_stages entries, so clip
+                round(float(np.asarray(rr.accept)[
+                    i, min(s, args.smc_max_stages) - 1
+                ]), 3)
                 for i, s in enumerate(stages)
             ],
         }

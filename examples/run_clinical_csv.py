@@ -145,6 +145,8 @@ def main():
                 k: rec["sampling"][k] for k in ("min_ess", "max_rhat")
             }
             draws = np.asarray(rec["hmc_samples"])  # (S, P) bucket-padded
+            if m < 2:
+                continue  # cross-task correlation needs >= 2 vitals
             n_fit = (draws.shape[1] - 1) // (1 + t)
             cs = []
             for d in draws:

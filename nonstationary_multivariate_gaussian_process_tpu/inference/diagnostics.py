@@ -129,18 +129,23 @@ def chain_diagnostics(samples: np.ndarray, stride: int = 1) -> dict:
     """Compact mixing diagnostics for one subject's posterior draws.
 
     ``samples``: (S, P) single chain or (C, S, P) multi-chain.  Returns
-    ``{"min_ess", "median_ess", "max_rhat"}`` with ESS summed over chains per
-    parameter (every ``stride``-th parameter) and split-R̂ maxed over all
-    parameters.  This is the number a cohort driver must surface so silent
-    non-mixing is impossible (VERDICT r2 weak #1).
+    ``{"min_ess", "median_ess", "max_rhat"}`` over every ``stride``-th
+    parameter, with split-R̂ maxed over all parameters.  Multi-chain ESS is
+    the rank-normalized POOLED estimator (:func:`ess_multichain`) — never a
+    per-chain sum, which stuck-but-disagreeing chains inflate (each chain is
+    internally well-mixed, so summed Geyer ESS looks healthy exactly when
+    the draws are worthless; the pooled estimator pins at ~1/chain there).
+    This is the number a cohort driver must surface so silent non-mixing is
+    impossible (VERDICT r2 weak #1).
     """
     s = np.asarray(samples, float)
     if s.ndim == 2:
         s = s[None]
     cols = range(0, s.shape[-1], max(1, stride))
-    e = np.array(
-        [sum(ess(s[c][:, j]) for c in range(s.shape[0])) for j in cols]
-    )
+    if s.shape[0] >= 2:
+        e = np.array([ess_multichain(s[:, :, j]) for j in cols])
+    else:
+        e = np.array([ess(s[0][:, j]) for j in cols])
     r = rhat(s)
     return {
         "min_ess": float(e.min()),

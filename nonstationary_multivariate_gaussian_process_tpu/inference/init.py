@@ -171,26 +171,16 @@ def adam_descent(potential_fn, q0, n_iters: int, *, lr: float = 1e-1):
     import jax
     import optax
 
+    from .map import guarded_adam_step
+
     opt = optax.adam(lr)
-    grad_fn = jax.value_and_grad(potential_fn)
-
-    def step(carry, _):
-        q, s = carry
-        val, g = grad_fn(q)
-        ok = jnp.all(jnp.isfinite(g)) & jnp.isfinite(val)
-        g = jnp.where(ok, g, jnp.zeros_like(g))
-        up, s_new = opt.update(g, s, q)
-        q_new = jnp.where(ok, optax.apply_updates(q, up), q)
-        s_new = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b)
-            if jnp.issubdtype(a.dtype, jnp.floating)
-            else a,
-            s_new,
-            s,
-        )
-        return (q_new, s_new), None
-
-    (qf, _), _ = jax.lax.scan(step, (q0, opt.init(q0)), None, length=n_iters)
+    # same guarded body as every MAP engine; this caller wants the *final*
+    # descended point (a typical-set start), so best_vec is ignored
+    big = jnp.asarray(jnp.inf, q0.dtype) + 0.0 * q0[0]
+    (qf, _, _, _), _ = jax.lax.scan(
+        guarded_adam_step(potential_fn, opt),
+        (q0, opt.init(q0), q0, big), None, length=n_iters
+    )
     return qf
 
 

@@ -45,16 +45,26 @@ def _scale_by_vector(lr_vec):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6))
-def _run_chunk(objective, optimizer, vec, opt_state, best_vec, best_val,
-               n_steps: int):
-    """Scan ``n_steps`` Adam iterations; non-finite grads skip the update.
+def guarded_adam_step(objective, optimizer):
+    """The one guarded best-seen Adam scan body every engine shares.
 
-    Carries the best-seen iterate: Adam at the reference's learning rates
-    descends fast and then *destabilizes* on these stiff posteriors
-    (measured on GNMGP N=200: 400 iters end at −3918 but 6000 iters end at
-    −1294 — the trajectory bounces out of the basin it found), so the
-    returned optimum must be the best visited point, never the last one.
+    Semantics (carry ``(v, opt_state, best_vec, best_val)``, output
+    ``-val``):
+
+    * non-finite value/gradient skips the update entirely — parameters and
+      float optimizer moments hold, only the int step count advances (the
+      count must advance unconditionally so it stays replicated across a
+      shard axis),
+    * the best-seen iterate is tracked in the carry: Adam at the
+      reference's learning rates descends fast and then *destabilizes* on
+      these stiff posteriors (measured on GNMGP N=200: 400 iters end at
+      −3918 but 6000 iters end at −1294 — the trajectory bounces out of the
+      basin it found), so an optimum must be the best visited point, never
+      the last one.
+
+    Used by :func:`fit_map`'s chunks, both fleet MAP engines
+    (``parallel/fleet.py``), and ``inference.init.adam_descent`` — one body,
+    so a guard fix cannot silently diverge between engines.
     """
 
     def step(carry, _):
@@ -77,8 +87,16 @@ def _run_chunk(objective, optimizer, vec, opt_state, best_vec, best_val,
         )
         return (v_new, s_new, bv, bval), -val
 
+    return step
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6))
+def _run_chunk(objective, optimizer, vec, opt_state, best_vec, best_val,
+               n_steps: int):
+    """Scan ``n_steps`` guarded Adam iterations (:func:`guarded_adam_step`)."""
     (vec, opt_state, best_vec, best_val), targets = jax.lax.scan(
-        step, (vec, opt_state, best_vec, best_val), None, length=n_steps
+        guarded_adam_step(objective, optimizer),
+        (vec, opt_state, best_vec, best_val), None, length=n_steps
     )
     return vec, opt_state, best_vec, best_val, targets
 

@@ -31,6 +31,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import settings
+from ..inference import map as map_mod
 from ..models import gnmgp, gnmgp_hetero, lmc, snmgp
 from ..models.base import FullData
 from ..ops import chol as chol_ops
@@ -186,35 +187,12 @@ def fit_fleet_map(
     def fit_one(vec0, x, y, p1, p2, p3, mask):
         obj = lambda v: nlp(v, x, y, p1, p2, p3, mask)
 
-        def step(carry, _):
-            v, s, bv, bval = carry
-            val, grad = jax.value_and_grad(obj)(v)
-            ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
-            # best-seen iterate: Adam destabilizes late on stiff posteriors
-            # (inference/map._run_chunk), so the optimum is the best visited
-            better = ok & (val < bval)
-            bv = jnp.where(better, v, bv)
-            bval = jnp.where(better, val, bval)
-            grad = jnp.where(ok, grad, jnp.zeros_like(grad))
-            updates, s_new = optimizer.update(grad, s, v)
-            v_new = optax.apply_updates(v, updates)
-            v_new = jnp.where(ok, v_new, v)
-            # gate only float state (moments); the int step count increments
-            # unconditionally and stays replicated across the shard axis
-            s_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b)
-                if jnp.issubdtype(a.dtype, jnp.floating)
-                else a,
-                s_new,
-                s,
-            )
-            return (v_new, s_new, bv, bval), -val
-
         # tie the scalar carry to vec0 so it is subject-varying under
         # shard_map (a replicated literal would change VMA across the scan)
         big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
         (v, _, bv, bval), hist = jax.lax.scan(
-            step, (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
+            map_mod.guarded_adam_step(obj, optimizer),
+            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
         v_fin = obj(v)
         take_final = jnp.isfinite(v_fin) & (v_fin < bval)
@@ -1210,32 +1188,12 @@ def fit_fleet_map_hadamard(
     def fit_one(vec0, x, indx, y, p1, p2, mask):
         obj = lambda v: nlp(v, x, indx, y, p1, p2, mask)
 
-        def step(carry, _):
-            v, s, bv, bval = carry
-            val, grad = jax.value_and_grad(obj)(v)
-            ok = jnp.all(jnp.isfinite(grad)) & jnp.isfinite(val)
-            # best-seen iterate (inference/map._run_chunk rationale)
-            better = ok & (val < bval)
-            bv = jnp.where(better, v, bv)
-            bval = jnp.where(better, val, bval)
-            grad = jnp.where(ok, grad, jnp.zeros_like(grad))
-            updates, s_new = optimizer.update(grad, s, v)
-            v_new = optax.apply_updates(v, updates)
-            v_new = jnp.where(ok, v_new, v)
-            s_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b)
-                if jnp.issubdtype(a.dtype, jnp.floating)
-                else a,
-                s_new,
-                s,
-            )
-            return (v_new, s_new, bv, bval), -val
-
         # tie the scalar carry to vec0 so it is subject-varying under
         # shard_map (a replicated literal would change VMA across the scan)
         big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
         (v, _, bv, bval), hist = jax.lax.scan(
-            step, (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
+            map_mod.guarded_adam_step(obj, optimizer),
+            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
         v_fin = obj(v)
         take_final = jnp.isfinite(v_fin) & (v_fin < bval)

@@ -60,15 +60,8 @@ def krige_rbf(
         )
     k_self = alpha**2 + settings.jitter
     if not isinstance(x, jax.core.Tracer) and not isinstance(grid, jax.core.Tracer):
-        x64 = np.asarray(x, np.float64)
-        g64 = np.asarray(grid, np.float64)
-        d2 = (x64[:, None] - x64[None, :]) ** 2
-        sigma = alpha**2 * np.exp(-0.5 * d2 / beta**2) + settings.jitter * np.eye(len(x64))
-        k_cross_64 = alpha**2 * np.exp(-0.5 * (x64[:, None] - g64[None, :]) ** 2 / beta**2)
-        proj64 = np.linalg.solve(sigma, k_cross_64)  # (N, G)
-        var64 = k_self - np.sum(k_cross_64 * proj64, axis=0)
-        proj = jnp.asarray(proj64, settings.dtype)
-        var = jnp.asarray(np.maximum(var64, settings.precision), settings.dtype)
+        # concrete inputs: one source of truth for the f64-island numerics
+        proj, var = krige_proj(x, grid, alpha, beta)
         mean = mu + (values - mu) @ proj
         return LatentConditional(mean=mean, var=var)
 

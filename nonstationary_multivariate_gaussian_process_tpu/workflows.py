@@ -325,6 +325,9 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     )
     ns = int(r.n_stages)
     logz = float(r.logz)
+    # n_stages counts tempering + polish calls; the history arrays hold
+    # max_stages entries — clip like the fleet path's jnp.take
+    last = min(max(ns - 1, 0), int(r.accept.shape[0]) - 1)
     sampling = {
         "sampler": "smc",
         "n_particles": int(n_particles),
@@ -332,8 +335,8 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         "beta_final": float(r.beta_final),
         "log_evidence": logz if whitener is None
         else logz + float(whitener.logdet()),
-        "final_accept": float(np.asarray(r.accept)[max(ns - 1, 0)]),
-        "step_size": float(np.asarray(r.step_sizes)[max(ns - 1, 0)]),
+        "final_accept": float(np.asarray(r.accept)[last]),
+        "step_size": float(np.asarray(r.step_sizes)[last]),
     }
     accept = sampling["final_accept"]
     return parts[: cfg.n_hmc], accept, sampling
@@ -1338,11 +1341,11 @@ def run_cohort(
                 from .inference import diagnostics as diag_mod
 
                 chains_arr = out["hmc"]  # (S, C, T, P)
-                flagged = np.array([
+                rhat_max = np.array([
                     float(np.max(diag_mod.rhat(chains_arr[i])))
-                    > cfg.escalate_rhat
                     for i in range(s)
                 ])
+                flagged = rhat_max > cfg.escalate_rhat
                 if flagged.any():
                     idx_f = np.where(flagged)[0]
                     r = fleet_mod.smc_fleet(
@@ -1369,10 +1372,7 @@ def run_cohort(
                     esc_from = np.full(s, np.nan)
                     esc_logz[idx_f] = np.asarray(r.logz)
                     esc_beta[idx_f] = np.asarray(r.beta_final)
-                    esc_from[idx_f] = [
-                        float(np.max(diag_mod.rhat(chains_arr[i])))
-                        for i in idx_f
-                    ]
+                    esc_from[idx_f] = rhat_max[idx_f]
                     out["escalated"] = flagged
                     out["esc_logz"] = esc_logz
                     out["esc_beta"] = esc_beta
