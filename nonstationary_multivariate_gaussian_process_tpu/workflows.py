@@ -1102,6 +1102,21 @@ def run_sim_fleet(
             out["hmc_accept"] = np.asarray(
                 (np.asarray(stages)[:, n_warm:] > 0).mean(axis=1)
             )
+        elif cfg.sampler == "smc":
+            r = fleet_mod.smc_fleet(
+                cfg.model, batch.x, batch.y,
+                jax.random.fold_in(key, 31),
+                n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                cfg.n_hmc),
+                n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+                target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                hyper=cfg.hyper, mesh=mesh, whiten=True,
+            )
+            samples = r.particles[:, : cfg.n_hmc, :]
+            out["hmc_accept"] = np.asarray(r.accept)
+            out["log_evidence"] = np.asarray(r.logz)
+            out["smc_beta_final"] = np.asarray(r.beta_final)
         else:
             samples = fleet_mod.hmc_fleet(
                 cfg.model, batch.x, batch.y, res.vecs,

@@ -248,6 +248,25 @@ def test_cohort_hadamard_smc_routing(tmp_path):
         assert np.isfinite(s["log_evidence"])
 
 
+def test_sim_fleet_smc_routing():
+    """run_sim_fleet(sampler="smc"): replicate fleet posterior sampling via
+    smc_fleet — per-replicate evidence and draws come back."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+    out = workflows.run_sim_fleet(
+        n_replicates=3, n=14,
+        cfg=workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, do_hmc=True, n_hmc=8, sampler="smc",
+            smc_particles=64, smc_mutations=3, smc_leapfrog=6,
+            do_evaluation=False,
+        ),
+    )
+    assert out["hmc_samples"].shape[:2] == (3, 8)
+    assert np.all(np.isfinite(out["hmc_samples"]))
+    assert np.all(np.isfinite(out["log_evidence"]))
+    assert np.all(out["smc_beta_final"] == 1.0)
+
+
 def test_cohort_rhat_escalation(tmp_path):
     """escalate_rhat: subjects whose multichain split-R-hat exceeds the
     threshold are automatically re-sampled by tempered SMC inside the
