@@ -97,13 +97,18 @@ class TestHeteroPredictionAndRecovery:
         )
         ulv = transforms.lvecs_to_ulvecs(d.l_vecs.reshape(n, 3), n, m).reshape(-1)
         init = jnp.concatenate([jnp.log(d.l), ulv, jnp.full(n * m, -3.5)])
-        res = map_mod.fit_map(nlp, init, n_iters=4000, lr=0.2)
+        # lr=0.2 destabilizes on this objective (best-seen log-post -1354 vs
+        # 3134 at lr=0.05; the final iterate lands 7000 nats worse) — the
+        # old assertion passed on last-iterate luck.  The converged budget
+        # recovers both tilts decisively.
+        res = map_mod.fit_map(nlp, init, n_iters=8000, lr=0.05)
+        assert float(nlp(res.vec)) < -2500.0
         ts2 = np.asarray(res.vec)[-n * m:]
         x = np.asarray(d.x)
         c0 = np.corrcoef(ts2[:n], -5.0 + 3.0 * x)[0, 1]
         c1 = np.corrcoef(ts2[n:], -2.0 - 3.0 * x)[0, 1]
         assert c0 > 0.6, c0
-        assert c1 > 0.2, c1
+        assert c1 > 0.5, c1
 
     def test_run_subject_end_to_end(self):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
