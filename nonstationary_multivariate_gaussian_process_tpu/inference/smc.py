@@ -675,6 +675,11 @@ def smc_ess_estimate(particle_runs: np.ndarray, slots=None) -> dict:
     run_means = runs[:, :, slots].mean(axis=1)  # (R, S)
     var_means = run_means.var(axis=0, ddof=1)  # (S,)
     n_eff = var_post / np.maximum(var_means, 1e-300)
+    # calibration, measured: on R=6 runs of N=512 truly-iid particles the
+    # harmonic-pooled estimate averages ~556 against a truth of 512 (the
+    # numerator/denominator correlation roughly cancels the chi^2_{R-1}
+    # noise of each slot's ratio), so pooled_ess is reported raw; min_ess
+    # stays the conservative noise floor (min over ~P/7 chi^2 draws)
     return {
         "min_ess": float(np.min(n_eff)),
         "median_ess": float(np.median(n_eff)),
