@@ -115,6 +115,8 @@ def _build_stage(
     min_beta_step,
     metric: str = "diag",
     shrink: float = 0.1,
+    axis: str | None = None,
+    n_shards: int = 1,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -124,6 +126,19 @@ def _build_stage(
     required on the tunneled TPU, where minutes-long single-program
     executions trip the runtime's device fault (the monolithic f64 HMC
     scan's failure class, CLAUDE.md).
+
+    ``axis`` (with ``n_shards``) builds the *particle-sharded* stage for
+    :func:`smc_sample_sharded`: the stage body then runs under ``shard_map``
+    on a local ``(n/n_shards, P)`` particle block.  The split follows the
+    cost structure: the mutation sweeps (all the potential gradients) stay
+    local to the shard, while the O(N)-cheap cross-particle steps —
+    reweight/bisect/resample and the population-covariance metric — are
+    computed on the ``all_gather``-ed population *identically on every
+    device* (one tiled all_gather of the (N, P) block per stage, plus one
+    (N,)-vector gather per sweep for the shared accept statistic).
+    Replicating the cheap math rather than distributing it keeps the
+    sharded stage bit-compatible with the single-device one: same draws,
+    same reduction orders, same schedule.
 
     ``metric="full"``: mutations run in the population-covariance-whitened
     space — per stage, ``q = mu + L z`` with ``L = chol`` of the
@@ -138,6 +153,20 @@ def _build_stage(
     potential gradients.
     """
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    n_loc = n // n_shards
+
+    def gather(x):
+        """Local shard -> full population (identity when unsharded)."""
+        if axis is None:
+            return x
+        return jax.lax.all_gather(x, axis, tiled=True)
+
+    def local_rows(x):
+        """Full population -> this device's row block (identity when unsharded)."""
+        if axis is None:
+            return x
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(x, i * n_loc, n_loc, axis=0)
 
     def k_ref(q):  # reference potential (per particle)
         z = (q - ref_mean) / ref_scale
@@ -199,7 +228,10 @@ def _build_stage(
         """
         mu, lmul, _, _ = lin
         k_mom, k_acc = jax.random.split(k)
-        p = jax.random.normal(k_mom, (n, dim), dtype=dtype)
+        # full-size draws sliced to the local rows: generating N x P randoms
+        # is noise next to the potential gradients, and it keeps the sharded
+        # sweep's draws bit-identical to the single-device one
+        p = local_rows(jax.random.normal(k_mom, (n, dim), dtype=dtype))
         u_q = u_b(mu + lmul(zs), b)
         h0 = u_q + 0.5 * jnp.sum(p * p, axis=1)
         z1, _, h1 = propose(zs, p, b, eps, lin)
@@ -208,11 +240,13 @@ def _build_stage(
         )
         if not use_dr:
             accept = (
-                jnp.log(jax.random.uniform(k_acc, (n,), dtype=dtype)) < la1
+                jnp.log(local_rows(
+                    jax.random.uniform(k_acc, (n,), dtype=dtype)
+                )) < la1
             )
             zs = jnp.where(accept[:, None], z1, zs)
-            return zs, jnp.mean(jnp.exp(la1))
-        us = jax.random.uniform(k_acc, (n, 2), dtype=dtype)
+            return zs, jnp.mean(jnp.exp(gather(la1)))
+        us = local_rows(jax.random.uniform(k_acc, (n, 2), dtype=dtype))
         acc1 = jnp.log(us[:, 0]) < la1
         # stage 2 from the same (z, p) at eps/red; ghost stage-1 from (z2, p2)
         eps2 = eps / jnp.asarray(dr_reduction, dtype)
@@ -229,7 +263,7 @@ def _build_stage(
         zs = jnp.where(acc1[:, None], z1, jnp.where(acc2[:, None], z2, zs))
         # adaptation tracks the stage-1 rate: DR's retries are a safety
         # net, not a license to inflate eps
-        return zs, jnp.mean(jnp.exp(la1))
+        return zs, jnp.mean(jnp.exp(gather(la1)))
 
     def make_lin(qs):
         """Per-stage metric map from the resampled population.
@@ -288,6 +322,7 @@ def _build_stage(
         """(reweight -> bisect -> resample -> mutate) at the next beta."""
         v = u_batch(qs) - k_batch(qs)
         v = jnp.where(jnp.isfinite(v), v, big)  # dead particles get weight 0
+        v = gather(v)
         b2 = next_beta(b, v)
         dlw = -(b2 - b) * v
         logz = logz + logsumexp(dlw) - jnp.log(jnp.asarray(n, dtype))
@@ -295,11 +330,13 @@ def _build_stage(
 
         key, k_res, k_mut = jax.random.split(key, 3)
         idx = _systematic_resample(k_res, dlw)
-        qs = qs[idx]
+        # resample + metric on the full population (replicated under
+        # shard_map — see the axis note in the docstring), mutate locally
+        qs_full = gather(qs)[idx]
 
         # per-stage population metric (diag scales or full covariance)
-        lin = make_lin(qs)
-        zs = lin[3](qs - lin[0])
+        lin = make_lin(qs_full)
+        zs = local_rows(lin[3](qs_full - lin[0]))
 
         # feed-forward step scaling: the likelihood Hessian enters the
         # tempered potential as b*H, so the stable step shrinks ~1/sqrt(b);
@@ -505,6 +542,176 @@ def _run_smc_host(
         jnp.asarray(i, jnp.int32), b,
         jnp.asarray(betas_h), jnp.asarray(cess_h),
         jnp.asarray(acc_h), jnp.asarray(eps_h), pots,
+    )
+
+
+def smc_sample_sharded(
+    potential_fn: Callable,
+    dim: int,
+    key,
+    n_particles: int = 1024,
+    *,
+    mesh=None,
+    n_mutations: int = 5,
+    n_leapfrog: int = 10,
+    max_stages: int = 64,
+    target_cess: float = 0.5,
+    target_accept: float = 0.65,
+    step_size: float = 0.1,
+    adapt_rate: float = 0.3,
+    min_beta_step: float = 1e-5,
+    n_bisect: int = 32,
+    dr_reduction: float = 0.0,
+    metric: str = "full",
+    shrink: float = 0.1,
+    n_polish: int = 0,
+    ref_mean=None,
+    ref_scale=None,
+    dtype=None,
+    progress=None,
+) -> SMCResult:
+    """Multi-chip tempered SMC: ONE population sharded over the mesh.
+
+    Where :func:`parallel.fleet.smc_fleet` gives each subject its own
+    population on one device, this gives one (oversized or headline)
+    posterior the whole mesh: particles shard over the mesh's single axis,
+    each device integrates its ``n_particles / n_devices`` leapfrog rows
+    (all the potential gradients — the entire compute), and the stage's
+    cross-particle steps ride two collectives:
+
+    * one tiled ``all_gather`` of the (N, P) block per stage for
+      resample + population-covariance metric (replicated small math:
+      the bisected CESS schedule, systematic resampling, one P x P
+      Cholesky), and
+    * one (N,)-vector ``all_gather`` per mutation sweep for the shared
+      accept statistic driving the Robbins-Monro step size.
+
+    At the GNMGP reference scale (P ~ 800, N = 512 particles) the gathered
+    block is ~1.6 MB — noise on ICI next to the sweep compute, so scaling
+    is embarrassingly linear in devices.  Draws, schedule, and ``logz`` are
+    bit-compatible with ``smc_sample(dispatch="host")`` at the same key
+    (full-size randoms are generated replicated and row-sliced; all
+    reductions happen on the gathered population in the same order) —
+    pinned by ``tests/test_smc_sharded.py`` on the 8-device CPU mesh.
+
+    The stage loop is host-dispatched (one XLA dispatch per stage), the
+    posture the tunneled TPU requires anyway (CLAUDE.md).  ``n_particles``
+    is rounded up to a device multiple.  The mesh defaults to a fresh 1-D
+    mesh over every visible device.  Extra particles only sharpen the
+    estimators (particles are exchangeable).
+
+    No reference counterpart: the reference's only parallelism is one MPI
+    rank per independent subject with zero collectives (SURVEY §2.4); this
+    is the mesh-native scaling story for a *single* posterior.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("particles",))
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"smc_sample_sharded wants a 1-D mesh, got axes {mesh.axis_names}"
+        )
+    ax = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    n = int(n_particles)
+    n += (-n) % n_dev  # round up: exchangeable particles, extras only help
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    if metric not in ("diag", "full"):
+        raise ValueError(f"unknown metric {metric!r} (want 'diag' or 'full')")
+    key, k_init = jax.random.split(
+        jax.random.PRNGKey(key) if isinstance(key, int) else key
+    )
+    ref_mean = (
+        jnp.zeros((dim,), dtype)
+        if ref_mean is None
+        else jnp.broadcast_to(jnp.asarray(ref_mean, dtype), (dim,))
+    )
+    ref_scale = (
+        jnp.ones((dim,), dtype)
+        if ref_scale is None
+        else jnp.broadcast_to(jnp.asarray(ref_scale, dtype), (dim,))
+    )
+    # same init draws as the single-device driver, laid out row-sharded
+    q0 = ref_mean + ref_scale * jax.random.normal(
+        k_init, (n, int(dim)), dtype=dtype
+    )
+    shard = NamedSharding(mesh, P(ax))
+    rep = NamedSharding(mesh, P())
+    q0 = jax.device_put(q0, shard)
+
+    stage, u_batch = _build_stage(
+        potential_fn, n, int(dim), dtype, ref_mean, ref_scale,
+        int(n_mutations), int(n_leapfrog), int(n_bisect),
+        float(dr_reduction),
+        jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
+        jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
+        metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
+    )
+    # scalars replicate; the particle block shards; check_vma=False because
+    # the replicated cross-particle math mixes gathered (hence replicated)
+    # values back into the sharded carry
+    stage_sh = jax.jit(jax.shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(P(ax), P(), P(), P(), P()),
+        out_specs=(P(ax), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    ))
+    pots_sh = jax.jit(jax.shard_map(
+        u_batch, mesh=mesh, in_specs=(P(ax),), out_specs=P(ax),
+        check_vma=False,
+    ))
+
+    qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    b = jax.device_put(b, rep)
+    logz = jax.device_put(logz, rep)
+    log_eps = jax.device_put(jnp.log(jnp.asarray(step_size, dtype)), rep)
+    key = jax.device_put(key, rep)
+    betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
+    cess_h = np.zeros_like(betas_h)
+    acc_h = np.zeros_like(betas_h)
+    eps_h = np.zeros_like(betas_h)
+    i = 0
+    while i < max_stages and float(b) < 1.0:
+        qs, b, logz, log_eps, key, cess_frac, acc = stage_sh(
+            qs, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        betas_h[i] = float(b)
+        cess_h[i] = float(cess_frac)
+        acc_h[i] = float(acc)
+        eps_h[i] = float(jnp.exp(log_eps))
+        i += 1
+        if progress is not None:
+            progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
+                      "accept": float(acc), "step_size": eps_h[i - 1]})
+    for jp in range(n_polish if float(b) >= 1.0 else 0):
+        qs, b, logz, log_eps, key, cess_frac, acc = stage_sh(
+            qs, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        if i < max_stages:
+            betas_h[i] = float(b)
+            cess_h[i] = float(cess_frac)
+            acc_h[i] = float(acc)
+            eps_h[i] = float(jnp.exp(log_eps))
+        i += 1
+        if progress is not None:
+            progress({"polish": jp + 1, "accept": float(acc),
+                      "step_size": float(jnp.exp(log_eps))})
+    pots = pots_sh(qs)
+    return SMCResult(
+        particles=qs,
+        logz=logz + _logz0(int(dim), ref_scale, dtype),
+        n_stages=jnp.asarray(i, jnp.int32),
+        beta_final=b,
+        betas=jnp.asarray(betas_h),
+        cess=jnp.asarray(cess_h),
+        accept=jnp.asarray(acc_h),
+        step_sizes=jnp.asarray(eps_h),
+        potentials=pots,
     )
 
 
