@@ -65,6 +65,10 @@ def main():
                     help="smc: >0 upgrades mutation sweeps to 2-stage "
                          "delayed rejection at eps/this (3x trajectories)")
     ap.add_argument("--smc-max-stages", type=int, default=64)
+    ap.add_argument("--smc-waste-free", type=int, default=0,
+                    help="chain length L>=2: waste-free SMC (resample N/L "
+                         "ancestors, keep every mutation state; Dau & "
+                         "Chopin 2022); 0 = plain stages")
     ap.add_argument("--smc-polish", type=int, default=0,
                     help="smc: extra mutation-only stages at beta=1 (cheap "
                          "decorrelation against resampling coalescence)")
@@ -395,6 +399,7 @@ def main():
                 n_mutations=args.smc_mutations, n_leapfrog=args.smc_leapfrog,
                 target_cess=args.smc_cess, dr_reduction=args.smc_dr,
                 metric=args.smc_metric, n_polish=args.smc_polish,
+                waste_free=args.smc_waste_free,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -412,10 +417,16 @@ def main():
         est = smc.smc_ess_estimate(parts)
         stages = np.asarray(rr.n_stages)
         traj = 3 if args.smc_dr > 0 else 1
-        # stages counts tempering + polish stage calls (both pay the sweeps)
+        # stages counts tempering + polish stage calls (both pay the sweeps);
+        # waste-free stages run (L-1) sweeps on N/L ancestor rows each
+        if args.smc_waste_free:
+            lw = args.smc_waste_free
+            sweep_rows = (lw - 1) * (args.smc_particles // lw)
+        else:
+            sweep_rows = args.smc_mutations * args.smc_particles
         grads = int(
-            np.sum(stages) * args.smc_particles
-            * (args.smc_mutations * traj * args.smc_leapfrog + 1)
+            np.sum(stages)
+            * (sweep_rows * traj * args.smc_leapfrog + args.smc_particles)
         )
         logzs = np.asarray(rr.logz)
         results["smc"] = {
@@ -429,6 +440,7 @@ def main():
             "runs": r_,
             "particles": np_,
             "metric": args.smc_metric,
+            "waste_free": args.smc_waste_free,
             "stages": stages.tolist(),
             "beta_final": np.asarray(rr.beta_final).tolist(),
             "logz_mean": round(float(logzs.mean()), 2),

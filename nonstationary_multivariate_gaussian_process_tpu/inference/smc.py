@@ -87,15 +87,19 @@ def _ess_fraction(log_w: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(2.0 * logsumexp(log_w) - logsumexp(2.0 * log_w)) / n
 
 
-def _systematic_resample(key, log_w: jnp.ndarray) -> jnp.ndarray:
-    """Systematic resampling: one uniform, N stratified points, O(N log N)."""
-    n = log_w.shape[0]
+def _systematic_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """Systematic resampling: one uniform, ``n_out`` stratified points.
+
+    ``n_out`` defaults to the population size; waste-free stages draw only
+    ``M = N / L`` ancestors.
+    """
+    n = log_w.shape[0] if n_out is None else int(n_out)
     w = jnp.exp(log_w - logsumexp(log_w))
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key, (), dtype=w.dtype)
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
     idx = jnp.searchsorted(cum, pts)
-    return jnp.clip(idx, 0, n - 1)
+    return jnp.clip(idx, 0, log_w.shape[0] - 1)
 
 
 def _build_stage(
@@ -117,6 +121,7 @@ def _build_stage(
     shrink: float = 0.1,
     axis: str | None = None,
     n_shards: int = 1,
+    waste_free: int = 0,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -153,7 +158,6 @@ def _build_stage(
     potential gradients.
     """
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
-    n_loc = n // n_shards
 
     def gather(x):
         """Local shard -> full population (identity when unsharded)."""
@@ -162,11 +166,16 @@ def _build_stage(
         return jax.lax.all_gather(x, axis, tiled=True)
 
     def local_rows(x):
-        """Full population -> this device's row block (identity when unsharded)."""
+        """Full population -> this device's row block (identity when unsharded).
+
+        Shape-generic: waste-free stages slice (M, ...) ancestor blocks,
+        plain stages the full (N, ...) population.
+        """
         if axis is None:
             return x
+        nl = x.shape[0] // n_shards
         i = jax.lax.axis_index(axis)
-        return jax.lax.dynamic_slice_in_dim(x, i * n_loc, n_loc, axis=0)
+        return jax.lax.dynamic_slice_in_dim(x, i * nl, nl, axis=0)
 
     def k_ref(q):  # reference potential (per particle)
         z = (q - ref_mean) / ref_scale
@@ -230,8 +239,11 @@ def _build_stage(
         k_mom, k_acc = jax.random.split(k)
         # full-size draws sliced to the local rows: generating N x P randoms
         # is noise next to the potential gradients, and it keeps the sharded
-        # sweep's draws bit-identical to the single-device one
-        p = local_rows(jax.random.normal(k_mom, (n, dim), dtype=dtype))
+        # sweep's draws bit-identical to the single-device one.  Row count is
+        # taken from the carry: plain sweeps move the full population,
+        # waste-free sweeps only the M = N/L ancestor chains.
+        nr = zs.shape[0] * n_shards
+        p = local_rows(jax.random.normal(k_mom, (nr, dim), dtype=dtype))
         u_q = u_b(mu + lmul(zs), b)
         h0 = u_q + 0.5 * jnp.sum(p * p, axis=1)
         z1, _, h1 = propose(zs, p, b, eps, lin)
@@ -241,12 +253,12 @@ def _build_stage(
         if not use_dr:
             accept = (
                 jnp.log(local_rows(
-                    jax.random.uniform(k_acc, (n,), dtype=dtype)
+                    jax.random.uniform(k_acc, (nr,), dtype=dtype)
                 )) < la1
             )
             zs = jnp.where(accept[:, None], z1, zs)
             return zs, jnp.mean(jnp.exp(gather(la1)))
-        us = local_rows(jax.random.uniform(k_acc, (n, 2), dtype=dtype))
+        us = local_rows(jax.random.uniform(k_acc, (nr, 2), dtype=dtype))
         acc1 = jnp.log(us[:, 0]) < la1
         # stage 2 from the same (z, p) at eps/red; ghost stage-1 from (z2, p2)
         eps2 = eps / jnp.asarray(dr_reduction, dtype)
@@ -265,25 +277,39 @@ def _build_stage(
         # net, not a license to inflate eps
         return zs, jnp.mean(jnp.exp(gather(la1)))
 
-    def make_lin(qs):
+    def make_lin(qs, log_w=None):
         """Per-stage metric map from the resampled population.
 
         diag: ``L = diag(particle std)``.  full: ``L = chol`` of the
         shrinkage-regularized particle covariance — the affine-invariant
         metric (module docstring); the shrinkage floor also repairs the
         N < P rank deficiency.
+
+        ``log_w``: waste-free stages resample only M ancestors, too few for
+        a covariance — the metric then comes from the *weighted* full
+        pre-resample population instead (same estimand, all N points).
         """
-        mu = jnp.mean(qs, axis=0)
-        xc = qs - mu
-        if metric == "diag":
-            sd = jnp.sqrt(jnp.clip(jnp.var(qs, axis=0), 1e-8, None))
-            return (
-                mu,
-                lambda z: z * sd,
-                lambda g: g * sd,
-                lambda x: x / sd,
-            )
-        cov = xc.T @ xc / (n - 1)
+        if log_w is not None:
+            w = jnp.exp(log_w - logsumexp(log_w))
+            mu = w @ qs
+            xc = qs - mu
+            if metric == "diag":
+                sd = jnp.sqrt(jnp.clip(w @ (xc * xc), 1e-8, None))
+                return (mu, lambda z: z * sd, lambda g: g * sd,
+                        lambda x: x / sd)
+            cov = (xc * w[:, None]).T @ xc
+        else:
+            mu = jnp.mean(qs, axis=0)
+            xc = qs - mu
+            if metric == "diag":
+                sd = jnp.sqrt(jnp.clip(jnp.var(qs, axis=0), 1e-8, None))
+                return (
+                    mu,
+                    lambda z: z * sd,
+                    lambda g: g * sd,
+                    lambda x: x / sd,
+                )
+            cov = xc.T @ xc / (qs.shape[0] - 1)
         dvar = jnp.clip(jnp.diag(cov), 1e-8, None)
         cov = (1.0 - shrink) * cov + shrink * jnp.diag(dvar)
         cov = cov + 1e-6 * jnp.mean(dvar) * jnp.eye(dim, dtype=dtype)
@@ -329,14 +355,25 @@ def _build_stage(
         cess_frac = _ess_fraction(dlw)
 
         key, k_res, k_mut = jax.random.split(key, 3)
-        idx = _systematic_resample(k_res, dlw)
         # resample + metric on the full population (replicated under
         # shard_map — see the axis note in the docstring), mutate locally
-        qs_full = gather(qs)[idx]
-
-        # per-stage population metric (diag scales or full covariance)
-        lin = make_lin(qs_full)
-        zs = local_rows(lin[3](qs_full - lin[0]))
+        qs_all = gather(qs)
+        if waste_free:
+            # Dau & Chopin (2022): resample only M = N/L ancestors; the
+            # union of their length-L chains becomes the next population,
+            # so no mutation work is discarded.  M is too small for a
+            # covariance, so the metric comes from the weighted full
+            # pre-resample population.
+            anc = qs_all[_systematic_resample(k_res, dlw, n // waste_free)]
+            lin = make_lin(qs_all, log_w=dlw)
+            zs = local_rows(lin[3](anc - lin[0]))
+            n_sweeps = waste_free - 1
+        else:
+            qs_full = qs_all[_systematic_resample(k_res, dlw)]
+            # per-stage population metric (diag scales or full covariance)
+            lin = make_lin(qs_full)
+            zs = local_rows(lin[3](qs_full - lin[0]))
+            n_sweeps = n_mutations
 
         # feed-forward step scaling: the likelihood Hessian enters the
         # tempered potential as b*H, so the stable step shrinks ~1/sqrt(b);
@@ -353,12 +390,24 @@ def _build_stage(
             z, le = carry
             z, acc = hmc_sweep(z, b2, jnp.exp(le), lin, kk)
             le = le + adapt_rate * (acc - target_accept)
-            return (z, le), acc
+            return (z, le), ((z, acc) if waste_free else acc)
 
-        (zs, log_eps), accs = jax.lax.scan(
-            mut_body, (zs, log_eps), jax.random.split(k_mut, n_mutations)
-        )
-        qs = lin[0] + lin[1](zs)
+        if waste_free:
+            (_, log_eps), (states, accs) = jax.lax.scan(
+                mut_body, (zs, log_eps), jax.random.split(k_mut, n_sweeps)
+            )
+            # chain-major union (ancestor first): chains stay contiguous,
+            # so the sharded row-block layout matches the single-device
+            # reshape and the next stage's local slice is exactly one
+            # device's chains
+            allz = jnp.concatenate([zs[None], states], axis=0)  # (L, M_loc, P)
+            allz = jnp.swapaxes(allz, 0, 1).reshape(-1, dim)
+            qs = lin[0] + lin[1](allz)
+        else:
+            (zs, log_eps), accs = jax.lax.scan(
+                mut_body, (zs, log_eps), jax.random.split(k_mut, n_sweeps)
+            )
+            qs = lin[0] + lin[1](zs)
         return qs, b2, logz, log_eps, key, cess_frac, jnp.mean(accs)
 
     return stage, u_batch
@@ -369,6 +418,31 @@ def _logz0(dim, ref_scale, dtype):
     return 0.5 * dim * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)) + jnp.sum(
         jnp.log(ref_scale)
     )
+
+
+def _check_waste_free(waste_free, n: int, n_shards: int) -> int:
+    """Validate the waste-free chain length L against N and the mesh.
+
+    L=0 disables; otherwise L >= 2 (one ancestor + at least one sweep),
+    N must split into M = N/L chains, and under sharding the chains must
+    split evenly over devices (chain-major layout, :func:`_build_stage`).
+    """
+    l = int(waste_free)
+    if l == 0:
+        return 0
+    if l < 2:
+        raise ValueError(f"waste_free wants chain length >= 2, got {l}")
+    if n % l:
+        raise ValueError(
+            f"waste_free={l} must divide n_particles={n} "
+            f"(M = N/L ancestor chains)"
+        )
+    if (n // l) % n_shards:
+        raise ValueError(
+            f"waste_free={l}: M={n // l} ancestor chains must split over "
+            f"{n_shards} devices"
+        )
+    return l
 
 
 _STAGE_STATICS = dict(
@@ -382,6 +456,7 @@ _STAGE_STATICS = dict(
         "metric",
         "shrink",
         "n_polish",
+        "waste_free",
     ),
 )
 
@@ -406,6 +481,7 @@ def _run_smc(
     metric: str = "diag",
     shrink: float = 0.1,
     n_polish: int = 0,
+    waste_free: int = 0,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -413,7 +489,7 @@ def _run_smc(
         potential_fn, n, dim, dtype, ref_mean, ref_scale,
         n_mutations, n_leapfrog, n_bisect, dr_reduction,
         target_cess, target_accept, adapt_rate, min_beta_step,
-        metric=metric, shrink=shrink,
+        metric=metric, shrink=shrink, waste_free=waste_free,
     )
 
     def cond(c):
@@ -483,6 +559,7 @@ def _run_smc_host(
     metric: str = "diag",
     shrink: float = 0.1,
     n_polish: int = 0,
+    waste_free: int = 0,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -499,7 +576,7 @@ def _run_smc_host(
         n_mutations, n_leapfrog, n_bisect, dr_reduction,
         jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
-        metric=metric, shrink=shrink,
+        metric=metric, shrink=shrink, waste_free=waste_free,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
@@ -565,6 +642,7 @@ def smc_sample_sharded(
     metric: str = "full",
     shrink: float = 0.1,
     n_polish: int = 0,
+    waste_free: int = 0,
     ref_mean=None,
     ref_scale=None,
     dtype=None,
@@ -615,7 +693,9 @@ def smc_sample_sharded(
     ax = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     n = int(n_particles)
-    n += (-n) % n_dev  # round up: exchangeable particles, extras only help
+    # round up: exchangeable particles, extras only help; waste-free chains
+    # must also split evenly over devices (M = N/L per-device chains)
+    n += (-n) % (n_dev * int(waste_free) if waste_free else n_dev)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     if metric not in ("diag", "full"):
@@ -648,6 +728,7 @@ def smc_sample_sharded(
         jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
         metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
+        waste_free=_check_waste_free(waste_free, n, n_dev),
     )
     # scalars replicate; the particle block shards; check_vma=False because
     # the replicated cross-particle math mixes gathered (hence replicated)
@@ -734,6 +815,7 @@ def smc_sample(
     metric: str = "diag",
     shrink: float = 0.1,
     n_polish: int = 0,
+    waste_free: int = 0,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -768,6 +850,19 @@ def smc_sample(
     program — required at model scale on the tunneled TPU, whose runtime
     faults minutes-long single-program executions (CLAUDE.md); ``progress``
     then receives a per-stage dict.  Keep the default for vmapped/fleet use.
+
+    ``waste_free=L`` (L >= 2) switches the mutation step to waste-free SMC
+    (Dau & Chopin 2022): each stage resamples only ``M = n_particles / L``
+    ancestors, runs ``L - 1`` sweeps from each, and the union of every
+    chain state becomes the next population — no mutation work is
+    discarded and duplicates leave the population after one stage rather
+    than lingering until the sweeps decorrelate them.  The population
+    metric then comes from the *weighted* pre-resample population (M alone
+    is too few for a covariance).  ``n_mutations`` is ignored: the sweep
+    count per stage is ``L - 1``.  Same compute per stage as
+    ``n_mutations = L - 1`` at ``1/L`` the sweep batch width — on small
+    problems that trades away MXU fill, at model scale (P ~ 800) the
+    sweeps stay fat.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
@@ -783,8 +878,11 @@ def smc_sample(
         else jnp.broadcast_to(jnp.asarray(ref_scale, dtype), (dim,))
     )
     if init_particles is None:
+        n_p = int(n_particles)
+        if waste_free:
+            n_p += (-n_p) % int(waste_free)  # exchangeable: extras only help
         q0 = ref_mean + ref_scale * jax.random.normal(
-            k_init, (int(n_particles), int(dim)), dtype=dtype
+            k_init, (n_p, int(dim)), dtype=dtype
         )
     else:
         q0 = jnp.asarray(init_particles, dtype)
@@ -812,10 +910,12 @@ def smc_sample(
         raise ValueError(f"unknown metric {metric!r} (want 'diag' or 'full')")
     if dispatch == "host":
         out = _run_smc_host(*run_args, metric=metric, shrink=float(shrink),
-                            n_polish=int(n_polish), progress=progress)
+                            n_polish=int(n_polish), progress=progress,
+                            waste_free=_check_waste_free(waste_free, q0.shape[0], 1))
     else:
         out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
-                       n_polish=int(n_polish))
+                       n_polish=int(n_polish),
+                       waste_free=_check_waste_free(waste_free, q0.shape[0], 1))
     qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,

@@ -742,6 +742,7 @@ def smc_fleet(
     dr_reduction: float = 0.0,
     metric: str = "full",
     n_polish: int = 0,
+    waste_free: int = 0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -811,7 +812,7 @@ def smc_fleet(
             pot, p_dim, k, n_particles,
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
-            metric=metric, n_polish=n_polish,
+            metric=metric, n_polish=n_polish, waste_free=waste_free,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
@@ -1039,6 +1040,7 @@ def smc_fleet_hadamard(
     dr_reduction: float = 0.0,
     metric: str = "full",
     n_polish: int = 0,
+    waste_free: int = 0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -1099,7 +1101,7 @@ def smc_fleet_hadamard(
             pot, p_dim, k, n_particles,
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
-            metric=metric, n_polish=n_polish,
+            metric=metric, n_polish=n_polish, waste_free=waste_free,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles

@@ -97,6 +97,11 @@ class PipelineConfig:
     #                  they don't); 0 = off
     smc_polish: int = 0  # extra mutation-only stages at beta=1 (cheap
     #                  decorrelation against resampling coalescence)
+    smc_waste_free: int = 0  # >=2: waste-free SMC (Dau & Chopin 2022) —
+    #                  resample only N/L ancestors per stage, keep every
+    #                  state of their length-L mutation chains as the next
+    #                  population (duplicates purge in one stage; same
+    #                  sweep compute as smc_mutations = L-1)
     smc_metric: str = "full"  # mutation metric: full population covariance
     #                  (affine-invariant — aligns with the measured GNMGP
     #                  collective ridge; N=200/TPU: logz run-to-run spread
@@ -317,6 +322,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+        waste_free=cfg.smc_waste_free,
         dispatch=dispatch,
     )
     parts = np.asarray(
@@ -876,6 +882,7 @@ def run_cohort_hadamard(
                     n_leapfrog=cfg.smc_leapfrog,
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                    waste_free=cfg.smc_waste_free,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1111,6 +1118,7 @@ def run_sim_fleet(
                 n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
                 target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                 metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                waste_free=cfg.smc_waste_free,
                 hyper=cfg.hyper, mesh=mesh, whiten=True,
             )
             samples = r.particles[:, : cfg.n_hmc, :]
@@ -1307,6 +1315,7 @@ def run_cohort(
                     n_leapfrog=cfg.smc_leapfrog,
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                    waste_free=cfg.smc_waste_free,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1373,6 +1382,7 @@ def run_cohort(
                         n_leapfrog=cfg.smc_leapfrog,
                         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                        waste_free=cfg.smc_waste_free,
                         hyper=cfg.hyper, mesh=mesh, whiten=True,
                         masks=jnp.asarray(mask)[idx_f],
                     )

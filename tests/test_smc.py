@@ -388,3 +388,57 @@ def test_evidence_ranks_true_family():
             )
             ev[model] = res["sampling"]["log_evidence"]
         assert ev["gnmgp"] > ev["snmgp"], f"seed {seed}: {ev}"
+
+
+def test_waste_free_moments_and_logz():
+    """Waste-free stages (Dau & Chopin 2022): resample N/L ancestors, keep
+    every state of their length-L mutation chains.  Same unbiasedness
+    contract as plain stages — logz within MC error, moments right — plus
+    mechanics: particle count rounds up to a multiple of L, config
+    validation rejects bad chain lengths."""
+    p = 6
+    scales = jnp.asarray(np.geomspace(0.2, 5.0, p), jnp.float32)
+    mu = jnp.asarray(np.linspace(-1.0, 1.0, p), jnp.float32)
+
+    def potential(q):
+        z = (q - mu) / scales
+        return 0.5 * jnp.sum(z * z)
+
+    logz_true = 0.5 * p * np.log(2 * np.pi) + float(jnp.sum(jnp.log(scales)))
+    r = smc.smc_sample(
+        potential, p, 0, 1000, waste_free=4, metric="full", n_polish=2
+    )
+    assert r.particles.shape == (1000, p)  # 1000 = 250 chains x L=4
+    assert float(r.beta_final) == 1.0
+    assert abs(float(r.logz) - logz_true) < 0.6
+    assert float(jnp.max(jnp.abs(r.particles.mean(0) - mu) / scales)) < 0.2
+    ratio = np.asarray(r.particles.std(0) / scales)
+    assert np.all(ratio > 0.8) and np.all(ratio < 1.2)
+
+    # rounding: 1001 -> 1004 (next multiple of 4)
+    r2 = smc.smc_sample(potential, p, 1, 1001, waste_free=4, max_stages=8)
+    assert r2.particles.shape[0] == 1004
+
+    with pytest.raises(ValueError, match="waste_free"):
+        smc.smc_sample(potential, p, 0, 64, waste_free=1)
+    with pytest.raises(ValueError, match="waste_free"):
+        smc.smc_sample(
+            potential, p, 0, 64, waste_free=3,
+            init_particles=jnp.zeros((64, p)),
+        )
+
+
+def test_waste_free_host_dispatch_bit_identity():
+    """Host-dispatched waste-free stages produce the same draws as the
+    device while_loop (the TPU posture must not change the math)."""
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q) + 0.1 * jnp.sum(q**4)
+
+    kw = dict(waste_free=3, n_leapfrog=4, metric="diag", max_stages=24)
+    r_d = smc.smc_sample(potential, 3, 7, 60, **kw)
+    r_h = smc.smc_sample(potential, 3, 7, 60, dispatch="host", **kw)
+    np.testing.assert_allclose(
+        np.asarray(r_h.particles), np.asarray(r_d.particles), atol=1e-6
+    )
+    np.testing.assert_allclose(float(r_h.logz), float(r_d.logz), rtol=1e-6)

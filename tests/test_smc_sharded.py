@@ -96,3 +96,23 @@ def test_sharded_statistics_and_rounding():
     np.testing.assert_allclose(parts.mean(0), mu, atol=0.35)
     np.testing.assert_allclose(np.cov(parts.T), c, atol=0.45)
     assert abs(float(r.logz) - logz_true) < 0.5
+
+
+def test_sharded_waste_free_matches_single_device():
+    """Waste-free chains split over devices (chain-major union layout):
+    sharded draws must match the single-device host driver exactly."""
+    pot, _, _, _ = _corr_gaussian()
+    kwargs = dict(waste_free=4, n_leapfrog=5, metric="full", n_polish=2,
+                  max_stages=32)
+    r_ref = smc.smc_sample(
+        pot, 6, jax.random.PRNGKey(11), 64, dispatch="host", **kwargs
+    )
+    r_sh = smc.smc_sample_sharded(
+        pot, 6, jax.random.PRNGKey(11), 64, **kwargs
+    )
+    assert int(r_sh.n_stages) == int(r_ref.n_stages)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.particles), np.asarray(r_ref.particles),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(float(r_sh.logz), float(r_ref.logz), rtol=1e-9)
