@@ -122,6 +122,7 @@ def _build_stage(
     axis: str | None = None,
     n_shards: int = 1,
     waste_free: int = 0,
+    potential_batched: bool = False,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -181,15 +182,34 @@ def _build_stage(
         z = (q - ref_mean) / ref_scale
         return 0.5 * jnp.sum(z * z)
 
-    u_batch = jax.vmap(potential_fn)
     k_batch = jax.vmap(k_ref)
+    if potential_batched:
+        # batch-native potential: (B, P) -> (B,) — the sharded-likelihood
+        # pairing (parallel/sharded_obj.loglik_sharded_batch), where the
+        # row-wise vmap would put a shard_map under vmap per particle.
+        # Rows are independent, so the ones-vector VJP IS the per-row
+        # gradient stack.
+        u_batch = potential_fn
 
-    def pot_b(q, b):
-        return (1.0 - b) * k_ref(q) + b * potential_fn(q)
+        def u_b(qs, b):
+            return (1.0 - b) * k_batch(qs) + b * u_batch(qs)
 
-    val_grad_b = jax.vmap(jax.value_and_grad(pot_b), in_axes=(0, None))
-    grad_b = jax.vmap(jax.grad(pot_b), in_axes=(0, None))
-    u_b = jax.vmap(pot_b, in_axes=(0, None))
+        def val_grad_b(qs, b):
+            u, pull = jax.vjp(lambda q: u_b(q, b), qs)
+            return u, pull(jnp.ones_like(u))[0]
+
+        def grad_b(qs, b):
+            return val_grad_b(qs, b)[1]
+
+    else:
+        u_batch = jax.vmap(potential_fn)
+
+        def pot_b(q, b):
+            return (1.0 - b) * k_ref(q) + b * potential_fn(q)
+
+        val_grad_b = jax.vmap(jax.value_and_grad(pot_b), in_axes=(0, None))
+        grad_b = jax.vmap(jax.grad(pot_b), in_axes=(0, None))
+        u_b = jax.vmap(pot_b, in_axes=(0, None))
     use_dr = dr_reduction > 0
 
     def propose(zs, p, b, eps, lin):
@@ -457,6 +477,7 @@ _STAGE_STATICS = dict(
         "shrink",
         "n_polish",
         "waste_free",
+        "potential_batched",
     ),
 )
 
@@ -482,6 +503,7 @@ def _run_smc(
     shrink: float = 0.1,
     n_polish: int = 0,
     waste_free: int = 0,
+    potential_batched: bool = False,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -490,6 +512,7 @@ def _run_smc(
         n_mutations, n_leapfrog, n_bisect, dr_reduction,
         target_cess, target_accept, adapt_rate, min_beta_step,
         metric=metric, shrink=shrink, waste_free=waste_free,
+        potential_batched=potential_batched,
     )
 
     def cond(c):
@@ -560,6 +583,7 @@ def _run_smc_host(
     shrink: float = 0.1,
     n_polish: int = 0,
     waste_free: int = 0,
+    potential_batched: bool = False,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -577,6 +601,7 @@ def _run_smc_host(
         jnp.asarray(target_cess, dtype), jnp.asarray(target_accept, dtype),
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
         metric=metric, shrink=shrink, waste_free=waste_free,
+        potential_batched=potential_batched,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
@@ -643,6 +668,7 @@ def smc_sample_sharded(
     shrink: float = 0.1,
     n_polish: int = 0,
     waste_free: int = 0,
+    potential_batched: bool = False,
     ref_mean=None,
     ref_scale=None,
     dtype=None,
@@ -816,6 +842,7 @@ def smc_sample(
     shrink: float = 0.1,
     n_polish: int = 0,
     waste_free: int = 0,
+    potential_batched: bool = False,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -911,11 +938,13 @@ def smc_sample(
     if dispatch == "host":
         out = _run_smc_host(*run_args, metric=metric, shrink=float(shrink),
                             n_polish=int(n_polish), progress=progress,
-                            waste_free=_check_waste_free(waste_free, q0.shape[0], 1))
+                            waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
+                            potential_batched=bool(potential_batched))
     else:
         out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
                        n_polish=int(n_polish),
-                       waste_free=_check_waste_free(waste_free, q0.shape[0], 1))
+                       waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
+                       potential_batched=bool(potential_batched))
     qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,

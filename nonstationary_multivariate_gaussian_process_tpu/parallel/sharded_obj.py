@@ -230,6 +230,23 @@ def _sweep_body_multi(n: int, block: int, n_dev: int,
     return body
 
 
+def auto_block(mn: int, n_dev: int, cap: int = BLOCK) -> int:
+    """Panel width fitted to the problem: ~one block row per device, power
+    of two, in [8, cap].
+
+    The sweep pads MN up to a multiple of ``n_dev * block``; the fixed
+    default (256) is right at MN in the thousands but inflates a small
+    problem catastrophically (MN=66 on 8 devices pads to 2048 — a 1000x
+    wasted sweep whose threads then blow XLA:CPU's 40 s collective
+    rendezvous timeout on an oversubscribed host).
+    """
+    per_dev = max(1, -(-int(mn) // int(n_dev)))
+    b = 8
+    while b < per_dev and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
 def _padded_size(mn: int, block: int, n_dev: int) -> int:
     return -(-mn // (block * n_dev)) * block * n_dev
 
@@ -306,48 +323,23 @@ def loglik_sharded(
     )
 
 
-def make_objective_sharded(
-    data: FullData,
-    mesh: Mesh | None = None,
-    hyper: dict | None = None,
-    prior: bool = True,
-    block: int = BLOCK,
-    model: str = "gnmgp",
-):
-    """Negative-log-posterior closure with the likelihood sharded over the mesh.
+def _make_prior_fn(x, n: int, m: int, hp: dict, model: str):
+    """Replicated log-prior closure shared by the sharded objectives.
 
-    The GP priors act on (N,)-sized latent processes — their (N,N) factors are
-    small relative to the (MN)² likelihood Gram, so they are evaluated
+    The GP priors act on (N,)-sized latent processes — their (N,N) factors
+    are small relative to the (MN)² likelihood Gram, so they evaluate
     replicated with the prior Choleskys hoisted out of the hot loop (exactly
-    as :func:`..models.gnmgp.make_objective` does on one chip).  ``model=
-    "gnmgp_hetero"`` adds the per-task noise-process GP prior and log-Jacobian
-    (``models.gnmgp_hetero.log_posterior``).
+    as :func:`..models.gnmgp.make_objective` does on one chip).
     """
-    if mesh is None:
-        mesh = make_mesh()
-    n, m = data.y.shape
     t = transforms.tri_size(m)
+    pc_l = chol.prior_rbf_inv(x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    pc_L = chol.prior_rbf_inv(x, hp["alpha_L"], hp["beta_L"])
     if model == "gnmgp_hetero":
         from ..models import gnmgp_hetero
 
-        hp = {**gnmgp_hetero.DEFAULT_HYPERS, **(hyper or {})}
-        pc_e = chol.prior_rbf_inv(data.x, hp["alpha_err"], hp["beta_err"])
-    elif model == "gnmgp":
-        hp = {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
-    else:
-        raise ValueError(f"unknown sharded model {model!r} "
-                         "(want 'gnmgp' or 'gnmgp_hetero')")
-    pc_l = chol.prior_rbf_inv(data.x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
-    pc_L = chol.prior_rbf_inv(data.x, hp["alpha_L"], hp["beta_L"])
+        pc_e = chol.prior_rbf_inv(x, hp["alpha_err"], hp["beta_err"])
 
-    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
-        res = loglik_sharded(vec, data.y, data.x, mesh=mesh, block=block,
-                             model=model)
-        if not prior:
-            return -res
-        if model == "gnmgp_hetero":
-            from ..models import gnmgp_hetero
-
+        def log_prior(vec):
             p = gnmgp_hetero.unpack(vec, n, m)
             lp_l = dists.mvn_logpdf_chol(p.tilde_l, hp["mu_tilde_l"], pc_l)
             lp_uL = gnmgp._l_process_prior(
@@ -359,19 +351,247 @@ def make_objective_sharded(
                     lambda row: dists.mvn_logpdf_chol(row, hp["mu_err"], pc_e)
                 )(err_mat)
             )
-            res = res + lp_l + lp_uL + lp_err + jnp.sum(p.tilde_sigma2_err)
-        else:
+            return lp_l + lp_uL + lp_err + jnp.sum(p.tilde_sigma2_err)
+
+    else:
+
+        def log_prior(vec):
             p = gnmgp.unpack(vec, n, m)
             sigma2_err = jnp.exp(p.tilde_sigma2_err)
             lp_l = dists.mvn_logpdf_chol(p.tilde_l, hp["mu_tilde_l"], pc_l)
             lp_uL = gnmgp._l_process_prior(
                 p.ul_vecs.reshape(n, t), hp["mu_L"], pc_L
             )
-            lp_s2 = dists.inverse_gamma_logpdf(sigma2_err, alpha=hp["a"], beta=hp["b"])
-            res = res + lp_l + lp_uL + lp_s2 + p.tilde_sigma2_err
+            lp_s2 = dists.inverse_gamma_logpdf(
+                sigma2_err, alpha=hp["a"], beta=hp["b"]
+            )
+            return lp_l + lp_uL + lp_s2 + p.tilde_sigma2_err
+
+    return log_prior
+
+
+def _resolve_hypers(hyper: dict | None, model: str) -> dict:
+    if model == "gnmgp_hetero":
+        from ..models import gnmgp_hetero
+
+        return {**gnmgp_hetero.DEFAULT_HYPERS, **(hyper or {})}
+    if model == "gnmgp":
+        return {**gnmgp.DEFAULT_HYPERS, **(hyper or {})}
+    raise ValueError(f"unknown sharded model {model!r} "
+                     "(want 'gnmgp' or 'gnmgp_hetero')")
+
+
+def make_objective_sharded(
+    data: FullData,
+    mesh: Mesh | None = None,
+    hyper: dict | None = None,
+    prior: bool = True,
+    block: int = BLOCK,
+    model: str = "gnmgp",
+):
+    """Negative-log-posterior closure with the likelihood sharded over the mesh.
+
+    Priors evaluate replicated (see :func:`_make_prior_fn`); ``model=
+    "gnmgp_hetero"`` adds the per-task noise-process GP prior and log-Jacobian
+    (``models.gnmgp_hetero.log_posterior``).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n, m = data.y.shape
+    hp = _resolve_hypers(hyper, model)
+    log_prior = _make_prior_fn(data.x, n, m, hp, model)
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        res = loglik_sharded(vec, data.y, data.x, mesh=mesh, block=block,
+                             model=model)
+        if prior:
+            res = res + log_prior(vec)
         return -res
 
     return nlp
+
+
+def _loglik_sharded_batch(vecs, y_tm, x, n, m, block, mesh_holder, jitter,
+                          model: str = "gnmgp"):
+    """Batched form of :func:`_loglik_sharded`: ``vecs`` (B, P) -> (B,).
+
+    Every device assembles and sweeps its row band for all B parameter
+    vectors in ONE shard_map program (the per-vector sweep vmaps inside, as
+    in :func:`_predict_sharded_batch`) — B sharded factorizations per
+    dispatch instead of B dispatches.  Per-device memory is
+    ``B · (MN)²/D``; keep B modest at very large MN.
+    """
+    (mesh,) = mesh_holder
+    n_dev = mesh.devices.size
+    mn = n * m
+    nb = _padded_size(mn, block, n_dev)
+    nb_loc = ((nb // block) // n_dev) * block
+
+    def unpack_one(vec):
+        if model == "gnmgp_hetero":
+            from ..models import gnmgp_hetero
+
+            p = gnmgp_hetero.unpack(vec, n, m)
+            s2 = jnp.exp(p.tilde_sigma2_err)
+        else:
+            p = gnmgp.unpack(vec, n, m)
+            s2 = jnp.full((mn,), jnp.exp(p.tilde_sigma2_err))
+        return gnmgp.chol_process(p.ul_vecs, n, m), jnp.exp(p.tilde_l), s2
+
+    lss, ells, s2s = jax.vmap(unpack_one)(vecs)
+
+    def shard_fn(y_r, x_r, ells_r, lss_r, s2s_r):
+        my_d = lax.axis_index(SUBJECT_AXIS)
+        rows_g = (
+            (jnp.arange(nb_loc) // block) * (n_dev * block)
+            + my_d * block
+            + jnp.arange(nb_loc) % block
+        )
+
+        def one(ell_r, ls_r, s2_r):
+            a_loc, b_loc = _assemble_local(
+                rows_g, nb, mn, x_r, ell_r, ls_r, s2_r, jitter, y_r
+            )
+            return _sweep_body(nb, block, n_dev)(a_loc, b_loc)
+
+        return jax.vmap(one)(ells_r, lss_r, s2s_r)
+
+    logdet, quad = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )(y_tm, x, ells, lss, s2s)
+    return -0.5 * logdet - 0.5 * quad
+
+
+def loglik_sharded_batch(
+    vecs: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    mesh: Mesh | None = None,
+    block: int | None = None,
+    model: str = "gnmgp",
+) -> jnp.ndarray:
+    """(B,) GNMGP marginal log-likelihoods, Gram row bands sharded over the mesh.
+
+    Equals ``vmap``-ing :func:`loglik_sharded` over the leading axis of
+    ``vecs`` but stays one shard_map program (a vmap *outside* a shard_map
+    re-traces per element and defeats the collective batching).  This is the
+    potential shape tempered SMC needs at MN beyond one chip's HBM: a
+    population's likelihoods in one dispatch (see
+    :func:`smc_sample_sharded_potential`).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n, m = y.shape
+    if block is None:
+        block = auto_block(n * m, int(mesh.devices.size))
+    y_tm = y.T.reshape(-1)
+    return _loglik_sharded_batch(
+        jnp.asarray(vecs), y_tm, x, n, m, block, (mesh,),
+        float(settings.jitter), model=model,
+    )
+
+
+def make_objective_sharded_batch(
+    data: FullData,
+    mesh: Mesh | None = None,
+    hyper: dict | None = None,
+    prior: bool = True,
+    block: int | None = None,
+    model: str = "gnmgp",
+):
+    """Batch-native negative log posterior: ``nlp_batch((B, P)) -> (B,)``.
+
+    The sharded-likelihood potential for population samplers
+    (``smc.smc_sample(..., potential_batched=True)``): likelihoods ride
+    :func:`loglik_sharded_batch`, priors vmap replicated.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n, m = data.y.shape
+    hp = _resolve_hypers(hyper, model)
+    log_prior = jax.vmap(_make_prior_fn(data.x, n, m, hp, model))
+
+    def nlp_batch(vecs: jnp.ndarray) -> jnp.ndarray:
+        res = loglik_sharded_batch(vecs, data.y, data.x, mesh=mesh,
+                                   block=block, model=model)
+        if prior:
+            res = res + log_prior(vecs)
+        return -res
+
+    return nlp_batch
+
+
+def smc_sample_sharded_potential(
+    data: FullData,
+    key,
+    mesh: Mesh | None = None,
+    hyper: dict | None = None,
+    block: int | None = None,
+    model: str = "gnmgp",
+    n_particles: int = 64,
+    whiten: bool = True,
+    **smc_kwargs,
+):
+    """Tempered SMC whose potential is the mesh-sharded GNMGP posterior.
+
+    The oversized-subject (``run_cohort(sharded_threshold=...)``) analogue of
+    the fleet SMC tier: the (MN x MN) Gram never exists on one device, yet
+    the subject still gets the between-basin sampler and the evidence
+    estimate.  The population's likelihoods and leapfrog gradients evaluate
+    through :func:`loglik_sharded_batch` — B sharded factor+solve sweeps
+    vmapped into each dispatch — so the mesh is the *model-parallel* axis
+    here (compare :func:`..inference.smc.smc_sample_sharded`, where it is
+    the particle axis).  Keep ``n_particles`` modest: per-device memory is
+    ``n_particles · (MN)²/D``.
+
+    ``whiten=True`` samples the prior-whitened space (the SMC reference is
+    then the exact latent-GP prior) and returns natural-space particles,
+    with the whitening Jacobian folded into ``logz``.
+
+    Returns ``(SMCResult, particles_natural)``; host dispatch is forced
+    (stage programs at this scale are exactly the minutes-long single
+    programs the tunneled TPU runtime faults on, CLAUDE.md).
+    """
+    from ..inference import smc as smc_mod
+    from ..inference import whiten as whiten_mod
+
+    if mesh is None:
+        mesh = make_mesh()
+    n, m = data.y.shape
+    nlp_batch = make_objective_sharded_batch(
+        data, mesh=mesh, hyper=hyper, block=block, model=model
+    )
+    if whiten:
+        w = whiten_mod.make_whitener(model, data.x, n, m, hyper)
+        from_white = jax.vmap(w.from_white)
+
+        def pot(us):
+            return nlp_batch(from_white(us))
+
+        dim = w.n_params
+    else:
+        w = None
+        pot = nlp_batch
+        if model == "gnmgp_hetero":
+            from ..models import gnmgp_hetero
+
+            dim = gnmgp_hetero.n_params(n, m)
+        else:
+            dim = gnmgp.n_params(n, m)
+
+    r = smc_mod.smc_sample(
+        pot, int(dim), key, n_particles,
+        potential_batched=True, dispatch="host", **smc_kwargs,
+    )
+    if w is not None:
+        parts = w.from_white_batch(r.particles)
+        r = r._replace(logz=r.logz + w.logdet())
+    else:
+        parts = r.particles
+    return r, parts
 
 
 @partial(

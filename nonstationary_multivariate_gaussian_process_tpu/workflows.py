@@ -1542,26 +1542,69 @@ def run_cohort(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort supports whiten=True/'prior' "
                                  "only (pncp is single-subject)")
-            w = whiten_mod.make_whitener(cfg.model, data_i.x, n_i, m_i, cfg.hyper)
-            chain = hmc_mod.hmc_sample(
-                w.wrap(nlp), w.to_white(res_i.vec), cfg.n_hmc,
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                   100003 + big_ids.index(sid)),
-                step_size=cfg.hmc_step_size, n_leapfrog=cfg.hmc_leapfrog,
-                n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
-            )
-            rec["hmc_samples"] = np.asarray(w.from_white_batch(chain.samples))
-            rec["sampling"] = _sampling_record(rec["hmc_samples"][None], 1)
-            if store is not None:
-                store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
-                           samples=rec["hmc_samples"])
-                store.save(
-                    ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
-                    min_ess=rec["sampling"]["min_ess"],
-                    median_ess=rec["sampling"]["median_ess"],
-                    max_rhat=rec["sampling"]["max_rhat"],
-                    n_chains=1,
+            k_big = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                       100003 + big_ids.index(sid))
+            if cfg.sampler == "smc":
+                # the between-basin tier over the sharded potential: the
+                # population's likelihoods/gradients run as batched sharded
+                # sweeps (sharded_obj.loglik_sharded_batch), one dispatch
+                # per stage — driver symmetry with the fleet SMC tier
+                r_smc, parts = sharded_obj.smc_sample_sharded_potential(
+                    data_i, k_big, mesh=mesh, hyper=cfg.hyper,
+                    model=cfg.model,
+                    n_particles=max(cfg.smc_particles or 64, cfg.n_hmc),
+                    n_mutations=cfg.smc_mutations,
+                    n_leapfrog=cfg.smc_leapfrog,
+                    target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                    metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                    waste_free=cfg.smc_waste_free,
                 )
+                rec["hmc_samples"] = np.asarray(parts)[: cfg.n_hmc]
+                rec["sampling"] = {
+                    "sampler": "smc",
+                    "log_evidence": float(r_smc.logz),
+                    "beta_final": float(r_smc.beta_final),
+                    "n_stages": int(r_smc.n_stages),
+                }
+                if store is not None:
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                        samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid,
+                                          "sampling"),
+                        log_evidence=rec["sampling"]["log_evidence"],
+                        beta_final=rec["sampling"]["beta_final"],
+                        n_stages=rec["sampling"]["n_stages"],
+                    )
+            else:
+                w = whiten_mod.make_whitener(
+                    cfg.model, data_i.x, n_i, m_i, cfg.hyper
+                )
+                chain = hmc_mod.hmc_sample(
+                    w.wrap(nlp), w.to_white(res_i.vec), cfg.n_hmc, k_big,
+                    step_size=cfg.hmc_step_size,
+                    n_leapfrog=cfg.hmc_leapfrog,
+                    n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                )
+                rec["hmc_samples"] = np.asarray(
+                    w.from_white_batch(chain.samples)
+                )
+                rec["sampling"] = _sampling_record(
+                    rec["hmc_samples"][None], 1
+                )
+                if store is not None:
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                        samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid,
+                                          "sampling"),
+                        min_ess=rec["sampling"]["min_ess"],
+                        median_ess=rec["sampling"]["median_ess"],
+                        max_rhat=rec["sampling"]["max_rhat"],
+                        n_chains=1,
+                    )
         if x_te is not None and cfg.do_pred_test:
             tp = sharded_obj.predict_map_sharded(
                 res_i.vec, data_i, jnp.asarray(x_te, settings.dtype),

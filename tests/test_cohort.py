@@ -250,3 +250,41 @@ class TestTrustworthyCohortSampling:
             workflows._cohort_sampling_posture(
                 workflows.PipelineConfig(cohort_sampler="bogus")
             )
+
+
+class TestShardedCohortSMC:
+    @pytest.mark.slow
+    def test_oversized_subject_smc_evidence(self, tmp_path):
+        """sampler='smc' reaches the oversized tier too: the big subject
+        samples by tempered SMC over the sharded potential (batched sweeps)
+        and surfaces evidence instead of chain diagnostics — driver symmetry
+        with the fleet SMC tier."""
+        keys = jax.random.split(jax.random.PRNGKey(6), 2)
+        subjects = {}
+        for i, (k, n) in enumerate(zip(keys, [14, 36])):
+            d = sim.sim_mnts(k, n=n)
+            subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=25, window_size=5, do_hmc=True, n_hmc=4,
+            sampler="smc", smc_particles=8, smc_mutations=1,
+            smc_leapfrog=2, cohort_sampler="config",
+        )
+        store = ArtifactStore(str(tmp_path))
+        out = workflows.run_cohort(
+            subjects, cfg, store=store, n_buckets=1, extrapolation_size=3,
+            sharded_threshold=30,
+        )
+        big = out["subjects"]["id1"]
+        assert big.get("sharded") is True
+        assert big["sampling"]["sampler"] == "smc"
+        assert np.isfinite(big["sampling"]["log_evidence"])
+        assert big["sampling"]["beta_final"] == 1.0
+        assert big["hmc_samples"].shape[0] == 4
+        assert np.all(np.isfinite(big["hmc_samples"]))
+        loaded = store.load(
+            ArtifactStore.key("gnmgp", "cohort", "id1", "sampling")
+        )
+        assert np.isfinite(float(loaded["log_evidence"]))
+        # the fleet-tier subject also went through SMC
+        small = out["subjects"]["id0"]
+        assert small["sampling"]["sampler"] == "smc"
