@@ -65,6 +65,9 @@ def main():
                     help="smc: >0 upgrades mutation sweeps to 2-stage "
                          "delayed rejection at eps/this (3x trajectories)")
     ap.add_argument("--smc-max-stages", type=int, default=64)
+    ap.add_argument("--smc-adapt-mutations", action="store_true",
+                    help="stop each stage's sweeps when population MSJD "
+                         "saturates (n_mutations becomes the cap)")
     ap.add_argument("--smc-waste-free", type=int, default=0,
                     help="chain length L>=2: waste-free SMC (resample N/L "
                          "ancestors, keep every mutation state; Dau & "
@@ -400,6 +403,7 @@ def main():
                 target_cess=args.smc_cess, dr_reduction=args.smc_dr,
                 metric=args.smc_metric, n_polish=args.smc_polish,
                 waste_free=args.smc_waste_free,
+                adapt_mutations=args.smc_adapt_mutations,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -441,6 +445,8 @@ def main():
             "particles": np_,
             "metric": args.smc_metric,
             "waste_free": args.smc_waste_free,
+            "adapt_mutations": args.smc_adapt_mutations,
+            "grads_are_cap": bool(args.smc_adapt_mutations),
             "stages": stages.tolist(),
             "beta_final": np.asarray(rr.beta_final).tolist(),
             "logz_mean": round(float(logzs.mean()), 2),

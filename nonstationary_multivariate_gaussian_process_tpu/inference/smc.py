@@ -123,6 +123,8 @@ def _build_stage(
     n_shards: int = 1,
     waste_free: int = 0,
     potential_batched: bool = False,
+    adapt_mutations: bool = False,
+    msjd_frac: float = 0.5,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -412,6 +414,38 @@ def _build_stage(
             le = le + adapt_rate * (acc - target_accept)
             return (z, le), ((z, acc) if waste_free else acc)
 
+        if adapt_mutations and not waste_free:
+            # adaptive sweep count: in the metric-whitened space the
+            # population is ~unit covariance by construction, so a fully
+            # decorrelated move has E||z - z0||^2 ~ 2*dim; stop sweeping
+            # once mean squared displacement from the stage's start crosses
+            # msjd_frac of that (n_sweeps stays the cap).  Saves the sweeps
+            # duplicates don't need on easy stages, spends the full cap on
+            # hard ones.
+            z0 = zs
+            thresh = jnp.asarray(msjd_frac * 2.0 * dim, dtype)
+            keys_mut = jax.random.split(k_mut, n_sweeps)
+
+            def a_cond(c):
+                _, _, i, _, done = c
+                return (~done) & (i < n_sweeps)
+
+            def a_body(c):
+                z, le, i, acc_sum, _ = c
+                z, acc = hmc_sweep(z, b2, jnp.exp(le), lin, keys_mut[i])
+                le = le + adapt_rate * (acc - target_accept)
+                d = jnp.mean(gather(jnp.sum((z - z0) ** 2, axis=1)))
+                return (z, le, i + 1, acc_sum + acc, d >= thresh)
+
+            zs, log_eps, n_done, acc_sum, _ = jax.lax.while_loop(
+                a_cond, a_body,
+                (zs, log_eps, jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0.0, dtype), jnp.asarray(False)),
+            )
+            qs = lin[0] + lin[1](zs)
+            mean_acc = acc_sum / jnp.maximum(n_done, 1).astype(dtype)
+            return qs, b2, logz, log_eps, key, cess_frac, mean_acc
+
         if waste_free:
             (_, log_eps), (states, accs) = jax.lax.scan(
                 mut_body, (zs, log_eps), jax.random.split(k_mut, n_sweeps)
@@ -478,6 +512,8 @@ _STAGE_STATICS = dict(
         "n_polish",
         "waste_free",
         "potential_batched",
+        "adapt_mutations",
+        "msjd_frac",
     ),
 )
 
@@ -504,6 +540,8 @@ def _run_smc(
     n_polish: int = 0,
     waste_free: int = 0,
     potential_batched: bool = False,
+    adapt_mutations: bool = False,
+    msjd_frac: float = 0.5,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -513,6 +551,7 @@ def _run_smc(
         target_cess, target_accept, adapt_rate, min_beta_step,
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
+        adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
     )
 
     def cond(c):
@@ -584,6 +623,8 @@ def _run_smc_host(
     n_polish: int = 0,
     waste_free: int = 0,
     potential_batched: bool = False,
+    adapt_mutations: bool = False,
+    msjd_frac: float = 0.5,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -602,6 +643,7 @@ def _run_smc_host(
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
+        adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
@@ -669,6 +711,8 @@ def smc_sample_sharded(
     n_polish: int = 0,
     waste_free: int = 0,
     potential_batched: bool = False,
+    adapt_mutations: bool = False,
+    msjd_frac: float = 0.5,
     ref_mean=None,
     ref_scale=None,
     dtype=None,
@@ -710,6 +754,10 @@ def smc_sample_sharded(
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    if adapt_mutations and waste_free:
+        raise ValueError("adapt_mutations is incompatible with waste_free "
+                         "(the union keeps every state of a fixed-length "
+                         "chain)")
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), ("particles",))
     if len(mesh.axis_names) != 1:
@@ -755,6 +803,7 @@ def smc_sample_sharded(
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
         metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
         waste_free=_check_waste_free(waste_free, n, n_dev),
+        adapt_mutations=bool(adapt_mutations), msjd_frac=float(msjd_frac),
     )
     # scalars replicate; the particle block shards; check_vma=False because
     # the replicated cross-particle math mixes gathered (hence replicated)
@@ -843,6 +892,8 @@ def smc_sample(
     n_polish: int = 0,
     waste_free: int = 0,
     potential_batched: bool = False,
+    adapt_mutations: bool = False,
+    msjd_frac: float = 0.5,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -889,8 +940,30 @@ def smc_sample(
     count per stage is ``L - 1``.  Same compute per stage as
     ``n_mutations = L - 1`` at ``1/L`` the sweep batch width — on small
     problems that trades away MXU fill, at model scale (P ~ 800) the
-    sweeps stay fat.
+    sweeps stay fat.  **Measured at the GNMGP reference scale it is a
+    decisive negative** (ROADMAP: cross-run N_eff 5.3 vs the polish
+    posture's 53.5; the union's pre-mutation states lag the tempered
+    target and inflate weight variance) — reach for it only where
+    mutation moves are cheap relative to reweighting.
+
+    ``adapt_mutations=True`` stops each stage's sweeps early once the
+    population's mean squared displacement from the stage's start crosses
+    ``msjd_frac`` of full decorrelation (``2 * dim`` in the
+    metric-whitened space, where the population is ~unit covariance by
+    construction); ``n_mutations`` becomes the cap.  Spends sweeps where
+    the kernel moves slowly, saves them where duplicates separate fast.
+    Incompatible with ``waste_free`` (the union needs the fixed chain
+    length).
+
+    ``potential_batched=True`` declares ``potential_fn`` batch-native
+    ((B, P) -> (B,)) — the sharded-likelihood pairing
+    (``parallel.sharded_obj.make_objective_sharded_batch``); per-particle
+    gradients come from the ones-vector VJP.
     """
+    if adapt_mutations and waste_free:
+        raise ValueError("adapt_mutations is incompatible with waste_free "
+                         "(the union keeps every state of a fixed-length "
+                         "chain)")
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
     key, k_init = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
@@ -939,12 +1012,16 @@ def smc_sample(
         out = _run_smc_host(*run_args, metric=metric, shrink=float(shrink),
                             n_polish=int(n_polish), progress=progress,
                             waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
-                            potential_batched=bool(potential_batched))
+                            potential_batched=bool(potential_batched),
+                            adapt_mutations=bool(adapt_mutations),
+                            msjd_frac=float(msjd_frac))
     else:
         out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
                        n_polish=int(n_polish),
                        waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
-                       potential_batched=bool(potential_batched))
+                       potential_batched=bool(potential_batched),
+                       adapt_mutations=bool(adapt_mutations),
+                       msjd_frac=float(msjd_frac))
     qs, logz, stage, b, betas, cess, acc, eps, pots = out
     return SMCResult(
         particles=qs,
