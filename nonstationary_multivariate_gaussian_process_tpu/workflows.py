@@ -66,6 +66,10 @@ class PipelineConfig:
     do_evaluation: bool = True
     n_opt: int = 1000
     lr: float = 2e-1
+    map_method: str = "adam"  # "adam" (reference contract) | "lbfgs"
+    #                 (zoom-linesearch quasi-Newton — measured on GNMGP
+    #                 N=200: 300 iters reach nlp -4988 in 34s where Adam's
+    #                 2000 iters reach -4379 in 136s; inference/map.py)
     err_opt: float | None = None
     n_hmc: int = 100
     sampler: str = "hmc"  # "hmc" (reference contract) | "nuts" (adaptive
@@ -574,7 +578,7 @@ def run_subject(
                 ckpt = lambda v, i: store.save(_key("map_ckpt"), vec=np.asarray(v), iteration=i)
             name, res, _ = map_mod.multi_start_map(
                 nlp, inits, n_iters=cfg.n_opt, lr=cfg.lr, err_opt=cfg.err_opt,
-                checkpoint_fn=ckpt,
+                checkpoint_fn=ckpt, method=cfg.map_method,
             )
             result["timings"]["map"] = time.time() - t0
             result["map_vec"] = map_vec = res.vec
@@ -718,7 +722,8 @@ def run_subject_hadamard(
 
     v0 = 0.1 * jax.random.normal(key, (dim,), settings.dtype)
     v0 = v0.at[-1].set(-2.0)
-    res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr, err_opt=cfg.err_opt)
+    res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr,
+                          err_opt=cfg.err_opt, method=cfg.map_method)
     out = {"map_vec": res.vec, "target_hist": np.asarray(res.target_hist), "n": n, "m": m}
 
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
@@ -1528,7 +1533,8 @@ def run_cohort(
         nlp = sharded_obj.make_objective_sharded(
             data_i, mesh=mesh, hyper=cfg.hyper, model=cfg.model
         )
-        res_i = map_mod.fit_map(nlp, init_vec, n_iters=cfg.n_opt, lr=cfg.lr)
+        res_i = map_mod.fit_map(nlp, init_vec, n_iters=cfg.n_opt, lr=cfg.lr,
+                                method=cfg.map_method)
         rec = {
             "map_vec": np.asarray(res_i.vec),
             # the optimizer's own trace supplies the final objective; no

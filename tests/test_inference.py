@@ -294,3 +294,47 @@ class TestMultiStartErrorRecords:
         assert name == "good"
         assert "__errors__" in allr and "bad" in allr["__errors__"]
         assert "FloatingPointError" in allr["__errors__"]["bad"] or allr["__errors__"]["bad"]
+
+
+class TestLbfgsMap:
+    """Quasi-Newton MAP tier (inference/map.py method='lbfgs')."""
+
+    def test_lbfgs_beats_adam_at_matched_budget(self):
+        """On the stiff GNMGP posterior, L-BFGS with zoom linesearch reaches
+        a deeper optimum than Adam at a fraction of the iterations (measured
+        N=200: -4988 @300 iters vs -4379 @2000; pinned here at small N)."""
+        from nonstationary_multivariate_gaussian_process_tpu.data import sim
+        from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            FullData,
+        )
+        from nonstationary_multivariate_gaussian_process_tpu.inference import (
+            empirical,
+            init as init_mod,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(0), n=48)
+        nlp = gnmgp.make_objective(FullData(d.x, d.y))
+        emp = empirical.local_estimation(
+            np.asarray(d.x), np.asarray(d.y), window_size=12
+        )
+        v0 = init_mod.gnmgp_from_empirical(emp, 48, 2)
+        r_adam = map_mod.fit_map(nlp, v0, n_iters=400, lr=0.2)
+        r_lb = map_mod.fit_map(nlp, v0, n_iters=120, method="lbfgs", chunk=60)
+        assert float(nlp(r_lb.vec)) < float(nlp(r_adam.vec))
+        assert np.all(np.isfinite(np.asarray(r_lb.vec)))
+
+    def test_lbfgs_best_seen_and_contract(self):
+        """Best-seen semantics hold (returned vec scores <= every visited
+        target), err_opt converges, and bad method names raise."""
+        q = jnp.asarray(np.arange(1.0, 6.0))
+        nlp = lambda v: 0.5 * jnp.sum(q * (v - 2.0) ** 2)
+        r = map_mod.fit_map(
+            nlp, jnp.zeros(5), n_iters=200, method="lbfgs", chunk=20,
+            err_opt=1e-12,
+        )
+        assert r.converged
+        np.testing.assert_allclose(np.asarray(r.vec), 2.0, atol=1e-5)
+        assert float(nlp(r.vec)) <= float(-r.target_hist.max()) + 1e-9
+        with pytest.raises(ValueError, match="method"):
+            map_mod.fit_map(nlp, jnp.zeros(5), method="newton")
