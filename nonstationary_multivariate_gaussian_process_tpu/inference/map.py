@@ -101,18 +101,17 @@ def _run_chunk(objective, optimizer, vec, opt_state, best_vec, best_val,
     return vec, opt_state, best_vec, best_val, targets
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6))
-def _run_chunk_lbfgs(objective, optimizer, vec, opt_state, best_vec,
-                     best_val, n_steps: int):
-    """Scan ``n_steps`` guarded L-BFGS iterations.
+def guarded_lbfgs_step(objective, optimizer):
+    """The guarded best-seen L-BFGS scan body (:func:`guarded_adam_step`'s
+    quasi-Newton sibling; same carry/output contract).
 
     Each update runs optax's zoom linesearch (several objective evals per
     step — the state caches the accepted value/grad, so
     ``value_and_grad_from_state`` makes a step cost ~1 gradient + the
     linesearch probes).  The guard holds parameters on a non-finite step;
-    best-seen tracking is shared with the Adam path's semantics
-    (:func:`guarded_adam_step`: the optimum is the best point visited,
-    never the last).
+    the optimum is the best point visited, never the last.  Shared by
+    :func:`fit_map`'s lbfgs chunks and the fleet MAP engine
+    (``parallel/fleet.py``, vmapped per subject).
     """
     value_and_grad = optax.value_and_grad_from_state(objective)
 
@@ -131,8 +130,16 @@ def _run_chunk_lbfgs(objective, optimizer, vec, opt_state, best_vec,
         v_new = jnp.where(ok & jnp.all(jnp.isfinite(v_new)), v_new, v)
         return (v_new, s_new, bv, bval), -val
 
+    return step
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6))
+def _run_chunk_lbfgs(objective, optimizer, vec, opt_state, best_vec,
+                     best_val, n_steps: int):
+    """Scan ``n_steps`` guarded L-BFGS iterations (:func:`guarded_lbfgs_step`)."""
     (vec, opt_state, best_vec, best_val), targets = jax.lax.scan(
-        step, (vec, opt_state, best_vec, best_val), None, length=n_steps
+        guarded_lbfgs_step(objective, optimizer),
+        (vec, opt_state, best_vec, best_val), None, length=n_steps
     )
     return vec, opt_state, best_vec, best_val, targets
 

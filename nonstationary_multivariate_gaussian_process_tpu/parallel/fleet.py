@@ -153,12 +153,20 @@ def fit_fleet_map(
     lr: float = 2e-1,
     mesh: Mesh | None = None,
     masks: jnp.ndarray | None = None,
+    method: str = "adam",
 ) -> FleetResult:
     """MAP-fit a fleet of subjects, sharded over the device mesh.
 
     ``masks`` (S, N) boolean marks real observations for padded ragged
     subjects — supported by all three model likelihoods (dense projection for
     gnmgp, analytic Kronecker correction for snmgp/lmc).
+
+    ``method="lbfgs"`` swaps each subject's Adam scan for the guarded
+    L-BFGS body (``inference.map.guarded_lbfgs_step``, zoom linesearch,
+    vmapped per subject — every subject runs its own linesearch in
+    lockstep); ``lr`` is then ignored.  Measured win on the single-subject
+    engine: README/ROADMAP (N=200: -4988 @300 iters vs Adam's -4379
+    @2000).
     """
     _validate_fleet(model_name, xs, ys, init_vecs, masks)
     model = _MODELS[model_name]
@@ -182,7 +190,14 @@ def fit_fleet_map(
 
     pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=True)
-    optimizer = optax.adam(lr)
+    if method == "lbfgs":
+        optimizer = optax.lbfgs()
+        step_builder = map_mod.guarded_lbfgs_step
+    elif method == "adam":
+        optimizer = optax.adam(lr)
+        step_builder = map_mod.guarded_adam_step
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
 
     def fit_one(vec0, x, y, p1, p2, p3, mask):
         obj = lambda v: nlp(v, x, y, p1, p2, p3, mask)
@@ -191,7 +206,7 @@ def fit_fleet_map(
         # shard_map (a replicated literal would change VMA across the scan)
         big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
         (v, _, bv, bval), hist = jax.lax.scan(
-            map_mod.guarded_adam_step(obj, optimizer),
+            step_builder(obj, optimizer),
             (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
         v_fin = obj(v)
@@ -212,6 +227,10 @@ def fit_fleet_map(
         mesh=mesh,
         in_specs=tuple([P(SUBJECT_AXIS)] * 7),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(), P(), P()),
+        # lbfgs: optax's zoom-linesearch cond mixes replicated literals into
+        # the subject-varying carry (the nuts_fleet/smc_fleet situation) —
+        # skip the VMA check; fit_one stays purely subject-local either way
+        check_vma=(method == "adam"),
     )
     vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
         init_vecs, xs, ys, pc1, pc2, pc3, masks
@@ -1148,13 +1167,15 @@ def fit_fleet_map_hadamard(
     lr: float = 2e-1,
     mesh: Mesh | None = None,
     masks: jnp.ndarray | None = None,
+    method: str = "adam",
 ) -> FleetResult:
     """MAP-fit a fleet of Hadamard-layout subjects, sharded over the mesh.
 
     The reference's distributed drivers run this layout one subject per MPI
     rank with ``data_split_non`` (``Separable_model_distributed.py:221-259``);
     here it is one shard_map program, with ``masks`` making padded ragged
-    subjects exact (``models.base.mask_dense_gram``).
+    subjects exact (``models.base.mask_dense_gram``).  ``method="lbfgs"``
+    as in :func:`fit_fleet_map`.
     """
     _validate_fleet(model_name, xs, ys, init_vecs, masks, hadamard=True)
     if model_name not in _HADAMARD_HYPERS:
@@ -1185,7 +1206,14 @@ def fit_fleet_map_hadamard(
     pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
 
     nlp = _subject_nlp_hadamard(model_name, m, hp)
-    optimizer = optax.adam(lr)
+    if method == "lbfgs":
+        optimizer = optax.lbfgs()
+        step_builder = map_mod.guarded_lbfgs_step
+    elif method == "adam":
+        optimizer = optax.adam(lr)
+        step_builder = map_mod.guarded_adam_step
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
 
     def fit_one(vec0, x, indx, y, p1, p2, mask):
         obj = lambda v: nlp(v, x, indx, y, p1, p2, mask)
@@ -1194,7 +1222,7 @@ def fit_fleet_map_hadamard(
         # shard_map (a replicated literal would change VMA across the scan)
         big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
         (v, _, bv, bval), hist = jax.lax.scan(
-            map_mod.guarded_adam_step(obj, optimizer),
+            step_builder(obj, optimizer),
             (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
         )
         v_fin = obj(v)
@@ -1214,6 +1242,7 @@ def fit_fleet_map_hadamard(
         mesh=mesh,
         in_specs=tuple([P(SUBJECT_AXIS)] * 7),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(), P(), P()),
+        check_vma=(method == "adam"),  # lbfgs: see fit_fleet_map
     )
     vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
         init_vecs, xs, indxs, ys, pc1, pc2, masks

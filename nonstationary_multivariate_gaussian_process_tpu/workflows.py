@@ -855,7 +855,7 @@ def run_cohort_hadamard(
         res = fleet_mod.fit_fleet_map_hadamard(
             cfg.model, jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y), m,
             jnp.asarray(inits), hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr,
-            mesh=mesh, masks=jnp.asarray(mask),
+            mesh=mesh, masks=jnp.asarray(mask), method=cfg.map_method,
         )
         out = {
             "vec": np.asarray(res.vecs),
@@ -1075,6 +1075,7 @@ def run_sim_fleet(
     res = fleet_mod.fit_fleet_map(
         cfg.model, batch.x, batch.y, init_vecs, hyper=cfg.hyper,
         n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+        method=cfg.map_method,
     )
 
     out = {
@@ -1268,6 +1269,7 @@ def run_cohort(
         res = fleet_mod.fit_fleet_map(
             cfg.model, jnp.asarray(x), jnp.asarray(y), jnp.stack(inits),
             hyper=cfg.hyper, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+            method=cfg.map_method,
             masks=jnp.asarray(mask),
         )
         out = {

@@ -359,3 +359,29 @@ class TestFleetValidation:
         with pytest.raises(ValueError, match="masks must match"):
             fleet.nuts_fleet("gnmgp", xs, ys, vecs, jax.random.PRNGKey(0),
                              masks=jnp.ones((2, 2), bool))
+
+
+def test_fleet_lbfgs_map_beats_adam():
+    """method='lbfgs' in the fleet MAP engine: vmapped zoom-linesearch
+    L-BFGS per subject, deeper optima than Adam at a fraction of the
+    iterations (single-subject numbers in inference/map.py + ROADMAP)."""
+    from nonstationary_multivariate_gaussian_process_tpu.inference import (
+        init as init_mod,
+    )
+
+    batch = sim.sim_replicates(jax.random.PRNGKey(0), 4, n=16)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    inits = jnp.stack([init_mod.gnmgp_random(k, 16, 2) for k in keys])
+    r_adam = fleet.fit_fleet_map(
+        "gnmgp", batch.x, batch.y, inits, n_iters=200, lr=0.2
+    )
+    r_lb = fleet.fit_fleet_map(
+        "gnmgp", batch.x, batch.y, inits, n_iters=60, method="lbfgs"
+    )
+    fa = np.asarray(r_adam.final_nlp)
+    fl = np.asarray(r_lb.final_nlp)
+    assert np.all(np.isfinite(fl))
+    # every subject at least as deep, most strictly deeper
+    assert np.sum(fl < fa) >= 3, (fl, fa)
+    with pytest.raises(ValueError, match="method"):
+        fleet.fit_fleet_map("gnmgp", batch.x, batch.y, inits, method="sgd")
