@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--map-iters", type=int, default=2000,
                     help="Adam budget for the centering MAP (fit_map keeps "
                          "the best-seen iterate, so more is monotone better)")
+    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"],
+                    help="MAP engine for the centering fit (lbfgs: ~300 "
+                         "iters reach what Adam's 2000 don't; inference/map.py)")
     ap.add_argument("--step-size", type=float, default=2e-3)
     ap.add_argument("--whiten", default="off", nargs="?", const="prior",
                     choices=["off", "prior", "pncp"],
@@ -157,7 +160,8 @@ def main():
     nlp = gnmgp.make_objective(data)
     n, m = data.y.shape
     vec0 = jnp.zeros((gnmgp.n_params(n, m),), data.y.dtype)
-    res = map_mod.fit_map(nlp, vec0, n_iters=args.map_iters, lr=0.1)
+    res = map_mod.fit_map(nlp, vec0, n_iters=args.map_iters, lr=0.1,
+                          method=args.map_method)
     map_vec = res.vec
     log(f"MAP fitted, nlp={float(nlp(map_vec)):.2f}")
 
