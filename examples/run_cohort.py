@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--data", default=None, help="kaiser_distributed.pickle path")
     ap.add_argument("--subjects", type=int, default=8)
     ap.add_argument("--n-opt", type=int, default=300)
+    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"])
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="posterior draws per subject (0 = MAP only); the "
                          "default posture is whitened adaptive NUTS with "
@@ -61,7 +62,7 @@ def main():
         else synthetic_cohort(args.subjects)
     )
     cfg = workflows.PipelineConfig(
-        model=args.model, n_opt=args.n_opt,
+        model=args.model, n_opt=args.n_opt, map_method=args.map_method,
         do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
         n_chains=args.chains,
     )

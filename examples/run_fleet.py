@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--replicates", type=int, default=8)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=500)
+    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"])
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="fleet HMC draws per replicate (0 = skip)")
     ap.add_argument("--whiten", action="store_true",
@@ -31,6 +32,7 @@ def main():
 
     cfg = workflows.PipelineConfig(
         model=args.model, n_opt=args.n_opt, seed=args.seed,
+        map_method=args.map_method,
         do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1), whiten=args.whiten,
         hmc_step_size=args.hmc_step_size, hmc_adapt=args.n_hmc > 0,
         hmc_warmup=max(args.n_hmc // 4, 10) if args.n_hmc else 0,

@@ -30,6 +30,9 @@ def main():
                     choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--n-opt", type=int, default=1000)
+    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"],
+                    help="MAP engine (lbfgs: deeper optima in ~10x fewer "
+                         "iterations; measured numbers in ROADMAP)")
     ap.add_argument("--n-hmc", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sampler", default="hmc",
@@ -60,6 +63,7 @@ def main():
     )
     cfg = workflows.PipelineConfig(
         model=args.model, n_opt=args.n_opt, do_hmc=args.n_hmc > 0,
+        map_method=args.map_method,
         n_hmc=max(args.n_hmc, 1), test_size=args.test_size, hyper=hyper,
         seed=args.seed, sampler=args.sampler,
         whiten=False if args.whiten == "off" else args.whiten,
