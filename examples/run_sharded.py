@@ -32,6 +32,8 @@ def main():
                     help="dense-Gram model family to shard")
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=100)
+    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"],
+                    help="lbfgs: each linesearch probe is one sharded sweep")
     ap.add_argument("--n-hmc", type=int, default=0, help="whitened HMC draws (0 = skip)")
     ap.add_argument("--n-grid", type=int, default=0,
                     help="grid points for sharded MAP prediction (0 = skip)")
@@ -98,7 +100,8 @@ def main():
     else:
         t0 = time.time()
         res = map_mod.fit_map(nlp, jnp.zeros(model.n_params(n, m)),
-                              n_iters=args.n_opt, lr=0.1)
+                              n_iters=args.n_opt, lr=0.1,
+                              method=args.map_method)
         out["map_seconds"] = round(time.time() - t0, 2)
         if store is not None:
             store.save(map_key, vec=np.asarray(res.vec))
