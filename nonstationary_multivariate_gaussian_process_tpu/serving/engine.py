@@ -172,6 +172,36 @@ class PredictEngine:
                 }
         raise ValueError(f"unknown mode {mode!r} (want 'map' or 'sample')")
 
+    def info(self, sid: str) -> dict:
+        """Fit metadata for one subject: shapes, stored stages, and the
+        persisted sampling record — the SMC tier's ``log_evidence`` (exact
+        Bayes-factor comparison across served models) or the chain tiers'
+        pooled diagnostics — plus held-out scores when stored."""
+        rec = self._load(sid)
+        k = lambda stage: ArtifactStore.key(self.model, self.dataset, sid, stage)
+
+        def scalarize(d):
+            out = {}
+            for kk, v in d.items():
+                a = np.asarray(v)
+                out[kk] = a.item() if a.ndim == 0 else a.tolist()
+            return out
+
+        out = {
+            "subject": sid,
+            "model": self.model,
+            "n": int(rec["x"].shape[0]),
+            "m": int(rec["y"].shape[1]),
+            "has_chain": "chain" in rec,
+        }
+        if "chain" in rec:
+            out["n_draws"] = int(rec["chain"].shape[0])
+        if self.store.exists(k("sampling")):
+            out["sampling"] = scalarize(self.store.load(k("sampling")))
+        if self.store.exists(k("scores")):
+            out["scores"] = scalarize(self.store.load(k("scores")))
+        return out
+
     def warm(self, grid_sizes=(64, 256)) -> int:
         """Precompile the hot signatures for every stored subject shape.
 

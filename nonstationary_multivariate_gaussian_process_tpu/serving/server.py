@@ -4,6 +4,9 @@ Endpoints:
 
 * ``GET  /health``   → ``{"status": "ok", "model": ..., "subjects": N}``
 * ``GET  /subjects`` → ``{"subjects": [...]}``
+* ``GET  /subjects/<id>`` → fit metadata: shapes, stored stages, the
+  persisted sampling record (SMC ``log_evidence`` / chain diagnostics),
+  held-out scores
 * ``POST /predict``  → body ``{"subject": "0", "x": [...], "mode": "map"|"sample",
   "n_sample": 100}`` → ``{"mean": [[...]], "std": ..., "lower": ..., "upper": ...}``
 
@@ -55,6 +58,12 @@ def make_handler(engine: PredictEngine):
                 )
             elif self.path == "/subjects":
                 self._reply(200, {"subjects": engine.subject_ids()})
+            elif self.path.startswith("/subjects/"):
+                sid = self.path[len("/subjects/"):]
+                try:
+                    self._reply(200, engine.info(sid))
+                except KeyError as exc:
+                    self._reply(404, {"error": str(exc)})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 

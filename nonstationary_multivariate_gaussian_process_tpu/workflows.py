@@ -610,6 +610,15 @@ def run_subject(
         result["hmc_accept"] = accept
         if store is not None:
             store.save(_key("hmc"), samples=samples)
+            if "sampling" in result:
+                # persist the sampler's own record (evidence for SMC, pooled
+                # diagnostics for chain tiers) so downstream consumers — the
+                # serving info endpoint, completeness checks — see it without
+                # re-running anything (run_cohort already does this)
+                store.save(_key("sampling"), **{
+                    k: v for k, v in result["sampling"].items()
+                    if np.isscalar(v)
+                })
 
     if cfg.do_map_analysis and map_vec is not None and cfg.model == "gnmgp":
         # latent-process analysis: MAP point processes + posterior bands

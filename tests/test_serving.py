@@ -93,3 +93,48 @@ def test_http_roundtrip(fitted_root):
         assert ei.value.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_info_endpoint_surfaces_evidence(tmp_path):
+    """run_subject(sampler='smc') persists its sampling record; the engine's
+    info endpoint (and GET /subjects/<id>) surfaces the log evidence."""
+    import json
+    import urllib.request
+
+    root = str(tmp_path)
+    d = sim.sim_mnts(jax.random.PRNGKey(1), n=16)
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=40, do_hmc=True, n_hmc=8, sampler="smc",
+        smc_particles=16, smc_mutations=1, smc_leapfrog=2,
+        do_pred_grid=False, do_pred_test=False, do_evaluation=False,
+        do_map_analysis=False,
+    )
+    workflows.run_subject(
+        np.asarray(d.x), np.asarray(d.y), cfg, store=ArtifactStore(root),
+        subject=0, dataset="sim",
+    )
+    eng = PredictEngine(root, model="gnmgp", dataset="sim")
+    info = eng.info("0")
+    assert info["n"] == 16 and info["m"] == 2 and info["has_chain"]
+    assert info["sampling"]["sampler"] == "smc"
+    assert np.isfinite(info["sampling"]["log_evidence"])
+
+    httpd = serve(root, port=0, warm=False)
+    try:
+        import threading
+
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        got = json.loads(urllib.request.urlopen(f"{url}/subjects/0").read())
+        assert got["sampling"]["sampler"] == "smc"
+        assert np.isfinite(got["sampling"]["log_evidence"])
+        code = urllib.request.urlopen(f"{url}/subjects").status
+        assert code == 200
+        try:
+            urllib.request.urlopen(f"{url}/subjects/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
