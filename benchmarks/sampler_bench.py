@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--smc-polish", type=int, default=0,
                     help="smc: extra mutation-only stages at beta=1 (cheap "
                          "decorrelation against resampling coalescence)")
+    ap.add_argument("--smc-resample-ess", type=float, default=1.0,
+                    help="smc: resample only when the carried-weight ESS "
+                         "fraction drops below this (Del Moral adaptive "
+                         "resampling; 1.0 = every stage)")
     ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
@@ -408,6 +412,7 @@ def main():
                 metric=args.smc_metric, n_polish=args.smc_polish,
                 waste_free=args.smc_waste_free,
                 adapt_mutations=args.smc_adapt_mutations,
+                resample_ess=args.smc_resample_ess,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -450,6 +455,8 @@ def main():
             "metric": args.smc_metric,
             "waste_free": args.smc_waste_free,
             "adapt_mutations": args.smc_adapt_mutations,
+            "resample_ess": args.smc_resample_ess,
+            "resampled_stages": np.asarray(rr.resampled).sum(axis=1).tolist(),
             "grads_are_cap": bool(args.smc_adapt_mutations),
             "stages": stages.tolist(),
             "beta_final": np.asarray(rr.beta_final).tolist(),

@@ -79,6 +79,7 @@ class SMCResult(NamedTuple):
     accept: jnp.ndarray  # (max_stages,) mean mutation accept prob per stage
     step_sizes: jnp.ndarray  # (max_stages,) step size in effect per stage
     potentials: jnp.ndarray  # (N,) potential at the final particles
+    resampled: jnp.ndarray = None  # (max_stages,) 1.0 where the stage resampled
 
 
 def _ess_fraction(log_w: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +101,19 @@ def _systematic_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> j
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
     idx = jnp.searchsorted(cum, pts)
     return jnp.clip(idx, 0, log_w.shape[0] - 1)
+
+
+def _cess_fraction(log_w: jnp.ndarray, dlw: jnp.ndarray) -> jnp.ndarray:
+    """Conditional ESS fraction under carried weights (Zhou/Johansen/Aston).
+
+    ``(sum w u)^2 / ((sum w) (sum w u^2))`` with ``w = exp(log_w)``,
+    ``u = exp(dlw)``; reduces to ``_ess_fraction(dlw)`` at uniform weights.
+    """
+    return jnp.exp(
+        2.0 * logsumexp(log_w + dlw)
+        - logsumexp(log_w)
+        - logsumexp(log_w + 2.0 * dlw)
+    )
 
 
 def _build_stage(
@@ -125,6 +139,7 @@ def _build_stage(
     potential_batched: bool = False,
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
+    resample_ess: float = 1.0,
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -299,43 +314,38 @@ def _build_stage(
         # net, not a license to inflate eps
         return zs, jnp.mean(jnp.exp(gather(la1)))
 
-    def make_lin(qs, log_w=None):
-        """Per-stage metric map from the resampled population.
+    def _metric_arrays(qs, log_w=None):
+        """Metric statistics: (mu, sd) for diag, (mu, shrunk cov) for full.
 
-        diag: ``L = diag(particle std)``.  full: ``L = chol`` of the
-        shrinkage-regularized particle covariance — the affine-invariant
-        metric (module docstring); the shrinkage floor also repairs the
-        N < P rank deficiency.
-
-        ``log_w``: waste-free stages resample only M ancestors, too few for
-        a covariance — the metric then comes from the *weighted* full
-        pre-resample population instead (same estimand, all N points).
+        ``log_w``: weighted estimates from a pre-resample population —
+        waste-free stages (M ancestors are too few for a covariance) and
+        ESS-gated stages that skipped resampling.
         """
         if log_w is not None:
             w = jnp.exp(log_w - logsumexp(log_w))
             mu = w @ qs
             xc = qs - mu
             if metric == "diag":
-                sd = jnp.sqrt(jnp.clip(w @ (xc * xc), 1e-8, None))
-                return (mu, lambda z: z * sd, lambda g: g * sd,
-                        lambda x: x / sd)
+                return mu, jnp.sqrt(jnp.clip(w @ (xc * xc), 1e-8, None))
             cov = (xc * w[:, None]).T @ xc
         else:
             mu = jnp.mean(qs, axis=0)
             xc = qs - mu
             if metric == "diag":
-                sd = jnp.sqrt(jnp.clip(jnp.var(qs, axis=0), 1e-8, None))
-                return (
-                    mu,
-                    lambda z: z * sd,
-                    lambda g: g * sd,
-                    lambda x: x / sd,
-                )
+                return mu, jnp.sqrt(jnp.clip(jnp.var(qs, axis=0), 1e-8, None))
             cov = xc.T @ xc / (qs.shape[0] - 1)
         dvar = jnp.clip(jnp.diag(cov), 1e-8, None)
         cov = (1.0 - shrink) * cov + shrink * jnp.diag(dvar)
         cov = cov + 1e-6 * jnp.mean(dvar) * jnp.eye(dim, dtype=dtype)
-        l_cov = jnp.linalg.cholesky(cov)
+        return mu, cov
+
+    def _lin_from(mu, stat):
+        """Closure tuple (mu, L@, L.T@, L^-1@) from the metric statistics."""
+        if metric == "diag":
+            sd = stat
+            return (mu, lambda z: z * sd, lambda g: g * sd,
+                    lambda x: x / sd)
+        l_cov = jnp.linalg.cholesky(stat)
         return (
             mu,
             lambda z: z @ l_cov.T,
@@ -345,11 +355,23 @@ def _build_stage(
             ).T,
         )
 
-    def next_beta(b, v):
+    def make_lin(qs, log_w=None):
+        """Per-stage metric map from the (resampled or weighted) population.
+
+        diag: ``L = diag(particle std)``.  full: ``L = chol`` of the
+        shrinkage-regularized particle covariance — the affine-invariant
+        metric (module docstring); the shrinkage floor also repairs the
+        N < P rank deficiency.
+        """
+        return _lin_from(*_metric_arrays(qs, log_w))
+
+    def next_beta(b, v, log_w=None):
         """Largest b' in (b, 1] whose incremental-weight CESS >= target."""
 
         def cess(b2):
-            return _ess_fraction(-(b2 - b) * v)
+            if log_w is None:
+                return _ess_fraction(-(b2 - b) * v)
+            return _cess_fraction(log_w, -(b2 - b) * v)
 
         def bisect_body(_, lohi):
             lo, hi = lohi
@@ -366,15 +388,43 @@ def _build_stage(
         # stage loop against zero progress on pathological weight spreads.
         return jnp.minimum(jnp.asarray(1.0, dtype), jnp.maximum(b2, b + min_beta_step))
 
-    def stage(qs, b, logz, log_eps, key):
-        """(reweight -> bisect -> resample -> mutate) at the next beta."""
+    gated = float(resample_ess) < 1.0
+    if gated and waste_free:
+        raise ValueError("resample_ess < 1 is incompatible with waste_free "
+                         "(waste-free stages must resample their ancestors)")
+
+    def stage(qs, lw, b, logz, log_eps, key):
+        """(reweight -> bisect -> [resample] -> mutate) at the next beta.
+
+        ``lw``: carried normalized log-weights (logsumexp = 0); with the
+        default ``resample_ess = 1`` every stage resamples and ``lw`` stays
+        uniform — the carried-weight math is bypassed entirely, so the
+        always-resample posture is bit-identical to the pre-gate code.
+        With ``resample_ess < 1`` the stage resamples only when the
+        combined-weight ESS fraction drops below the threshold (Del Moral
+        et al. adaptive resampling), and is *forced* at the stage reaching
+        beta = 1 so the returned population is unweighted and the beta=1
+        polish stages keep their semantics.
+        """
         v = u_batch(qs) - k_batch(qs)
         v = jnp.where(jnp.isfinite(v), v, big)  # dead particles get weight 0
         v = gather(v)
-        b2 = next_beta(b, v)
-        dlw = -(b2 - b) * v
-        logz = logz + logsumexp(dlw) - jnp.log(jnp.asarray(n, dtype))
-        cess_frac = _ess_fraction(dlw)
+        if gated:
+            b2 = next_beta(b, v, lw)
+            dlw = -(b2 - b) * v
+            cess_frac = _cess_fraction(lw, dlw)
+            inc = logsumexp(lw + dlw)  # lse(lw) = 0: the exact telescope
+            logz = logz + inc
+            lw2 = lw + dlw - inc  # renormalized combined weights
+            do_res = (_ess_fraction(lw2) < jnp.asarray(resample_ess, dtype)) | (
+                b2 >= 1.0
+            )
+        else:
+            b2 = next_beta(b, v)
+            dlw = -(b2 - b) * v
+            logz = logz + logsumexp(dlw) - jnp.log(jnp.asarray(n, dtype))
+            cess_frac = _ess_fraction(dlw)
+            lw2 = dlw  # resampling weights, uniform carry untouched
 
         key, k_res, k_mut = jax.random.split(key, 3)
         # resample + metric on the full population (replicated under
@@ -386,16 +436,35 @@ def _build_stage(
             # so no mutation work is discarded.  M is too small for a
             # covariance, so the metric comes from the weighted full
             # pre-resample population.
-            anc = qs_all[_systematic_resample(k_res, dlw, n // waste_free)]
-            lin = make_lin(qs_all, log_w=dlw)
+            anc = qs_all[_systematic_resample(k_res, lw2, n // waste_free)]
+            lin = make_lin(qs_all, log_w=lw2)
             zs = local_rows(lin[3](anc - lin[0]))
             n_sweeps = waste_free - 1
+            lw_out = lw
+            res = jnp.asarray(1.0, dtype)
+        elif gated:
+            idx = _systematic_resample(k_res, lw2)
+            idx = jnp.where(do_res, idx, jnp.arange(n, dtype=idx.dtype))
+            qs_full = qs_all[idx]
+            uni = jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype)
+            lw_out = jnp.where(do_res, uni, lw2)
+            # metric from whichever population the sweeps will move:
+            # resampled-unweighted or weighted pre-resample (same estimand)
+            mu_r, st_r = _metric_arrays(qs_full)
+            mu_w, st_w = _metric_arrays(qs_all, log_w=lw2)
+            lin = _lin_from(jnp.where(do_res, mu_r, mu_w),
+                            jnp.where(do_res, st_r, st_w))
+            zs = local_rows(lin[3](qs_full - lin[0]))
+            n_sweeps = n_mutations
+            res = do_res.astype(dtype)
         else:
-            qs_full = qs_all[_systematic_resample(k_res, dlw)]
+            qs_full = qs_all[_systematic_resample(k_res, lw2)]
             # per-stage population metric (diag scales or full covariance)
             lin = make_lin(qs_full)
             zs = local_rows(lin[3](qs_full - lin[0]))
             n_sweeps = n_mutations
+            lw_out = lw
+            res = jnp.asarray(1.0, dtype)
 
         # feed-forward step scaling: the likelihood Hessian enters the
         # tempered potential as b*H, so the stable step shrinks ~1/sqrt(b);
@@ -444,7 +513,7 @@ def _build_stage(
             )
             qs = lin[0] + lin[1](zs)
             mean_acc = acc_sum / jnp.maximum(n_done, 1).astype(dtype)
-            return qs, b2, logz, log_eps, key, cess_frac, mean_acc
+            return qs, lw_out, b2, logz, log_eps, key, cess_frac, mean_acc, res
 
         if waste_free:
             (_, log_eps), (states, accs) = jax.lax.scan(
@@ -462,7 +531,7 @@ def _build_stage(
                 mut_body, (zs, log_eps), jax.random.split(k_mut, n_sweeps)
             )
             qs = lin[0] + lin[1](zs)
-        return qs, b2, logz, log_eps, key, cess_frac, jnp.mean(accs)
+        return qs, lw_out, b2, logz, log_eps, key, cess_frac, jnp.mean(accs), res
 
     return stage, u_batch
 
@@ -514,6 +583,7 @@ _STAGE_STATICS = dict(
         "potential_batched",
         "adapt_mutations",
         "msjd_frac",
+        "resample_ess",
     ),
 )
 
@@ -542,6 +612,7 @@ def _run_smc(
     potential_batched: bool = False,
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
+    resample_ess: float = 1.0,
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -552,20 +623,23 @@ def _run_smc(
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
         adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
+        resample_ess=resample_ess,
     )
 
     def cond(c):
-        qs, b, logz, log_eps, k, i, j, hists = c
+        qs, lw, b, logz, log_eps, k, i, j, hists = c
         # keep tempering until beta=1, then run n_polish extra mutation-only
         # stages (at b=1 a stage is uniform-resample + metric refresh +
         # sweeps; logz increment exactly 0)
         return ((b < 1.0) & (i < max_stages)) | ((b >= 1.0) & (j < n_polish))
 
     def body(c):
-        qs, b, logz, log_eps, k, i, j, hists = c
-        betas_h, cess_h, acc_h, eps_h = hists
+        qs, lw, b, logz, log_eps, k, i, j, hists = c
+        betas_h, cess_h, acc_h, eps_h, res_h = hists
         was_done = b >= 1.0
-        qs, b, logz, log_eps, k, cess_frac, acc = stage(qs, b, logz, log_eps, k)
+        qs, lw, b, logz, log_eps, k, cess_frac, acc, res = stage(
+            qs, lw, b, logz, log_eps, k
+        )
         # out-of-range .at[] writes drop silently: polish stages beyond
         # max_stages leave the recorded schedule untouched
         hists = (
@@ -573,8 +647,9 @@ def _run_smc(
             cess_h.at[i].set(cess_frac),
             acc_h.at[i].set(acc),
             eps_h.at[i].set(jnp.exp(log_eps)),
+            res_h.at[i].set(res),
         )
-        return (qs, b, logz, log_eps, k, i + 1,
+        return (qs, lw, b, logz, log_eps, k, i + 1,
                 j + was_done.astype(jnp.int32), hists)
 
     hists0 = (
@@ -582,9 +657,11 @@ def _run_smc(
         jnp.zeros((max_stages,), dtype),
         jnp.zeros((max_stages,), dtype),
         jnp.zeros((max_stages,), dtype),
+        jnp.zeros((max_stages,), dtype),
     )
     init = (
         q0,
+        jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype),
         jnp.asarray(0.0, dtype),
         jnp.asarray(0.0, dtype),
         jnp.log(jnp.asarray(step_size0, dtype)),
@@ -593,12 +670,14 @@ def _run_smc(
         jnp.asarray(0, jnp.int32),
         hists0,
     )
-    qs, b, logz, log_eps, _, i, _, hists = jax.lax.while_loop(cond, body, init)
-    betas_h, cess_h, acc_h, eps_h = hists
+    qs, _, b, logz, log_eps, _, i, _, hists = jax.lax.while_loop(
+        cond, body, init
+    )
+    betas_h, cess_h, acc_h, eps_h, res_h = hists
     pots = u_batch(qs)
     return (
         qs, logz + _logz0(dim, ref_scale, dtype),
-        i, b, betas_h, cess_h, acc_h, eps_h, pots,
+        i, b, betas_h, cess_h, acc_h, eps_h, pots, res_h,
     )
 
 
@@ -625,6 +704,7 @@ def _run_smc_host(
     potential_batched: bool = False,
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
+    resample_ess: float = 1.0,
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -644,31 +724,36 @@ def _run_smc_host(
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
         adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
+        resample_ess=resample_ess,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    lw = jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype)
     log_eps = jnp.log(jnp.asarray(step_size0, dtype))
     betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
     cess_h = np.zeros_like(betas_h)
     acc_h = np.zeros_like(betas_h)
     eps_h = np.zeros_like(betas_h)
+    res_h = np.zeros_like(betas_h)
     i = 0
     while i < max_stages and float(b) < 1.0:
-        qs, b, logz, log_eps, key, cess_frac, acc = stage_j(
-            qs, b, logz, log_eps, key
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
+            qs, lw, b, logz, log_eps, key
         )
         jax.block_until_ready(qs)
         betas_h[i] = float(b)
         cess_h[i] = float(cess_frac)
         acc_h[i] = float(acc)
         eps_h[i] = float(jnp.exp(log_eps))
+        res_h[i] = float(res)
         i += 1
         if progress is not None:
             progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
-                      "accept": float(acc), "step_size": eps_h[i - 1]})
+                      "accept": float(acc), "step_size": eps_h[i - 1],
+                      "resampled": bool(res_h[i - 1])})
     for jp in range(n_polish if float(b) >= 1.0 else 0):
-        qs, b, logz, log_eps, key, cess_frac, acc = stage_j(
-            qs, b, logz, log_eps, key
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
+            qs, lw, b, logz, log_eps, key
         )
         jax.block_until_ready(qs)
         if i < max_stages:  # mirror the device driver's recording exactly
@@ -676,6 +761,7 @@ def _run_smc_host(
             cess_h[i] = float(cess_frac)
             acc_h[i] = float(acc)
             eps_h[i] = float(jnp.exp(log_eps))
+            res_h[i] = float(res)
         i += 1
         if progress is not None:
             progress({"polish": jp + 1, "accept": float(acc),
@@ -685,7 +771,7 @@ def _run_smc_host(
         qs, logz + _logz0(dim, ref_scale, dtype),
         jnp.asarray(i, jnp.int32), b,
         jnp.asarray(betas_h), jnp.asarray(cess_h),
-        jnp.asarray(acc_h), jnp.asarray(eps_h), pots,
+        jnp.asarray(acc_h), jnp.asarray(eps_h), pots, jnp.asarray(res_h),
     )
 
 
@@ -713,6 +799,7 @@ def smc_sample_sharded(
     potential_batched: bool = False,
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
+    resample_ess: float = 1.0,
     ref_mean=None,
     ref_scale=None,
     dtype=None,
@@ -758,6 +845,10 @@ def smc_sample_sharded(
         raise ValueError("adapt_mutations is incompatible with waste_free "
                          "(the union keeps every state of a fixed-length "
                          "chain)")
+    if not 0.0 < float(resample_ess) <= 1.0:
+        raise ValueError(
+            f"resample_ess must be in (0, 1], got {resample_ess}"
+        )
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), ("particles",))
     if len(mesh.axis_names) != 1:
@@ -804,15 +895,18 @@ def smc_sample_sharded(
         metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
         waste_free=_check_waste_free(waste_free, n, n_dev),
         adapt_mutations=bool(adapt_mutations), msjd_frac=float(msjd_frac),
+        resample_ess=float(resample_ess),
     )
     # scalars replicate; the particle block shards; check_vma=False because
     # the replicated cross-particle math mixes gathered (hence replicated)
-    # values back into the sharded carry
+    # values back into the sharded carry.  The carried log-weights are the
+    # full (N,) population vector, replicated like every other
+    # cross-particle quantity.
     stage_sh = jax.jit(jax.shard_map(
         stage,
         mesh=mesh,
-        in_specs=(P(ax), P(), P(), P(), P()),
-        out_specs=(P(ax), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(ax), P(), P(), P(), P(), P()),
+        out_specs=(P(ax), P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     ))
     pots_sh = jax.jit(jax.shard_map(
@@ -821,6 +915,9 @@ def smc_sample_sharded(
     ))
 
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    lw = jax.device_put(
+        jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype), rep
+    )
     b = jax.device_put(b, rep)
     logz = jax.device_put(logz, rep)
     log_eps = jax.device_put(jnp.log(jnp.asarray(step_size, dtype)), rep)
@@ -829,23 +926,26 @@ def smc_sample_sharded(
     cess_h = np.zeros_like(betas_h)
     acc_h = np.zeros_like(betas_h)
     eps_h = np.zeros_like(betas_h)
+    res_h = np.zeros_like(betas_h)
     i = 0
     while i < max_stages and float(b) < 1.0:
-        qs, b, logz, log_eps, key, cess_frac, acc = stage_sh(
-            qs, b, logz, log_eps, key
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_sh(
+            qs, lw, b, logz, log_eps, key
         )
         jax.block_until_ready(qs)
         betas_h[i] = float(b)
         cess_h[i] = float(cess_frac)
         acc_h[i] = float(acc)
         eps_h[i] = float(jnp.exp(log_eps))
+        res_h[i] = float(res)
         i += 1
         if progress is not None:
             progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
-                      "accept": float(acc), "step_size": eps_h[i - 1]})
+                      "accept": float(acc), "step_size": eps_h[i - 1],
+                      "resampled": bool(res_h[i - 1])})
     for jp in range(n_polish if float(b) >= 1.0 else 0):
-        qs, b, logz, log_eps, key, cess_frac, acc = stage_sh(
-            qs, b, logz, log_eps, key
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_sh(
+            qs, lw, b, logz, log_eps, key
         )
         jax.block_until_ready(qs)
         if i < max_stages:
@@ -853,6 +953,7 @@ def smc_sample_sharded(
             cess_h[i] = float(cess_frac)
             acc_h[i] = float(acc)
             eps_h[i] = float(jnp.exp(log_eps))
+            res_h[i] = float(res)
         i += 1
         if progress is not None:
             progress({"polish": jp + 1, "accept": float(acc),
@@ -868,6 +969,7 @@ def smc_sample_sharded(
         accept=jnp.asarray(acc_h),
         step_sizes=jnp.asarray(eps_h),
         potentials=pots,
+        resampled=jnp.asarray(res_h),
     )
 
 
@@ -894,6 +996,7 @@ def smc_sample(
     potential_batched: bool = False,
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
+    resample_ess: float = 1.0,
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -959,11 +1062,28 @@ def smc_sample(
     ((B, P) -> (B,)) — the sharded-likelihood pairing
     (``parallel.sharded_obj.make_objective_sharded_batch``); per-particle
     gradients come from the ones-vector VJP.
+
+    ``resample_ess < 1`` gates resampling on the *combined*-weight ESS
+    (Del Moral et al. adaptive resampling): each stage reweights and, only
+    when the carried-weight ESS fraction drops below the threshold,
+    resamples (forced at the stage reaching beta = 1, so the returned
+    population is always unweighted and polish semantics are unchanged).
+    Skipped stages mutate the weighted population (HMC sweeps leave the
+    tempered target invariant, so the weights stay valid) with the metric
+    taken from the weighted particles.  Fewer resampling events = fewer
+    generations of duplicates for the sweeps to decorrelate — the direct
+    lever on resampling coalescence.  ``SMCResult.resampled`` records
+    which stages resampled.  Default 1.0 reproduces the always-resample
+    posture bit-for-bit.  Incompatible with ``waste_free``.
     """
     if adapt_mutations and waste_free:
         raise ValueError("adapt_mutations is incompatible with waste_free "
                          "(the union keeps every state of a fixed-length "
                          "chain)")
+    if not 0.0 < float(resample_ess) <= 1.0:
+        raise ValueError(
+            f"resample_ess must be in (0, 1], got {resample_ess}"
+        )
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
     key, k_init = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
@@ -1014,15 +1134,17 @@ def smc_sample(
                             waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
                             potential_batched=bool(potential_batched),
                             adapt_mutations=bool(adapt_mutations),
-                            msjd_frac=float(msjd_frac))
+                            msjd_frac=float(msjd_frac),
+                            resample_ess=float(resample_ess))
     else:
         out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
                        n_polish=int(n_polish),
                        waste_free=_check_waste_free(waste_free, q0.shape[0], 1),
                        potential_batched=bool(potential_batched),
                        adapt_mutations=bool(adapt_mutations),
-                       msjd_frac=float(msjd_frac))
-    qs, logz, stage, b, betas, cess, acc, eps, pots = out
+                       msjd_frac=float(msjd_frac),
+                       resample_ess=float(resample_ess))
+    qs, logz, stage, b, betas, cess, acc, eps, pots, res = out
     return SMCResult(
         particles=qs,
         logz=logz,
@@ -1033,6 +1155,7 @@ def smc_sample(
         accept=acc,
         step_sizes=eps,
         potentials=pots,
+        resampled=res,
     )
 
 

@@ -466,3 +466,70 @@ def test_adaptive_mutation_counts():
     np.testing.assert_allclose(
         np.asarray(r_h.particles), np.asarray(r_d.particles), atol=1e-6
     )
+
+
+def test_ess_gated_resampling():
+    """resample_ess < 1 (Del Moral et al. adaptive resampling): resample
+    only when the carried-weight ESS fraction drops below the threshold.
+    Must (a) actually skip resampling on high-ESS stages while the weight
+    telescope stays unbiased (logz within MC error, correct moments on an
+    anisotropic Gaussian), (b) force a resample at the stage reaching
+    beta=1 so the returned population is unweighted, (c) reproduce the
+    always-resample posture bit-for-bit at resample_ess=1, and (d) stay
+    bit-compatible across device/host dispatch."""
+    dim = 6
+    scales = jnp.asarray(np.geomspace(0.1, 10.0, dim))
+    mu = jnp.asarray(np.linspace(-1.0, 1.0, dim))
+    pot = lambda q: 0.5 * jnp.sum(((q - mu) / scales) ** 2)
+    logz_true = 0.5 * dim * np.log(2 * np.pi) + float(jnp.sum(jnp.log(scales)))
+
+    # (c) the gate off IS the old code path, bitwise
+    r_def = smc.smc_sample(pot, dim, 5, 512, metric="full", n_polish=2)
+    r_one = smc.smc_sample(
+        pot, dim, 5, 512, metric="full", n_polish=2, resample_ess=1.0
+    )
+    assert np.array_equal(
+        np.asarray(r_def.particles), np.asarray(r_one.particles)
+    )
+    assert float(r_def.logz) == float(r_one.logz)
+    ns_def = int(r_def.n_stages)
+    assert np.all(np.asarray(r_def.resampled[:ns_def]) == 1.0)
+
+    # (a)+(b): finer schedule + gate — some stages must skip, the final
+    # tempering stage must resample, and the estimator stays unbiased
+    kw = dict(metric="full", n_polish=2, target_cess=0.9, resample_ess=0.5)
+    r_g = smc.smc_sample(pot, dim, 5, 512, **kw)
+    assert float(r_g.beta_final) == 1.0
+    ns = int(r_g.n_stages)
+    res = np.asarray(r_g.resampled[: ns - 2])  # tempering stages only
+    n_temper = res.shape[0]
+    assert res.sum() < n_temper, "gate never skipped a resample"
+    assert res.sum() >= 1.0
+    betas = np.asarray(r_g.betas[:n_temper])
+    assert res[int(np.argmax(betas >= 1.0))] == 1.0  # forced at beta=1
+    assert abs(float(r_g.logz) - logz_true) < 0.6
+    assert float(jnp.max(jnp.abs(r_g.particles.mean(0) - mu) / scales)) < 0.2
+    ratio = np.asarray(r_g.particles.std(0) / scales)
+    assert np.all(ratio > 0.8) and np.all(ratio < 1.2)
+
+    # (d) host dispatch under the gate: XLA fuses the gated selects
+    # differently inside while_loop vs the standalone stage jit, and the
+    # ulp-level drift amplifies chaotically through the leapfrog sweeps —
+    # so pin the *decisions* (schedule, resample pattern, logz) and the
+    # cloud statistics, not raw particle bits
+    r_h = smc.smc_sample(pot, dim, 5, 512, dispatch="host", **kw)
+    assert int(r_h.n_stages) == ns
+    assert np.array_equal(np.asarray(r_h.resampled), np.asarray(r_g.resampled))
+    np.testing.assert_allclose(np.asarray(r_h.betas), np.asarray(r_g.betas),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(r_h.logz), float(r_g.logz), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_h.particles).mean(0), np.asarray(r_g.particles).mean(0),
+        atol=0.02 * float(scales.max()),
+    )
+
+    # contract errors
+    with pytest.raises(ValueError, match="resample_ess"):
+        smc.smc_sample(pot, dim, 0, 64, resample_ess=0.0)
+    with pytest.raises(ValueError, match="waste_free"):
+        smc.smc_sample(pot, dim, 0, 64, resample_ess=0.5, waste_free=2)
