@@ -762,6 +762,7 @@ def smc_fleet(
     metric: str = "full",
     n_polish: int = 0,
     waste_free: int = 0,
+    resample_ess: float = 1.0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -832,6 +833,7 @@ def smc_fleet(
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
             metric=metric, n_polish=n_polish, waste_free=waste_free,
+            resample_ess=resample_ess,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
@@ -1060,6 +1062,7 @@ def smc_fleet_hadamard(
     metric: str = "full",
     n_polish: int = 0,
     waste_free: int = 0,
+    resample_ess: float = 1.0,
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -1121,6 +1124,7 @@ def smc_fleet_hadamard(
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
             metric=metric, n_polish=n_polish, waste_free=waste_free,
+            resample_ess=resample_ess,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles

@@ -101,6 +101,10 @@ class PipelineConfig:
     #                  they don't); 0 = off
     smc_polish: int = 0  # extra mutation-only stages at beta=1 (cheap
     #                  decorrelation against resampling coalescence)
+    smc_resample_ess: float = 1.0  # <1: resample only when the carried-
+    #                  weight ESS fraction drops below this (Del Moral et
+    #                  al. adaptive resampling; fewer resampling
+    #                  generations = less coalescence); 1.0 = every stage
     smc_waste_free: int = 0  # >=2: waste-free SMC (Dau & Chopin 2022) —
     #                  resample only N/L ancestors per stage, keep every
     #                  state of their length-L mutation chains as the next
@@ -327,6 +331,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
         waste_free=cfg.smc_waste_free,
+        resample_ess=cfg.smc_resample_ess,
         dispatch=dispatch,
     )
     parts = np.asarray(
@@ -897,6 +902,7 @@ def run_cohort_hadamard(
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
+                    resample_ess=cfg.smc_resample_ess,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1134,6 +1140,7 @@ def run_sim_fleet(
                 target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                 metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                 waste_free=cfg.smc_waste_free,
+                resample_ess=cfg.smc_resample_ess,
                 hyper=cfg.hyper, mesh=mesh, whiten=True,
             )
             samples = r.particles[:, : cfg.n_hmc, :]
@@ -1332,6 +1339,7 @@ def run_cohort(
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
+                    resample_ess=cfg.smc_resample_ess,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1399,6 +1407,7 @@ def run_cohort(
                         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                         waste_free=cfg.smc_waste_free,
+                        resample_ess=cfg.smc_resample_ess,
                         hyper=cfg.hyper, mesh=mesh, whiten=True,
                         masks=jnp.asarray(mask)[idx_f],
                     )
@@ -1575,6 +1584,7 @@ def run_cohort(
                     target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
+                    resample_ess=cfg.smc_resample_ess,
                 )
                 rec["hmc_samples"] = np.asarray(parts)[: cfg.n_hmc]
                 rec["sampling"] = {

@@ -533,3 +533,27 @@ def test_ess_gated_resampling():
         smc.smc_sample(pot, dim, 0, 64, resample_ess=0.0)
     with pytest.raises(ValueError, match="waste_free"):
         smc.smc_sample(pot, dim, 0, 64, resample_ess=0.5, waste_free=2)
+
+
+def test_ess_gated_fleet_and_config():
+    """resample_ess threads through the fleet tier (device dispatch, vmapped
+    subjects) and PipelineConfig routing — gated populations still complete
+    the schedule with finite natural-space evidence."""
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+    n = 14
+    ds = [sim.sim_mnts(jax.random.PRNGKey(i), n=n) for i in range(2)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    r = fleet.smc_fleet(
+        "gnmgp", xs, ys, jax.random.PRNGKey(0),
+        n_particles=64, n_mutations=3, n_leapfrog=6,
+        target_cess=0.8, resample_ess=0.5,
+    )
+    assert np.all(np.asarray(r.beta_final) == 1.0)
+    assert np.all(np.isfinite(np.asarray(r.logz)))
+    assert np.all(np.isfinite(np.asarray(r.particles)))
+
+    assert workflows.PipelineConfig(smc_resample_ess=0.5).smc_resample_ess == 0.5
