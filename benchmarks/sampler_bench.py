@@ -82,6 +82,10 @@ def main():
                     help="smc: resample only when the carried-weight ESS "
                          "fraction drops below this (Del Moral adaptive "
                          "resampling; 1.0 = every stage)")
+    ap.add_argument("--smc-resample", default="systematic",
+                    choices=["systematic", "stratified", "residual",
+                             "multinomial"],
+                    help="smc: resampling scheme (inference/smc._RESAMPLERS)")
     ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
@@ -413,6 +417,7 @@ def main():
                 waste_free=args.smc_waste_free,
                 adapt_mutations=args.smc_adapt_mutations,
                 resample_ess=args.smc_resample_ess,
+                resample=args.smc_resample,
                 max_stages=args.smc_max_stages, dispatch="host",
                 progress=lambda d, i=i: log(f"smc run {i} {d}"),
             )
@@ -456,6 +461,7 @@ def main():
             "waste_free": args.smc_waste_free,
             "adapt_mutations": args.smc_adapt_mutations,
             "resample_ess": args.smc_resample_ess,
+            "resample": args.smc_resample,
             "resampled_stages": np.asarray(rr.resampled).sum(axis=1).tolist(),
             "grads_are_cap": bool(args.smc_adapt_mutations),
             "stages": stages.tolist(),

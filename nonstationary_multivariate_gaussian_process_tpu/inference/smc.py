@@ -103,6 +103,74 @@ def _systematic_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> j
     return jnp.clip(idx, 0, log_w.shape[0] - 1)
 
 
+def _stratified_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """Stratified resampling: one *independent* uniform per stratum.
+
+    Same strata as systematic but the within-stratum positions are iid,
+    breaking the single-``u0`` coupling across strata (Douc, Cappe &
+    Moulines 2005 — unbiased, variance between multinomial and systematic).
+    """
+    n = log_w.shape[0] if n_out is None else int(n_out)
+    w = jnp.exp(log_w - logsumexp(log_w))
+    cum = jnp.cumsum(w)
+    u = jax.random.uniform(key, (n,), dtype=w.dtype)
+    pts = (u + jnp.arange(n, dtype=w.dtype)) / n
+    idx = jnp.searchsorted(cum, pts)
+    return jnp.clip(idx, 0, log_w.shape[0] - 1)
+
+
+def _multinomial_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """Multinomial resampling: ``n_out`` iid draws (the variance ceiling).
+
+    Shipped for ablation honesty — every other scheme should beat it.
+    """
+    n = log_w.shape[0] if n_out is None else int(n_out)
+    w = jnp.exp(log_w - logsumexp(log_w))
+    cum = jnp.cumsum(w)
+    u = jax.random.uniform(key, (n,), dtype=w.dtype)
+    idx = jnp.searchsorted(cum, u)
+    return jnp.clip(idx, 0, log_w.shape[0] - 1)
+
+
+def _residual_resample(key, log_w: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """Residual-systematic resampling, fixed-shape for XLA.
+
+    Every particle gets its ``floor(n w_i)`` offspring deterministically;
+    the remaining ``R = n - sum floor(n w)`` slots are drawn systematically
+    from the residual weights (Liu & Chen 1998).  ``R`` is data-dependent,
+    so the fixed-shape formulation works in counts: a full-length grid of
+    systematic points is masked to its first ``R`` entries, scattered into
+    per-particle residual counts, and the total offspring counts expand to
+    sorted output indices via one ``searchsorted`` over their cumsum.
+    """
+    n_in = log_w.shape[0]
+    n = n_in if n_out is None else int(n_out)
+    w = jnp.exp(log_w - logsumexp(log_w))
+    nw = n * w
+    fl = jnp.floor(nw)
+    res = nw - fl
+    # fl entries are exact integer-valued floats, so r is exact too
+    r = jnp.maximum(jnp.asarray(n, w.dtype) - jnp.sum(fl), 0.0)
+    cum = jnp.cumsum(res)
+    cum = cum / jnp.maximum(cum[-1], jnp.finfo(w.dtype).tiny)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    j = jnp.arange(n, dtype=w.dtype)
+    pts = (u0 + j) / jnp.maximum(r, 1.0)
+    idx_res = jnp.clip(jnp.searchsorted(cum, pts), 0, n_in - 1)
+    valid = (j < r).astype(w.dtype)
+    counts = fl + jnp.zeros_like(fl).at[idx_res].add(valid)
+    out = jnp.searchsorted(jnp.cumsum(counts), j + 0.5)
+    return jnp.clip(out, 0, n_in - 1)
+
+
+_RESAMPLERS = {
+    "systematic": _systematic_resample,
+    "stratified": _stratified_resample,
+    "residual": _residual_resample,
+    "multinomial": _multinomial_resample,
+}
+
+
 def _cess_fraction(log_w: jnp.ndarray, dlw: jnp.ndarray) -> jnp.ndarray:
     """Conditional ESS fraction under carried weights (Zhou/Johansen/Aston).
 
@@ -140,6 +208,7 @@ def _build_stage(
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
 ):
     """One tempering stage as a pure function of (particles, beta, ...).
 
@@ -392,6 +461,7 @@ def _build_stage(
     if gated and waste_free:
         raise ValueError("resample_ess < 1 is incompatible with waste_free "
                          "(waste-free stages must resample their ancestors)")
+    res_fn = _RESAMPLERS[resample]
 
     def stage(qs, lw, b, logz, log_eps, key):
         """(reweight -> bisect -> [resample] -> mutate) at the next beta.
@@ -436,14 +506,14 @@ def _build_stage(
             # so no mutation work is discarded.  M is too small for a
             # covariance, so the metric comes from the weighted full
             # pre-resample population.
-            anc = qs_all[_systematic_resample(k_res, lw2, n // waste_free)]
+            anc = qs_all[res_fn(k_res, lw2, n // waste_free)]
             lin = make_lin(qs_all, log_w=lw2)
             zs = local_rows(lin[3](anc - lin[0]))
             n_sweeps = waste_free - 1
             lw_out = lw
             res = jnp.asarray(1.0, dtype)
         elif gated:
-            idx = _systematic_resample(k_res, lw2)
+            idx = res_fn(k_res, lw2)
             idx = jnp.where(do_res, idx, jnp.arange(n, dtype=idx.dtype))
             qs_full = qs_all[idx]
             uni = jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype)
@@ -458,7 +528,7 @@ def _build_stage(
             n_sweeps = n_mutations
             res = do_res.astype(dtype)
         else:
-            qs_full = qs_all[_systematic_resample(k_res, lw2)]
+            qs_full = qs_all[res_fn(k_res, lw2)]
             # per-stage population metric (diag scales or full covariance)
             lin = make_lin(qs_full)
             zs = local_rows(lin[3](qs_full - lin[0]))
@@ -584,6 +654,7 @@ _STAGE_STATICS = dict(
         "adapt_mutations",
         "msjd_frac",
         "resample_ess",
+        "resample",
     ),
 )
 
@@ -613,6 +684,7 @@ def _run_smc(
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
 ):
     n, dim = q0.shape
     dtype = q0.dtype
@@ -623,7 +695,7 @@ def _run_smc(
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
         adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
-        resample_ess=resample_ess,
+        resample_ess=resample_ess, resample=resample,
     )
 
     def cond(c):
@@ -705,6 +777,7 @@ def _run_smc_host(
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
     progress=None,
 ):
     """Host-driven stage loop: one XLA dispatch per tempering stage.
@@ -724,7 +797,7 @@ def _run_smc_host(
         metric=metric, shrink=shrink, waste_free=waste_free,
         potential_batched=potential_batched,
         adapt_mutations=adapt_mutations, msjd_frac=msjd_frac,
-        resample_ess=resample_ess,
+        resample_ess=resample_ess, resample=resample,
     )
     stage_j = jax.jit(stage)
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
@@ -800,6 +873,7 @@ def smc_sample_sharded(
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
     ref_mean=None,
     ref_scale=None,
     dtype=None,
@@ -849,6 +923,9 @@ def smc_sample_sharded(
         raise ValueError(
             f"resample_ess must be in (0, 1], got {resample_ess}"
         )
+    if resample not in _RESAMPLERS:
+        raise ValueError(f"unknown resample {resample!r} "
+                         f"(want one of {sorted(_RESAMPLERS)})")
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), ("particles",))
     if len(mesh.axis_names) != 1:
@@ -895,7 +972,7 @@ def smc_sample_sharded(
         metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
         waste_free=_check_waste_free(waste_free, n, n_dev),
         adapt_mutations=bool(adapt_mutations), msjd_frac=float(msjd_frac),
-        resample_ess=float(resample_ess),
+        resample_ess=float(resample_ess), resample=resample,
     )
     # scalars replicate; the particle block shards; check_vma=False because
     # the replicated cross-particle math mixes gathered (hence replicated)
@@ -997,6 +1074,7 @@ def smc_sample(
     adapt_mutations: bool = False,
     msjd_frac: float = 0.5,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
     ref_mean=None,
     ref_scale=None,
     init_particles=None,
@@ -1068,6 +1146,13 @@ def smc_sample(
     when the carried-weight ESS fraction drops below the threshold,
     resamples (forced at the stage reaching beta = 1, so the returned
     population is always unweighted and polish semantics are unchanged).
+    ``resample`` selects the resampling scheme: ``"systematic"`` (default,
+    lowest offspring-count variance in practice), ``"stratified"``
+    (independent uniform per stratum), ``"residual"`` (deterministic
+    ``floor(n w)`` offspring + systematic residuals — the hard floor on
+    lineage loss), ``"multinomial"`` (iid, the variance ceiling, for
+    ablations).  All unbiased; measured head-to-head at the reference
+    scale in ROADMAP ("resampling-scheme study").
     Skipped stages mutate the weighted population (HMC sweeps leave the
     tempered target invariant, so the weights stay valid) with the metric
     taken from the weighted particles.  Fewer resampling events = fewer
@@ -1084,6 +1169,9 @@ def smc_sample(
         raise ValueError(
             f"resample_ess must be in (0, 1], got {resample_ess}"
         )
+    if resample not in _RESAMPLERS:
+        raise ValueError(f"unknown resample {resample!r} "
+                         f"(want one of {sorted(_RESAMPLERS)})")
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects NMGP_X64 / jax x64 state
     key, k_init = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
@@ -1135,7 +1223,8 @@ def smc_sample(
                             potential_batched=bool(potential_batched),
                             adapt_mutations=bool(adapt_mutations),
                             msjd_frac=float(msjd_frac),
-                            resample_ess=float(resample_ess))
+                            resample_ess=float(resample_ess),
+                            resample=resample)
     else:
         out = _run_smc(*run_args, metric=metric, shrink=float(shrink),
                        n_polish=int(n_polish),
@@ -1143,7 +1232,8 @@ def smc_sample(
                        potential_batched=bool(potential_batched),
                        adapt_mutations=bool(adapt_mutations),
                        msjd_frac=float(msjd_frac),
-                       resample_ess=float(resample_ess))
+                       resample_ess=float(resample_ess),
+                       resample=resample)
     qs, logz, stage, b, betas, cess, acc, eps, pots, res = out
     return SMCResult(
         particles=qs,

@@ -763,6 +763,7 @@ def smc_fleet(
     n_polish: int = 0,
     waste_free: int = 0,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -833,7 +834,7 @@ def smc_fleet(
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
             metric=metric, n_polish=n_polish, waste_free=waste_free,
-            resample_ess=resample_ess,
+            resample_ess=resample_ess, resample=resample,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles
@@ -1063,6 +1064,7 @@ def smc_fleet_hadamard(
     n_polish: int = 0,
     waste_free: int = 0,
     resample_ess: float = 1.0,
+    resample: str = "systematic",
     max_stages: int = 64,
     hyper: dict | None = None,
     mesh: Mesh | None = None,
@@ -1124,7 +1126,7 @@ def smc_fleet_hadamard(
             n_mutations=n_mutations, n_leapfrog=n_leapfrog,
             target_cess=target_cess, dr_reduction=dr_reduction,
             metric=metric, n_polish=n_polish, waste_free=waste_free,
-            resample_ess=resample_ess,
+            resample_ess=resample_ess, resample=resample,
             max_stages=max_stages, dtype=settings.dtype,
         )
         parts = r.particles

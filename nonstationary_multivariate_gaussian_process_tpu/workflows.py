@@ -105,6 +105,8 @@ class PipelineConfig:
     #                  weight ESS fraction drops below this (Del Moral et
     #                  al. adaptive resampling; fewer resampling
     #                  generations = less coalescence); 1.0 = every stage
+    smc_resample: str = "systematic"  # resampling scheme: systematic |
+    #                  stratified | residual | multinomial (inference/smc)
     smc_waste_free: int = 0  # >=2: waste-free SMC (Dau & Chopin 2022) —
     #                  resample only N/L ancestors per stage, keep every
     #                  state of their length-L mutation chains as the next
@@ -332,6 +334,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
         waste_free=cfg.smc_waste_free,
         resample_ess=cfg.smc_resample_ess,
+        resample=cfg.smc_resample,
         dispatch=dispatch,
     )
     parts = np.asarray(
@@ -903,6 +906,7 @@ def run_cohort_hadamard(
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
                     resample_ess=cfg.smc_resample_ess,
+                    resample=cfg.smc_resample,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1141,6 +1145,7 @@ def run_sim_fleet(
                 metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                 waste_free=cfg.smc_waste_free,
                 resample_ess=cfg.smc_resample_ess,
+                resample=cfg.smc_resample,
                 hyper=cfg.hyper, mesh=mesh, whiten=True,
             )
             samples = r.particles[:, : cfg.n_hmc, :]
@@ -1340,6 +1345,7 @@ def run_cohort(
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
                     resample_ess=cfg.smc_resample_ess,
+                    resample=cfg.smc_resample,
                     hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
                     masks=jnp.asarray(mask),
                 )
@@ -1408,6 +1414,7 @@ def run_cohort(
                         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                         waste_free=cfg.smc_waste_free,
                         resample_ess=cfg.smc_resample_ess,
+                        resample=cfg.smc_resample,
                         hyper=cfg.hyper, mesh=mesh, whiten=True,
                         masks=jnp.asarray(mask)[idx_f],
                     )
@@ -1585,6 +1592,7 @@ def run_cohort(
                     metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                     waste_free=cfg.smc_waste_free,
                     resample_ess=cfg.smc_resample_ess,
+                    resample=cfg.smc_resample,
                 )
                 rec["hmc_samples"] = np.asarray(parts)[: cfg.n_hmc]
                 rec["sampling"] = {

@@ -557,3 +557,68 @@ def test_ess_gated_fleet_and_config():
     assert np.all(np.isfinite(np.asarray(r.particles)))
 
     assert workflows.PipelineConfig(smc_resample_ess=0.5).smc_resample_ess == 0.5
+
+
+def test_resampling_schemes():
+    """The resample knob: all four schemes are unbiased in offspring counts
+    (E[c_i] = n w_i), residual guarantees the deterministic floor(n w_i)
+    offspring, every scheme completes an anisotropic-Gaussian path with an
+    unbiased evidence estimate, unknown names raise, and the knob threads
+    through the fleet tier and PipelineConfig."""
+    key = jax.random.PRNGKey(0)
+    n = 48
+    lw = jax.random.normal(key, (n,)) * 2.0
+    w = np.asarray(jnp.exp(lw - jax.scipy.special.logsumexp(lw)))
+    reps = 1200
+    for name, fn in smc._RESAMPLERS.items():
+        keys = jax.random.split(jax.random.PRNGKey(1), reps)
+        idx = np.asarray(jax.vmap(lambda k: fn(k, lw))(keys))
+        counts = np.zeros(n)
+        for row in idx:
+            counts += np.bincount(row, minlength=n)
+        counts /= reps
+        # MC error of a mean of reps multinomial-ish counts: generous 5 sigma
+        assert np.max(np.abs(counts - n * w)) < 0.12, name
+    # residual floor: holds per-draw, not just in expectation
+    fl = np.floor(n * w)
+    for s in range(5):
+        c = np.bincount(
+            np.asarray(smc._RESAMPLERS["residual"](jax.random.PRNGKey(s), lw)),
+            minlength=n,
+        )
+        assert np.all(c >= fl)
+        assert c.sum() == n
+    # n_out < n (the waste-free ancestor draw) keeps the output length
+    for name, fn in smc._RESAMPLERS.items():
+        idx = np.asarray(fn(jax.random.PRNGKey(2), lw, 12))
+        assert idx.shape == (12,) and idx.min() >= 0 and idx.max() < n
+
+    dim = 5
+    scales = jnp.asarray(np.geomspace(0.2, 5.0, dim))
+    pot = lambda q: 0.5 * jnp.sum((q / scales) ** 2)
+    logz_true = 0.5 * dim * np.log(2 * np.pi) + float(jnp.sum(jnp.log(scales)))
+    for name in ("stratified", "residual", "multinomial"):
+        r = smc.smc_sample(pot, dim, 3, 384, metric="full", resample=name)
+        assert float(r.beta_final) == 1.0, name
+        assert abs(float(r.logz) - logz_true) < 0.6, name
+        ratio = np.asarray(r.particles.std(0) / scales)
+        assert np.all(ratio > 0.7) and np.all(ratio < 1.3), name
+
+    with pytest.raises(ValueError, match="resample"):
+        smc.smc_sample(pot, dim, 0, 64, resample="nope")
+
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+    ds = [sim.sim_mnts(jax.random.PRNGKey(i), n=12) for i in range(2)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    r = fleet.smc_fleet(
+        "gnmgp", xs, ys, jax.random.PRNGKey(0),
+        n_particles=48, n_mutations=2, n_leapfrog=5,
+        target_cess=0.7, resample="residual",
+    )
+    assert np.all(np.asarray(r.beta_final) == 1.0)
+    assert np.all(np.isfinite(np.asarray(r.logz)))
+    assert workflows.PipelineConfig(smc_resample="residual").smc_resample == "residual"
