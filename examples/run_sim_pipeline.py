@@ -36,7 +36,13 @@ def main():
     ap.add_argument("--n-hmc", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sampler", default="hmc",
-                    choices=["hmc", "nuts", "drhmc", "rmhmc", "chees", "smc"])
+                    choices=["hmc", "nuts", "drhmc", "rmhmc", "chees", "smc",
+                             "pathfinder"])
+    ap.add_argument("--smc-ref", default="prior",
+                    choices=["prior", "pathfinder"],
+                    help="SMC reference distribution (sampler=smc): prior "
+                         "N(0,I) or multipathfinder posterior moments "
+                         "(shorter tempering path)")
     ap.add_argument("--whiten", default="off",
                     choices=["off", "prior", "pncp"],
                     help="sampling reparameterization: prior-whitened latent "
@@ -65,7 +71,7 @@ def main():
         model=args.model, n_opt=args.n_opt, do_hmc=args.n_hmc > 0,
         map_method=args.map_method,
         n_hmc=max(args.n_hmc, 1), test_size=args.test_size, hyper=hyper,
-        seed=args.seed, sampler=args.sampler,
+        seed=args.seed, sampler=args.sampler, smc_ref=args.smc_ref,
         whiten=False if args.whiten == "off" else args.whiten,
         hmc_step_size=args.hmc_step_size,
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any
 
 import numpy as np
@@ -107,6 +108,17 @@ class PipelineConfig:
     #                  generations = less coalescence); 1.0 = every stage
     smc_resample: str = "systematic"  # resampling scheme: systematic |
     #                  stratified | residual | multinomial (inference/smc)
+    smc_ref: str = "prior"  # SMC reference distribution: "prior" (N(0,I)
+    #                  in the whitened space — the exact latent-GP prior)
+    #                  or "pathfinder" (multipathfinder posterior moments
+    #                  seed ref_mean/ref_scale: the tempering path starts
+    #                  posterior-shaped, cutting stages; inference/pathfinder)
+    pf_paths: int = 8  # pathfinder: independent L-BFGS paths (vmapped)
+    pf_iters: int = 100  # pathfinder: L-BFGS iterations per path
+    pf_draws: int = 400  # pathfinder: draws per path pooled for PSIS
+    pf_inflate: float = 1.25  # pathfinder->SMC ref: scale inflation (IS
+    #                  wants overdispersed proposals; also floored at 0.05
+    #                  whitened-prior units so no slot starts degenerate)
     smc_waste_free: int = 0  # >=2: waste-free SMC (Dau & Chopin 2022) —
     #                  resample only N/L ancestors per stage, keep every
     #                  state of their length-L mutation chains as the next
@@ -231,10 +243,15 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         # that surface evidence/diagnostics call _run_chain_smc directly
         samples, accept, _ = _run_chain_smc(nlp, map_vec, cfg, key)
         return samples, accept
+    if cfg.sampler == "pathfinder":
+        # variational tier (whitening already peeled off above)
+        samples, accept, _ = _run_chain_pathfinder(nlp, map_vec, cfg, key)
+        return samples, accept
     if cfg.sampler != "hmc":
         raise ValueError(
             f"unknown sampler {cfg.sampler!r} "
-            "(want 'hmc', 'nuts', 'drhmc', 'rmhmc', 'chees' or 'smc')"
+            "(want 'hmc', 'nuts', 'drhmc', 'rmhmc', 'chees', 'smc' or "
+            "'pathfinder')"
         )
     mass = None
     if cfg.hmc_mass == "pilot":
@@ -305,6 +322,44 @@ def _run_chain_chees(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     return flat, accept, sampling
 
 
+def _run_chain_pathfinder(nlp, map_vec, cfg: PipelineConfig, key,
+                          whitener=None):
+    """Pathfinder variational stage (``cfg.sampler == "pathfinder"``).
+
+    Seconds-scale approximate posterior: ``cfg.pf_paths`` vmapped L-BFGS
+    paths from jittered starts, ELBO-selected low-rank Gaussians, pooled
+    PSIS-resampled draws (inference/pathfinder.py).  Returns
+    ``(samples, accept, sampling)`` in the ``_run_chain_smc`` contract —
+    ``accept`` is NaN (no Metropolis step exists here) and ``sampling``
+    carries the PSIS ``k_hat`` diagnostic (> 0.7 = unreliable proposal,
+    escalate to ``sampler="smc"``) plus the importance-sampling evidence
+    estimate (sanity check only; the SMC telescope stays the calibrated
+    one).
+    """
+    from .inference import pathfinder as pf_mod
+
+    pot = nlp if whitener is None else whitener.wrap(nlp)
+    q0 = map_vec if whitener is None else whitener.to_white(map_vec)
+    r = pf_mod.multipathfinder(
+        pot, q0, key, n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
+        n_draws=cfg.pf_draws, n_out=max(cfg.n_hmc, 1),
+    )
+    parts = np.asarray(
+        r.draws if whitener is None
+        else whitener.from_white_batch(r.draws)
+    )
+    logev = float(r.log_evidence)
+    sampling = {
+        "sampler": "pathfinder",
+        "n_paths": int(cfg.pf_paths),
+        "k_hat": float(r.k_hat),
+        "elbo_best": float(np.max(np.asarray(r.elbos))),
+        "log_evidence_is": logev if whitener is None
+        else logev + float(whitener.logdet()),
+    }
+    return parts[: cfg.n_hmc], float("nan"), sampling
+
+
 def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     """Adaptive tempered SMC sampling stage (``cfg.sampler == "smc"``).
 
@@ -327,8 +382,33 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
     # faults minutes-long single-program executions (CLAUDE.md); the
     # draws are bit-identical either way (tests/test_smc.py)
     dispatch = "device" if jax.devices()[0].platform == "cpu" else "host"
+    ref_kw = {}
+    pf_info = {}
+    if cfg.smc_ref == "pathfinder":
+        # posterior-shaped reference: multipathfinder moments replace the
+        # N(0, I) prior reference, so the geometric path starts most of
+        # the way to the posterior (fewer tempering stages; logz stays
+        # exact — the reference is a normalized Gaussian either way)
+        from .inference import pathfinder as pf_mod
+
+        key, k_pf = jax.random.split(key)
+        t_pf = time.time()
+        q0 = map_vec if whitener is None else whitener.to_white(map_vec)
+        mpf = pf_mod.multipathfinder(
+            pot, q0, k_pf, n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
+            n_draws=cfg.pf_draws, n_out=cfg.pf_draws,
+        )
+        ref_kw = dict(
+            ref_mean=mpf.ref_mean,
+            ref_scale=jnp.clip(cfg.pf_inflate * mpf.ref_scale, 0.05, 10.0),
+        )
+        pf_info = {"smc_ref": "pathfinder", "pf_k_hat": float(mpf.k_hat),
+                   "pf_wall_s": round(time.time() - t_pf, 2)}
+    elif cfg.smc_ref != "prior":
+        raise ValueError(f"unknown smc_ref {cfg.smc_ref!r} "
+                         "(want 'prior' or 'pathfinder')")
     r = smc_mod.smc_sample(
-        pot, int(map_vec.shape[0]), key, n_particles,
+        pot, int(map_vec.shape[0]), key, n_particles, **ref_kw,
         n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
         target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
         metric=cfg.smc_metric, n_polish=cfg.smc_polish,
@@ -355,6 +435,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         else logz + float(whitener.logdet()),
         "final_accept": float(np.asarray(r.accept)[last]),
         "step_size": float(np.asarray(r.step_sizes)[last]),
+        **pf_info,
     }
     accept = sampling["final_accept"]
     return parts[: cfg.n_hmc], accept, sampling
@@ -575,9 +656,22 @@ def run_subject(
 
     nlp = model.make_objective(data, hyper=cfg.hyper)
     if cfg.do_map:
+        expected_p = (model.n_params(m) if cfg.model == "lmc"
+                      else model.n_params(n, m))
+        stored = None
         if store is not None and store.exists(_key("map")):
-            map_vec = jnp.asarray(store.load(_key("map"))["vec"], settings.dtype)
-            result["map_vec"] = map_vec
+            stored = jnp.asarray(store.load(_key("map"))["vec"], settings.dtype)
+            if stored.shape != (expected_p,):
+                # stale artifact from a run with different data/split: a
+                # mismatched MAP would crash (or silently poison) every
+                # downstream stage — refit instead of resuming
+                warnings.warn(
+                    f"ignoring stored MAP for {_key('map')}: length "
+                    f"{stored.shape} != expected ({expected_p},) for "
+                    f"N={n}, M={m} — refitting", stacklevel=2)
+                stored = None
+        if stored is not None:
+            result["map_vec"] = map_vec = stored
         else:
             t0 = time.time()
             inits = _build_inits(cfg, emp, xd, yd, key)
@@ -608,6 +702,11 @@ def run_subject(
             result["sampling"] = sampling
         elif cfg.sampler == "smc":
             samples, accept, sampling = _run_chain_smc(
+                nlp, map_vec, cfg, key, whitener=whitener
+            )
+            result["sampling"] = sampling
+        elif cfg.sampler == "pathfinder":
+            samples, accept, sampling = _run_chain_pathfinder(
                 nlp, map_vec, cfg, key, whitener=whitener
             )
             result["sampling"] = sampling

@@ -288,3 +288,25 @@ class TestShardedCohortSMC:
         # the fleet-tier subject also went through SMC
         small = out["subjects"]["id0"]
         assert small["sampling"]["sampler"] == "smc"
+
+
+def test_stale_map_resume_refits(tmp_path):
+    """A stored MAP whose length disagrees with the current data (stale
+    artifact from a different N or split) must be ignored with a warning
+    and refit, not crash downstream stages (workflows.run_subject resume)."""
+    store = ArtifactStore(str(tmp_path))
+    d = sim.sim_mnts(jax.random.PRNGKey(0), n=20)
+    cfg = workflows.PipelineConfig(model="gnmgp", n_opt=30, do_hmc=False,
+                                   test_size=0.0)
+    # poison the store with a MAP fit at a different size
+    key = ArtifactStore.key("gnmgp", "sim", "s0", "map")
+    store.save(key, vec=np.zeros(5))
+    with pytest.warns(UserWarning, match="ignoring stored MAP"):
+        res = workflows.run_subject(d.x, d.y, cfg, store=store,
+                                    dataset="sim", subject="s0")
+    assert res["map_vec"].shape == (20 + 20 * 3 + 1,)
+    # the store now holds the refit vector; a clean rerun resumes silently
+    res2 = workflows.run_subject(d.x, d.y, cfg, store=store,
+                                 dataset="sim", subject="s0")
+    np.testing.assert_allclose(np.asarray(res2["map_vec"]),
+                               np.asarray(res["map_vec"]))
