@@ -86,6 +86,12 @@ def main():
                     choices=["systematic", "stratified", "residual",
                              "multinomial"],
                     help="smc: resampling scheme (inference/smc._RESAMPLERS)")
+    ap.add_argument("--smc-ref", default="prior",
+                    choices=["prior", "pathfinder"],
+                    help="smc: reference distribution — N(0,I) prior, or "
+                         "per-run multipathfinder posterior moments "
+                         "(posterior-shaped start = shorter tempering "
+                         "path; pathfinder wall is counted in the total)")
     ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
@@ -407,10 +413,31 @@ def main():
         # single-program executions (the f64-HMC-scan failure class).
         t0 = time.time()
         run_results = []
+        pf_k_hats = []
         for i in range(args.smc_runs):
+            ref_kw = {}
+            if args.smc_ref == "pathfinder":
+                # per-run independent pathfinder seed (runs stay fully
+                # independent, including their references); moments are
+                # inflated + floored exactly as the workflow tier does
+                from nonstationary_multivariate_gaussian_process_tpu.inference import (  # noqa: E501
+                    pathfinder as pf_mod,
+                )
+
+                mpf = pf_mod.multipathfinder(
+                    nlp, map_vec, jax.random.PRNGKey(5000 + i), n_paths=8,
+                    max_iters=100, n_draws=400, n_out=400,
+                )
+                pf_k_hats.append(round(float(mpf.k_hat), 3))
+                ref_kw = dict(
+                    ref_mean=mpf.ref_mean,
+                    ref_scale=jnp.clip(1.25 * mpf.ref_scale, 0.05, 10.0),
+                )
+                log(f"smc run {i}: pathfinder ref ready "
+                    f"(k_hat={pf_k_hats[-1]})")
             ri = smc.smc_sample(
                 nlp, int(map_vec.shape[0]), jax.random.PRNGKey(1000 + i),
-                args.smc_particles,
+                args.smc_particles, **ref_kw,
                 n_mutations=args.smc_mutations, n_leapfrog=args.smc_leapfrog,
                 target_cess=args.smc_cess, dr_reduction=args.smc_dr,
                 metric=args.smc_metric, n_polish=args.smc_polish,
@@ -458,6 +485,8 @@ def main():
             "runs": r_,
             "particles": np_,
             "metric": args.smc_metric,
+            "smc_ref": args.smc_ref,
+            **({"pf_k_hats": pf_k_hats} if pf_k_hats else {}),
             "waste_free": args.smc_waste_free,
             "adapt_mutations": args.smc_adapt_mutations,
             "resample_ess": args.smc_resample_ess,
