@@ -871,6 +871,163 @@ def smc_fleet(
     )
 
 
+class PathfinderFleetResult(NamedTuple):
+    draws: jnp.ndarray  # (S, n_out, P) natural-space PSIS-resampled draws
+    k_hat: np.ndarray  # (S,) PSIS Pareto-shape diagnostic per subject
+    elbo: jnp.ndarray  # (S,) best per-subject ELBO (whitened space)
+    log_evidence: np.ndarray  # (S,) natural-space IS evidence estimate
+
+
+def pathfinder_fleet(
+    model_name: str,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    key,
+    n_paths: int = 8,
+    n_out: int = 256,
+    max_iters: int = 100,
+    memory: int = 6,
+    n_elbo: int = 32,
+    n_draws: int = 200,
+    jitter: float = 2.0,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = True,
+    masks: jnp.ndarray | None = None,
+    vecs: jnp.ndarray | None = None,
+) -> PathfinderFleetResult:
+    """Multi-path Pathfinder for a fleet of subjects, sharded over the mesh.
+
+    The variational tier (inference/pathfinder.py) per subject: ``n_paths``
+    L-BFGS paths vmapped *inside* each subject, subjects vmapped inside
+    each shard — the device integrates (subjects-per-device × paths)-row
+    quasi-Newton batches plus one (paths × iters × n_elbo)-row ELBO sweep,
+    the same MXU-filling shape as the fleet MAP engine it reuses.  Each
+    subject's pooled draws are PSIS-smoothed and Gumbel-top-k resampled on
+    the host (tiny: R = paths × draws rows of numpy per subject).
+
+    Needs no MAP warm start: paths launch from ``jitter``-scaled normal
+    starts around the whitened origin (= the latent-GP prior mean), or
+    around ``vecs`` (S, P) natural-space centers when given.  ``masks``
+    (S, N) makes padded ragged subjects exact.  ``log_evidence`` comes back
+    in the *natural* space (whitening Jacobian added per subject) like
+    ``smc_fleet.logz`` — but it is the self-normalized IS estimate under an
+    approximate proposal: treat ``k_hat > 0.7`` subjects as unreliable and
+    escalate them to ``smc_fleet`` (the calibrated telescope).
+
+    No reference counterpart (the reference's only samplers are externally
+    budgeted HMC chains); this is the seconds-scale cohort posture.
+    """
+    from ..inference import pathfinder as pf_mod
+
+    s_in = np.asarray(xs).shape[0]
+    _validate_fleet(model_name, xs, ys,
+                    jnp.zeros((s_in, 1), settings.dtype), masks)
+    model = _MODELS[model_name]
+    hp = {**model.DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_pts, m = np.asarray(xs).shape[1], np.asarray(ys).shape[-1]
+    wfns = _fleet_whiten_fns(model_name, n_pts, m, hp) if whiten else None
+    ld_fn = _fleet_whiten_logdet(model_name, n_pts, m, hp) if whiten else None
+    p_dim = (model.n_params(m) if model_name == "lmc"
+             else model.n_params(n_pts, m))
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    masked = masks is not None
+    if masked:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    if vecs is not None:
+        vecs = jnp.asarray(vecs, settings.dtype)
+        vecs, _ = pad_to_multiple(vecs, n_dev)
+    else:
+        vecs = jnp.zeros((xs.shape[0], p_dim), settings.dtype)
+
+    pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp(model_name, hp, masked=masked)
+
+    def subject_one(x, y, p1, p2, p3, k, mask, center):
+        args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), *args)
+            center = tw(center, p1, p2, p3)
+        else:
+            pot = lambda v: nlp(v, *args)
+        k_init, k_run = jax.random.split(k)
+        starts = center + jitter * jax.random.normal(
+            k_init, (int(n_paths), p_dim), settings.dtype
+        )
+        runs = jax.vmap(
+            lambda s0, kk: pf_mod._pathfinder_jit(
+                pot, s0, kk, int(max_iters), int(memory), int(n_elbo),
+                int(n_draws),
+            )
+        )(starts, jax.random.split(k_run, int(n_paths)))
+        pooled = runs.draws.reshape(-1, p_dim)
+        log_w = runs.log_w.reshape(-1)
+        elbo_best = jnp.max(runs.elbo)
+        if wfns is not None:
+            pooled = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(pooled)
+            ld = ld_fn(p1, p2, p3)
+        else:
+            ld = jnp.zeros((), settings.dtype)
+        return pooled, log_w, elbo_best, ld
+
+    def shard_fn(x, y, p1, p2, p3, k, mask, center):
+        return jax.vmap(subject_one)(x, y, p1, p2, p3, k, mask, center)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=tuple([P(SUBJECT_AXIS)] * 4),
+        check_vma=False,
+    )
+    pooled, log_w, elbos, lds = jax.jit(sharded)(
+        xs, ys, pc1, pc2, pc3, keys, masks, vecs
+    )
+    # host post-process per subject: PSIS smoothing + Gumbel top-k
+    # (deterministic per subject via folded keys)
+    pooled = np.asarray(pooled)  # (S, R, P)
+    log_w_np = np.asarray(log_w, dtype=np.float64)  # (S, R)
+    draws_out = np.empty((s_real, int(n_out), p_dim), pooled.dtype)
+    k_hats = np.empty((s_real,))
+    log_ev = np.empty((s_real,))
+    for i in range(s_real):
+        lw_s, kh = pf_mod.psis_smooth(log_w_np[i])
+        finite = np.isfinite(log_w_np[i])
+        if finite.any():
+            fw_i = log_w_np[i][finite]
+            mx = fw_i.max()
+            log_ev[i] = (mx + np.log(np.exp(fw_i - mx).sum())
+                         - np.log(finite.sum()) + float(lds[i]))
+        else:
+            log_ev[i] = -np.inf
+        g = np.asarray(jax.random.gumbel(
+            jax.random.fold_in(key, 70001 + i), (lw_s.shape[0],)
+        ), dtype=np.float64)
+        scores = np.where(np.isfinite(lw_s), lw_s + g, -np.inf)
+        top = np.argsort(scores)[::-1][: int(n_out)]
+        draws_out[i] = pooled[i][np.ascontiguousarray(top)]
+        k_hats[i] = kh
+    return PathfinderFleetResult(
+        draws=jnp.asarray(draws_out),
+        k_hat=k_hats,
+        elbo=elbos[:s_real],
+        log_evidence=log_ev,
+    )
+
+
 def descend_starts(
     model_name: str,
     xs: jnp.ndarray,

@@ -1251,6 +1251,19 @@ def run_sim_fleet(
             out["hmc_accept"] = np.asarray(r.accept)
             out["log_evidence"] = np.asarray(r.logz)
             out["smc_beta_final"] = np.asarray(r.beta_final)
+        elif cfg.sampler == "pathfinder":
+            # variational fleet tier: seconds-scale approximate draws;
+            # centers at the fleet MAPs, per-subject k_hat surfaced
+            r = fleet_mod.pathfinder_fleet(
+                cfg.model, batch.x, batch.y,
+                jax.random.fold_in(key, 31),
+                n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
+                n_draws=cfg.pf_draws, n_out=max(cfg.n_hmc, 1),
+                hyper=cfg.hyper, mesh=mesh, whiten=True, vecs=res.vecs,
+            )
+            samples = r.draws[:, : cfg.n_hmc, :]
+            out["pf_k_hat"] = np.asarray(r.k_hat)
+            out["log_evidence_is"] = np.asarray(r.log_evidence)
         else:
             samples = fleet_mod.hmc_fleet(
                 cfg.model, batch.x, batch.y, res.vecs,
@@ -1409,8 +1422,8 @@ def run_cohort(
                                  "only (pncp is single-subject)")
             sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
-            if sampler not in ("chees", "smc"):  # these bring their own
-                # populations/chains — no unit tiling
+            if sampler not in ("chees", "smc", "pathfinder"):  # these bring
+                # their own populations/paths/chains — no unit tiling
                 x_t, y_t, vec_t, mask_t = _tile_chains(
                     jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
                     cfg.n_chains, jax.random.fold_in(k_bucket, 1),
@@ -1452,6 +1465,19 @@ def run_cohort(
                 out["smc_logz"] = np.asarray(r.logz)
                 out["smc_beta"] = np.asarray(r.beta_final)
                 out["smc_stages"] = np.asarray(r.n_stages)
+            elif sampler == "pathfinder":
+                # variational tier: PSIS-resampled approximate draws,
+                # chain axis = 1 (draws are exchangeable, like smc)
+                r = fleet_mod.pathfinder_fleet(
+                    cfg.model, jnp.asarray(x), jnp.asarray(y), k_bucket,
+                    n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
+                    n_draws=cfg.pf_draws, n_out=max(cfg.n_hmc, 1),
+                    hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
+                    masks=jnp.asarray(mask), vecs=res.vecs,
+                )
+                out["hmc"] = np.asarray(r.draws[:, : cfg.n_hmc, :])[:, None]
+                out["pf_k_hat"] = np.asarray(r.k_hat)
+                out["pf_logev"] = np.asarray(r.log_evidence)
             elif sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet(
@@ -1586,6 +1612,23 @@ def run_cohort(
                         log_evidence=rec["sampling"]["log_evidence"],
                         beta_final=rec["sampling"]["beta_final"],
                         n_stages=rec["sampling"]["n_stages"],
+                    )
+            elif "pf_k_hat" in entry:
+                # pathfinder draws are PSIS-resampled, not a chain; surface
+                # the proposal-reliability diagnostic (k_hat > 0.7 =
+                # escalate to sampler="smc") and the IS evidence estimate
+                rec["sampling"] = {
+                    "sampler": "pathfinder",
+                    "k_hat": float(entry["pf_k_hat"]),
+                    "log_evidence_is": float(entry["pf_logev"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        k_hat=rec["sampling"]["k_hat"],
+                        log_evidence_is=rec["sampling"]["log_evidence_is"],
                     )
             else:
                 rec["sampling"] = _sampling_record(chains, chains.shape[0])

@@ -126,6 +126,85 @@ def test_workflow_pathfinder_tier():
     assert "log_evidence_is" in s
 
 
+def test_pathfinder_fleet_cohort():
+    """Fleet tier: per-subject vmapped multipath pathfinder sharded over
+    the mesh (parallel/fleet.pathfinder_fleet), reachable from run_cohort
+    (cohort_sampler="config", sampler="pathfinder") with k_hat + IS
+    evidence surfaced per subject and persisted."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import (
+        fleet as fleet_mod,
+    )
+    from nonstationary_multivariate_gaussian_process_tpu.utils import (
+        ArtifactStore,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    subjects = {}
+    for i, (k, n) in enumerate(zip(keys, [14, 16, 16])):
+        d = sim.sim_mnts(k, n=n)
+        subjects[f"id{i}"] = (np.asarray(d.x), np.asarray(d.y))
+
+    # library surface: ragged subjects via masks, contract shapes
+    xs = np.stack([np.pad(x, (0, 16 - len(x)), mode="edge")
+                   for x, _ in subjects.values()])
+    ys = np.stack([np.pad(y, ((0, 16 - len(y)), (0, 0)), mode="edge")
+                   for _, y in subjects.values()])
+    masks = np.arange(16)[None, :] < np.array([14, 16, 16])[:, None]
+    r = fleet_mod.pathfinder_fleet(
+        "gnmgp", xs, ys, jax.random.PRNGKey(0), n_paths=2, max_iters=25,
+        n_draws=60, n_out=10, masks=masks,
+    )
+    from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+
+    assert r.draws.shape == (3, 10, gnmgp.n_params(16, 2))
+    assert np.all(np.isfinite(np.asarray(r.draws)))
+    assert r.k_hat.shape == (3,) and r.elbo.shape == (3,)
+    assert np.all(np.isfinite(r.log_evidence))
+
+    # driver surface
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, window_size=5, do_hmc=True, n_hmc=6,
+            whiten=True, do_pred_test=False, cohort_sampler="config",
+            sampler="pathfinder", pf_paths=2, pf_iters=25, pf_draws=60,
+        )
+        store = ArtifactStore(td)
+        out = workflows.run_cohort(subjects, cfg, store=store, n_buckets=2)
+        for sid, rec in out["subjects"].items():
+            assert rec["hmc_samples"].shape[0] == 6
+            assert np.all(np.isfinite(rec["hmc_samples"]))
+            assert rec["sampling"]["sampler"] == "pathfinder"
+            assert np.isfinite(rec["sampling"]["k_hat"])
+            assert "log_evidence_is" in rec["sampling"]
+        assert store.exists(
+            ArtifactStore.key("gnmgp", "cohort", "id0", "sampling")
+        )
+
+
+def test_sim_fleet_pathfinder_routing():
+    """run_sim_fleet(sampler="pathfinder"): replicate-fleet variational
+    draws via pathfinder_fleet, centered at the fleet MAPs; per-replicate
+    k_hat and IS evidence come back."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+    out = workflows.run_sim_fleet(
+        n_replicates=3, n=14,
+        cfg=workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, do_hmc=True, n_hmc=8,
+            sampler="pathfinder", pf_paths=2, pf_iters=25, pf_draws=60,
+            do_evaluation=False,
+        ),
+    )
+    assert out["hmc_samples"].shape[:2] == (3, 8)
+    assert np.all(np.isfinite(out["hmc_samples"]))
+    assert out["pf_k_hat"].shape == (3,)
+    assert np.all(np.isfinite(out["log_evidence_is"]))
+
+
 def test_smc_pathfinder_reference_gaussian_estimand():
     """The pathfinder-seeded SMC reference leaves the evidence estimand
     unchanged: on a correlated Gaussian (analytic logz), the telescope over
