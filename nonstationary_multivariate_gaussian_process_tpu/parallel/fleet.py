@@ -996,11 +996,30 @@ def pathfinder_fleet(
     pooled, log_w, elbos, lds = jax.jit(sharded)(
         xs, ys, pc1, pc2, pc3, keys, masks, vecs
     )
-    # host post-process per subject: PSIS smoothing + Gumbel top-k
-    # (deterministic per subject via folded keys)
+    draws_out, k_hats, log_ev = _pf_host_resample(
+        pooled, log_w, lds, key, n_out, s_real
+    )
+    return PathfinderFleetResult(
+        draws=jnp.asarray(draws_out),
+        k_hat=k_hats,
+        elbo=elbos[:s_real],
+        log_evidence=log_ev,
+    )
+
+
+def _pf_host_resample(pooled, log_w, lds, key, n_out, s_real):
+    """Per-subject PSIS smoothing + Gumbel-top-k resampling (host side).
+
+    Tiny numpy work (R = paths × draws rows per subject), deterministic
+    via per-subject folded keys.  ``lds`` (S,) whitening log-Jacobians
+    lift the self-normalized IS evidence into the natural space.
+    """
+    from ..inference import pathfinder as pf_mod
+
     pooled = np.asarray(pooled)  # (S, R, P)
     log_w_np = np.asarray(log_w, dtype=np.float64)  # (S, R)
-    draws_out = np.empty((s_real, int(n_out), p_dim), pooled.dtype)
+    draws_out = np.empty((s_real, int(n_out), pooled.shape[-1]),
+                         pooled.dtype)
     k_hats = np.empty((s_real,))
     log_ev = np.empty((s_real,))
     for i in range(s_real):
@@ -1020,6 +1039,122 @@ def pathfinder_fleet(
         top = np.argsort(scores)[::-1][: int(n_out)]
         draws_out[i] = pooled[i][np.ascontiguousarray(top)]
         k_hats[i] = kh
+    return draws_out, k_hats, log_ev
+
+
+def pathfinder_fleet_hadamard(
+    model_name: str,
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    key,
+    n_paths: int = 8,
+    n_out: int = 256,
+    max_iters: int = 100,
+    memory: int = 6,
+    n_elbo: int = 32,
+    n_draws: int = 200,
+    jitter: float = 2.0,
+    hyper: dict | None = None,
+    mesh: Mesh | None = None,
+    whiten: bool = True,
+    masks: jnp.ndarray | None = None,
+    vecs: jnp.ndarray | None = None,
+) -> PathfinderFleetResult:
+    """Multi-path Pathfinder for a fleet of Hadamard-layout subjects.
+
+    The Hadamard counterpart of :func:`pathfinder_fleet` (same contract:
+    whitened-origin or ``vecs``-centered starts, per-subject PSIS +
+    Gumbel-top-k on host, natural-space IS evidence, ``k_hat > 0.7`` =
+    escalate to :func:`smc_fleet_hadamard`).
+    """
+    from ..inference import pathfinder as pf_mod
+
+    s_in = np.asarray(xs).shape[0]
+    _validate_fleet(model_name, xs, ys,
+                    jnp.zeros((s_in, 1), settings.dtype), masks,
+                    hadamard=True)
+    if model_name not in _HADAMARD_HYPERS:
+        raise ValueError(
+            f"no Hadamard-layout objective for {model_name!r} (want one of "
+            f"{sorted(_HADAMARD_HYPERS)})"
+        )
+    hp = {**_HADAMARD_HYPERS[model_name], **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_pts = np.asarray(xs).shape[1]
+    wfns = _fleet_whiten_fns(model_name, n_pts, m, hp) if whiten else None
+    ld_fn = _fleet_whiten_logdet(model_name, n_pts, m, hp) if whiten else None
+    p_dim = _hadamard_n_params(model_name, n_pts, m)
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    if vecs is not None:
+        vecs = jnp.asarray(vecs, settings.dtype)
+        vecs, _ = pad_to_multiple(vecs, n_dev)
+    else:
+        vecs = jnp.zeros((xs.shape[0], p_dim), settings.dtype)
+
+    pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
+    nlp = _subject_nlp_hadamard(model_name, m, hp)
+
+    def subject_one(x, indx, y, p1, p2, k, mask, center):
+        p3 = jnp.zeros((0,), p1.dtype)
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, p1, p2, p3), x, indx, y, p1, p2, mask)
+            center = tw(center, p1, p2, p3)
+        else:
+            pot = lambda v: nlp(v, x, indx, y, p1, p2, mask)
+        k_init, k_run = jax.random.split(k)
+        starts = center + jitter * jax.random.normal(
+            k_init, (int(n_paths), p_dim), settings.dtype
+        )
+        runs = jax.vmap(
+            lambda s0, kk: pf_mod._pathfinder_jit(
+                pot, s0, kk, int(max_iters), int(memory), int(n_elbo),
+                int(n_draws),
+            )
+        )(starts, jax.random.split(k_run, int(n_paths)))
+        pooled = runs.draws.reshape(-1, p_dim)
+        log_w = runs.log_w.reshape(-1)
+        elbo_best = jnp.max(runs.elbo)
+        if wfns is not None:
+            pooled = jax.vmap(lambda u: wfns[0](u, p1, p2, p3))(pooled)
+            ld = ld_fn(p1, p2, p3)
+        else:
+            ld = jnp.zeros((), settings.dtype)
+        return pooled, log_w, elbo_best, ld
+
+    def shard_fn(x, indx, y, p1, p2, k, mask, center):
+        return jax.vmap(subject_one)(x, indx, y, p1, p2, k, mask, center)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
+        out_specs=tuple([P(SUBJECT_AXIS)] * 4),
+        check_vma=False,
+    )
+    pooled, log_w, elbos, lds = jax.jit(sharded)(
+        xs, indxs, ys, pc1, pc2, keys, masks, vecs
+    )
+    draws_out, k_hats, log_ev = _pf_host_resample(
+        pooled, log_w, lds, key, n_out, s_real
+    )
     return PathfinderFleetResult(
         draws=jnp.asarray(draws_out),
         k_hat=k_hats,

@@ -985,7 +985,8 @@ def run_cohort_hadamard(
             sampler, whiten_flag = _cohort_sampling_posture(cfg)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
             c = max(1, cfg.n_chains)
-            if sampler != "smc":  # smc brings its own population, untiled
+            if sampler not in ("smc", "pathfinder"):  # these bring their
+                # own populations/paths, untiled
                 x_t, y_t, vec_t, mask_t = _tile_chains(
                     jnp.asarray(x), jnp.asarray(y), res.vecs, jnp.asarray(mask),
                     cfg.n_chains, jax.random.fold_in(k_bucket, 1),
@@ -1016,6 +1017,21 @@ def run_cohort_hadamard(
                 out["smc_logz"] = np.asarray(r.logz)
                 out["smc_beta"] = np.asarray(r.beta_final)
                 out["smc_stages"] = np.asarray(r.n_stages)
+            elif sampler == "pathfinder":
+                r = fleet_mod.pathfinder_fleet_hadamard(
+                    cfg.model, jnp.asarray(x), jnp.asarray(indx),
+                    jnp.asarray(y), m, k_bucket,
+                    n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
+                    n_draws=cfg.pf_draws, n_out=max(cfg.n_hmc, 1),
+                    hyper=cfg.hyper, mesh=mesh, whiten=bool(whiten_flag),
+                    masks=jnp.asarray(mask), vecs=res.vecs,
+                )
+                c = 1
+                out["hmc"] = np.asarray(
+                    r.draws[:, : cfg.n_hmc, :]
+                ).reshape(s, 1, cfg.n_hmc, -1)
+                out["pf_k_hat"] = np.asarray(r.k_hat)
+                out["pf_logev"] = np.asarray(r.log_evidence)
             elif sampler == "nuts":
                 n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
                 samples, _ = fleet_mod.nuts_fleet_hadamard(
@@ -1034,7 +1050,7 @@ def run_cohort_hadamard(
                 )
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
-            if "smc_logz" not in out:  # smc wrote (S, 1, T, P) itself
+            if "hmc" not in out:  # smc/pathfinder wrote (S, 1, T, P) direct
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
 
@@ -1067,6 +1083,21 @@ def run_cohort_hadamard(
                         log_evidence=rec["sampling"]["log_evidence"],
                         beta_final=rec["sampling"]["beta_final"],
                         n_stages=rec["sampling"]["n_stages"],
+                    )
+            elif "pf_k_hat" in entry:
+                # PSIS-resampled variational draws (run_cohort convention)
+                rec["sampling"] = {
+                    "sampler": "pathfinder",
+                    "k_hat": float(entry["pf_k_hat"]),
+                    "log_evidence_is": float(entry["pf_logev"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        k_hat=rec["sampling"]["k_hat"],
+                        log_evidence_is=rec["sampling"]["log_evidence_is"],
                     )
             else:
                 rec["sampling"] = _sampling_record(chains, chains.shape[0])

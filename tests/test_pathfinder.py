@@ -185,6 +185,35 @@ def test_pathfinder_fleet_cohort():
         )
 
 
+def test_cohort_hadamard_pathfinder_routing():
+    """run_cohort_hadamard with sampler="pathfinder": the Hadamard fleet
+    tier (pathfinder_fleet_hadamard) — k_hat + IS evidence surfaced,
+    PSIS-resampled draws as the sample matrix."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+
+    rng = np.random.default_rng(0)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    subjects = {}
+    for i, (k, n) in enumerate(zip(keys, [20, 24, 24])):
+        d = sim.sim_mnts(k, n=n)
+        indx = rng.integers(0, 2, size=n)
+        y = np.asarray(d.y)[np.arange(n), indx]
+        subjects[f"s{i}"] = (np.asarray(d.x), indx, y)
+    cfg = workflows.PipelineConfig(
+        model="gnmgp", n_opt=25, do_hmc=True, n_hmc=8, whiten=True,
+        do_pred_test=False, cohort_sampler="config", sampler="pathfinder",
+        pf_paths=2, pf_iters=25, pf_draws=60,
+    )
+    out = workflows.run_cohort_hadamard(subjects, m=2, cfg=cfg, n_buckets=2)
+    for rec in out["subjects"].values():
+        assert rec["hmc_samples"].shape[0] == 8
+        assert np.all(np.isfinite(rec["hmc_samples"]))
+        s = rec["sampling"]
+        assert s["sampler"] == "pathfinder"
+        assert np.isfinite(s["k_hat"]) and "log_evidence_is" in s
+
+
 def test_sim_fleet_pathfinder_routing():
     """run_sim_fleet(sampler="pathfinder"): replicate-fleet variational
     draws via pathfinder_fleet, centered at the fleet MAPs; per-replicate
