@@ -52,7 +52,7 @@ def main():
                     help="pilot draws for --whiten pncp")
     ap.add_argument("--samplers", default="hmc,hmc_window,nuts",
                     help="comma-separated subset to run (hmc, hmc_window, "
-                         "nuts, drhmc, rmhmc, chees, smc)")
+                         "nuts, drhmc, rmhmc, chees, smc, pathfinder)")
     ap.add_argument("--smc-particles", type=int, default=1024)
     ap.add_argument("--smc-runs", type=int, default=4,
                     help="smc: independent runs (vmapped into one program) "
@@ -92,6 +92,13 @@ def main():
                          "per-run multipathfinder posterior moments "
                          "(posterior-shaped start = shorter tempering "
                          "path; pathfinder wall is counted in the total)")
+    ap.add_argument("--pf-paths", type=int, default=8,
+                    help="pathfinder: vmapped L-BFGS paths per run")
+    ap.add_argument("--pf-iters", type=int, default=100,
+                    help="pathfinder: L-BFGS iterations per path")
+    ap.add_argument("--pf-draws", type=int, default=400,
+                    help="pathfinder: IS draws per path and pooled output "
+                         "size (n_out)")
     ap.add_argument("--smc-metric", default="full", choices=["diag", "full"],
                     help="smc: mutation metric — per-coordinate particle "
                          "scales, or the full population covariance "
@@ -507,6 +514,56 @@ def main():
             ],
         }
         log(f"smc: {results['smc']}")
+    if "pathfinder" in which:
+        # variational tier: R independent multipathfinder runs, scored with
+        # the same cross-run estimator as SMC (draws within a run share the
+        # pooled PSIS resample, so chain ESS does not apply); logz is the
+        # self-normalized IS evidence, comparable with smc's telescope in
+        # the same (whitened) space
+        from nonstationary_multivariate_gaussian_process_tpu.inference import (
+            pathfinder as pf_mod,
+        )
+
+        t0 = time.time()
+        pf_runs, pf_walls = [], []
+        for i in range(args.smc_runs):
+            ti = time.time()
+            mpf = pf_mod.multipathfinder(
+                nlp, map_vec, jax.random.PRNGKey(5000 + i),
+                n_paths=args.pf_paths, max_iters=args.pf_iters,
+                n_draws=args.pf_draws, n_out=args.pf_draws,
+            )
+            jax.block_until_ready(mpf.draws)
+            pf_walls.append(round(time.time() - ti, 2))
+            log(f"pathfinder run {i}: k_hat={float(mpf.k_hat):.3f} "
+                f"log_ev={float(mpf.log_evidence):.1f} ({pf_walls[-1]}s)")
+            pf_runs.append(mpf)
+        wall = time.time() - t0
+        parts = jnp.stack([r.draws for r in pf_runs])  # (R, D, P)
+        r_, d_, p_ = parts.shape
+        flat = parts.reshape(r_ * d_, p_)
+        if w is not None:
+            flat = w.from_white_batch(flat)
+        est = smc.smc_ess_estimate(np.asarray(flat).reshape(r_, d_, p_))
+        logzs = np.asarray([float(r.log_evidence) for r in pf_runs])
+        # one value_and_grad per L-BFGS iter per path; zoom-linesearch value
+        # evals and the batched ELBO sweep (value-only) are extra
+        grads = args.smc_runs * args.pf_paths * args.pf_iters
+        results["pathfinder"] = {
+            "min_ess": round(est["min_ess"], 1),
+            "median_ess": round(est["median_ess"], 1),
+            "pooled_ess": round(est["pooled_ess"], 1),
+            "ess_per_sec": round(est["min_ess"] / wall, 3),
+            "wall_s": round(wall, 2),
+            "wall_per_run_s": pf_walls,
+            "grad_evals_lbfgs": grads,
+            "runs": r_,
+            "paths": args.pf_paths,
+            "k_hats": [round(float(r.k_hat), 3) for r in pf_runs],
+            "logz_mean": round(float(logzs.mean()), 2),
+            "logz_std": round(float(logzs.std()), 3),
+        }
+        log(f"pathfinder: {results['pathfinder']}")
     if "nuts" in which:
         results["nuts"] = score("nuts", run_nuts)
     if "nuts" in results and "hmc" in results:

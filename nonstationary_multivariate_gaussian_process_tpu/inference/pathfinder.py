@@ -288,6 +288,10 @@ def psis_smooth(log_w: np.ndarray) -> tuple[np.ndarray, float]:
     order = np.argsort(lw)
     tail_idx = order[-m:]
     cutoff = lw[order[-m - 1]] if r > m else lw[order[0]]
+    if lw[order[-1]] - cutoff > 700.0:
+        # tail spread overflows exp in weight space: the proposal is
+        # degenerate (one draw dominates by >e^700); smoothing can't help
+        return lw, np.inf
     # exceedances over the cutoff, in weight space
     exc = np.exp(lw[tail_idx] - cutoff) - 1.0
     exc = np.maximum(exc, 1e-300)
