@@ -12,8 +12,10 @@ posterior *approximation*:
    ``H_l`` is the L-BFGS inverse-Hessian (compact low-rank-plus-scaled-
    identity form from the last ``history`` curvature pairs — Byrd, Nocedal
    & Schnabel 1994) and ``mu_l`` is one Newton step from the iterate,
-3. score every ``q_l`` by a Monte-Carlo ELBO **in one batched potential
-   sweep** (the TPU shape: all ``L x K`` evaluations ride one vmap), and
+3. score every ``q_l`` by a Monte-Carlo ELBO in **batched potential
+   sweeps** (the TPU shape: the ``L x K`` evaluations ride vmapped
+   ``sweep_chunk``-row blocks under ``lax.map`` — large enough to fill
+   the MXU, bounded so live Gram intermediates fit HBM at N=200), and
 4. return draws from the ELBO-argmax Gaussian with exact ``log q`` values,
    plus Pareto-smoothed importance weights (PSIS, Vehtari et al. 2024)
    against the target.
@@ -185,16 +187,39 @@ def _q_sample(key, mu, alpha, qu, lam, n: int, dtype):
     return x, log_q
 
 
+def _u_chunked(potential_fn, x, chunk: int):
+    """``vmap(potential_fn)`` over rows of ``x``, ``chunk`` rows at a time.
+
+    Bounds live memory: one flat vmap over the ELBO sweep materializes
+    every row's likelihood intermediates at once — at the reference scale
+    (N=200, Gram (2N)²) a (paths × iters × n_elbo)-row sweep is ~20 GB and
+    faults the 16 GB chip; ``lax.map`` over fixed-size blocks keeps it at
+    ``chunk`` rows (per vmapped path) with identical values.
+    """
+    n = x.shape[0]
+    if chunk <= 0 or n <= chunk:
+        return jax.vmap(potential_fn)(x)
+    n_pad = (-n) % chunk
+    xp = (
+        jnp.concatenate([x, jnp.broadcast_to(x[:1], (n_pad,) + x.shape[1:])])
+        if n_pad
+        else x
+    )
+    blocks = xp.reshape(-1, chunk, *x.shape[1:])
+    out = jax.lax.map(jax.vmap(potential_fn), blocks)
+    return out.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("potential_fn", "max_iters", "memory",
-                                   "n_elbo", "n_draws"))
+                                   "n_elbo", "n_draws", "sweep_chunk"))
 def _pathfinder_jit(potential_fn, x0, key, max_iters, memory, n_elbo,
-                    n_draws):
+                    n_draws, sweep_chunk=256):
     dtype = x0.dtype
     thetas, grads, vals = _lbfgs_trajectory(
         potential_fn, x0, max_iters, memory
     )
     n_iter = thetas.shape[0]
-    u_batch = jax.vmap(potential_fn)
+    u_batch = partial(_u_chunked, potential_fn, chunk=sweep_chunk)
 
     k_elbo, k_draw = jax.random.split(key)
 
@@ -246,6 +271,7 @@ def pathfinder(
     memory: int = 6,
     n_elbo: int = 32,
     n_draws: int = 1000,
+    sweep_chunk: int = 256,
 ) -> PathfinderResult:
     """Single-path Pathfinder over ``exp(-potential_fn)``.
 
@@ -264,7 +290,7 @@ def pathfinder(
     x0 = jnp.asarray(x0)
     return _pathfinder_jit(
         potential_fn, x0, key, int(max_iters), int(memory), int(n_elbo),
-        int(n_draws),
+        int(n_draws), sweep_chunk=int(sweep_chunk),
     )
 
 
@@ -364,6 +390,7 @@ def multipathfinder(
     memory: int = 6,
     n_elbo: int = 32,
     n_draws: int = 400,
+    sweep_chunk: int = 256,
 ) -> MultiPathfinderResult:
     """Multi-path Pathfinder: vmapped paths, PSIS-resampled pooled draws.
 
@@ -396,7 +423,7 @@ def multipathfinder(
     runs = jax.vmap(
         lambda s, k: _pathfinder_jit(
             potential_fn, s, k, int(max_iters), int(memory), int(n_elbo),
-            int(n_draws),
+            int(n_draws), sweep_chunk=int(sweep_chunk),
         )
     )(starts, keys)
 

@@ -893,6 +893,7 @@ def pathfinder_fleet(
     hyper: dict | None = None,
     mesh: Mesh | None = None,
     whiten: bool = True,
+    sweep_chunk: int = 256,
     masks: jnp.ndarray | None = None,
     vecs: jnp.ndarray | None = None,
 ) -> PathfinderFleetResult:
@@ -970,7 +971,7 @@ def pathfinder_fleet(
         runs = jax.vmap(
             lambda s0, kk: pf_mod._pathfinder_jit(
                 pot, s0, kk, int(max_iters), int(memory), int(n_elbo),
-                int(n_draws),
+                int(n_draws), sweep_chunk=int(sweep_chunk),
             )
         )(starts, jax.random.split(k_run, int(n_paths)))
         pooled = runs.draws.reshape(-1, p_dim)
@@ -1059,6 +1060,7 @@ def pathfinder_fleet_hadamard(
     hyper: dict | None = None,
     mesh: Mesh | None = None,
     whiten: bool = True,
+    sweep_chunk: int = 256,
     masks: jnp.ndarray | None = None,
     vecs: jnp.ndarray | None = None,
 ) -> PathfinderFleetResult:
@@ -1126,7 +1128,7 @@ def pathfinder_fleet_hadamard(
         runs = jax.vmap(
             lambda s0, kk: pf_mod._pathfinder_jit(
                 pot, s0, kk, int(max_iters), int(memory), int(n_elbo),
-                int(n_draws),
+                int(n_draws), sweep_chunk=int(sweep_chunk),
             )
         )(starts, jax.random.split(k_run, int(n_paths)))
         pooled = runs.draws.reshape(-1, p_dim)

@@ -119,6 +119,10 @@ class PipelineConfig:
     pf_inflate: float = 1.25  # pathfinder->SMC ref: scale inflation (IS
     #                  wants overdispersed proposals; also floored at 0.05
     #                  whitened-prior units so no slot starts degenerate)
+    pf_sweep_chunk: int = 256  # pathfinder: potential rows per dispatched
+    #                  ELBO/draw-sweep block (lax.map); bounds live HBM —
+    #                  a flat paths*iters*n_elbo sweep faults the chip at
+    #                  N=200 — while keeping MXU batches large.  0 = flat
     smc_waste_free: int = 0  # >=2: waste-free SMC (Dau & Chopin 2022) —
     #                  resample only N/L ancestors per stage, keep every
     #                  state of their length-L mutation chains as the next
@@ -343,6 +347,7 @@ def _run_chain_pathfinder(nlp, map_vec, cfg: PipelineConfig, key,
     r = pf_mod.multipathfinder(
         pot, q0, key, n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
         n_draws=cfg.pf_draws, n_out=max(cfg.n_hmc, 1),
+        sweep_chunk=cfg.pf_sweep_chunk,
     )
     parts = np.asarray(
         r.draws if whitener is None
@@ -397,6 +402,7 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
         mpf = pf_mod.multipathfinder(
             pot, q0, k_pf, n_paths=cfg.pf_paths, max_iters=cfg.pf_iters,
             n_draws=cfg.pf_draws, n_out=cfg.pf_draws,
+            sweep_chunk=cfg.pf_sweep_chunk,
         )
         ref_kw = dict(
             ref_mean=mpf.ref_mean,

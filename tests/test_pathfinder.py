@@ -63,6 +63,42 @@ def test_gaussian_elbo_and_moments():
     assert float(jnp.max(jnp.abs(r.trajectory[-1] - r.trajectory[0]))) > 0.1
 
 
+def test_sweep_chunk_equality():
+    """Chunked ELBO/draw sweeps (lax.map blocks, the HBM-bounding path
+    that survives N=200 on the chip) match the flat vmap bit-for-bit —
+    chunking only re-batches dispatch, never the values."""
+    pot, mu, cov, logz = _corr_gauss(dim=6, seed=5)
+    kw = dict(max_iters=40, n_elbo=8, n_draws=64)
+    r_flat = pf.pathfinder(pot, jnp.zeros(6) + 4.0, 7, sweep_chunk=0, **kw)
+    r_chnk = pf.pathfinder(pot, jnp.zeros(6) + 4.0, 7, sweep_chunk=16, **kw)
+    for field in ("draws", "log_w", "elbo", "mu"):
+        a = np.asarray(getattr(r_flat, field))
+        b = np.asarray(getattr(r_chnk, field))
+        assert (np.isfinite(a) == np.isfinite(b)).all(), field
+        fin = np.isfinite(a)
+        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-6, atol=1e-6)
+    m_flat = pf.multipathfinder(pot, jnp.zeros(6) + 4.0, 3, n_paths=3,
+                                max_iters=30, n_draws=50, n_out=40,
+                                sweep_chunk=0)
+    m_chnk = pf.multipathfinder(pot, jnp.zeros(6) + 4.0, 3, n_paths=3,
+                                max_iters=30, n_draws=50, n_out=40,
+                                sweep_chunk=16)
+    np.testing.assert_allclose(np.asarray(m_flat.draws),
+                               np.asarray(m_chnk.draws), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_psis_degenerate_tail_spread():
+    """A weight tail spreading past exp range (one draw dominating by
+    >e^700) is flagged k_hat=inf outright instead of overflowing the
+    GPD fit."""
+    rng = np.random.default_rng(3)
+    lw = np.concatenate([rng.normal(size=395), [200.0, 400, 600, 800, 1000]])
+    sm, k = pf.psis_smooth(lw)
+    assert k == np.inf
+    np.testing.assert_array_equal(sm, lw)
+
+
 def test_psis_smoother():
     rng = np.random.default_rng(1)
     # well-behaved weights: smoothing is ~identity, k_hat small
