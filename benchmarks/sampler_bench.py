@@ -432,8 +432,9 @@ def main():
                 )
 
                 mpf = pf_mod.multipathfinder(
-                    nlp, map_vec, jax.random.PRNGKey(5000 + i), n_paths=8,
-                    max_iters=100, n_draws=400, n_out=400,
+                    nlp, map_vec, jax.random.PRNGKey(5000 + i),
+                    n_paths=args.pf_paths, max_iters=args.pf_iters,
+                    n_draws=args.pf_draws, n_out=args.pf_draws,
                 )
                 pf_k_hats.append(round(float(mpf.k_hat), 3))
                 ref_kw = dict(

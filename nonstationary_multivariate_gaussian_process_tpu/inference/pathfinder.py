@@ -155,8 +155,12 @@ def _gauss_factors(thetas, grads, l, memory: int, dtype):
     # numerical floor: H must stay PD (exact arithmetic guarantees it for
     # curvature-valid pairs; masked columns contribute lam = 0)
     lam = jnp.maximum(lam, (-1.0 + 1e-6) * alpha)
-    qu = q_mat @ u_mat                               # (P, 2m) orthonormal
-    logdet = (p - 2 * m) * jnp.log(alpha) + jnp.sum(jnp.log(alpha + lam))
+    qu = q_mat @ u_mat                               # (P, k) orthonormal
+    # reduced QR keeps k = min(P, 2m) columns: count the alpha-only
+    # directions against the actual eigenvalue count, not the window size
+    logdet = (p - lam.shape[0]) * jnp.log(alpha) + jnp.sum(
+        jnp.log(alpha + lam)
+    )
     # Newton-step mean from the iterate: mu = theta - H g
     theta = thetas[l]
     g = grads[l]
@@ -444,10 +448,23 @@ def multipathfinder(
     )
     scores = np.where(np.isfinite(lw_s), lw_s + g, -np.inf)
     top = np.argsort(scores)[::-1][: int(n_out)]
+    if top.shape[0] < int(n_out):
+        # pool smaller than the requested draw count: cycle the ranked
+        # indices so callers get the n_out rows they asked for (matches
+        # fleet._pf_host_resample)
+        top = np.resize(top, int(n_out))
     draws = pooled[jnp.asarray(np.ascontiguousarray(top))]
     # smoothed-weight posterior moments (for the SMC reference seed)
-    w_n = np.exp(lw_s - lw_s[np.isfinite(lw_s)].max())
-    w_n = np.where(np.isfinite(w_n), w_n, 0.0)
+    fin_s = np.isfinite(lw_s)
+    if fin_s.any():
+        w_n = np.exp(lw_s - lw_s[fin_s].max())
+        w_n = np.where(np.isfinite(w_n), w_n, 0.0)
+    else:
+        # every pooled weight non-finite (all paths diverged): uniform
+        # weights keep the designed degenerate result (k_hat=inf, -inf
+        # evidence, moments from the unweighted pool) instead of crashing
+        # on an empty .max() — mirrors fleet._pf_host_resample's guard
+        w_n = np.ones(lw_s.shape[0], dtype=np.float64)
     w_n = w_n / max(w_n.sum(), 1e-300)
     pool_np = np.asarray(pooled, dtype=np.float64)
     mean = w_n @ pool_np

@@ -742,15 +742,78 @@ def _run_smc(
         jnp.asarray(0, jnp.int32),
         hists0,
     )
-    qs, _, b, logz, log_eps, _, i, _, hists = jax.lax.while_loop(
+    qs, lw, b, logz, log_eps, k_fin, i, _, hists = jax.lax.while_loop(
         cond, body, init
     )
     betas_h, cess_h, acc_h, eps_h, res_h = hists
+    if resample_ess < 1.0:
+        # a gated run truncated at max_stages before beta=1 carries
+        # non-uniform log-weights; force one final resample so the returned
+        # population honors SMCResult's unweighted-particles contract
+        # (completed runs resample at the beta=1 stage, so qs is unchanged)
+        idx = _RESAMPLERS[resample](k_fin, lw)
+        qs = jnp.where(b < 1.0, qs[idx], qs)
     pots = u_batch(qs)
     return (
         qs, logz + _logz0(dim, ref_scale, dtype),
         i, b, betas_h, cess_h, acc_h, eps_h, pots, res_h,
     )
+
+
+def _host_stage_loop(stage_j, qs, lw, b, logz, log_eps, key, *,
+                     max_stages, n_polish, resample_ess, resample,
+                     dtype, progress=None):
+    """Host-dispatched stage loop shared by :func:`_run_smc_host` and
+    :func:`smc_sample_sharded`: temper until beta=1 (or ``max_stages``),
+    run ``n_polish`` beta=1 stages, then force the truncation resample so
+    a gated run that exhausted ``max_stages`` still returns an unweighted
+    population.  One XLA dispatch per stage — the tunneled-TPU posture
+    (CLAUDE.md).  Recording mirrors :func:`_run_smc` exactly (polish
+    stages beyond ``max_stages`` leave the schedule untouched).
+    """
+    betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
+    cess_h = np.zeros_like(betas_h)
+    acc_h = np.zeros_like(betas_h)
+    eps_h = np.zeros_like(betas_h)
+    res_h = np.zeros_like(betas_h)
+    i = 0
+    while i < max_stages and float(b) < 1.0:
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
+            qs, lw, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        betas_h[i] = float(b)
+        cess_h[i] = float(cess_frac)
+        acc_h[i] = float(acc)
+        eps_h[i] = float(jnp.exp(log_eps))
+        res_h[i] = float(res)
+        i += 1
+        if progress is not None:
+            progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
+                      "accept": float(acc), "step_size": eps_h[i - 1],
+                      "resampled": bool(res_h[i - 1])})
+    for jp in range(n_polish if float(b) >= 1.0 else 0):
+        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
+            qs, lw, b, logz, log_eps, key
+        )
+        jax.block_until_ready(qs)
+        if i < max_stages:
+            betas_h[i] = float(b)
+            cess_h[i] = float(cess_frac)
+            acc_h[i] = float(acc)
+            eps_h[i] = float(jnp.exp(log_eps))
+            res_h[i] = float(res)
+        i += 1
+        if progress is not None:
+            progress({"polish": jp + 1, "accept": float(acc),
+                      "step_size": float(jnp.exp(log_eps))})
+    if float(resample_ess) < 1.0 and float(b) < 1.0:
+        # truncated gated run: the carried weights are non-uniform — force
+        # one final resample (the device driver does the same) so the
+        # returned population honors the unweighted-particles contract
+        idx = jax.jit(_RESAMPLERS[resample])(key, lw)
+        qs = qs[idx]
+    return qs, b, logz, log_eps, i, (betas_h, cess_h, acc_h, eps_h, res_h)
 
 
 def _run_smc_host(
@@ -803,42 +866,13 @@ def _run_smc_host(
     qs, b, logz = q0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
     lw = jnp.full((n,), -jnp.log(jnp.asarray(n, dtype)), dtype)
     log_eps = jnp.log(jnp.asarray(step_size0, dtype))
-    betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
-    cess_h = np.zeros_like(betas_h)
-    acc_h = np.zeros_like(betas_h)
-    eps_h = np.zeros_like(betas_h)
-    res_h = np.zeros_like(betas_h)
-    i = 0
-    while i < max_stages and float(b) < 1.0:
-        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
-            qs, lw, b, logz, log_eps, key
-        )
-        jax.block_until_ready(qs)
-        betas_h[i] = float(b)
-        cess_h[i] = float(cess_frac)
-        acc_h[i] = float(acc)
-        eps_h[i] = float(jnp.exp(log_eps))
-        res_h[i] = float(res)
-        i += 1
-        if progress is not None:
-            progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
-                      "accept": float(acc), "step_size": eps_h[i - 1],
-                      "resampled": bool(res_h[i - 1])})
-    for jp in range(n_polish if float(b) >= 1.0 else 0):
-        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_j(
-            qs, lw, b, logz, log_eps, key
-        )
-        jax.block_until_ready(qs)
-        if i < max_stages:  # mirror the device driver's recording exactly
-            betas_h[i] = float(b)
-            cess_h[i] = float(cess_frac)
-            acc_h[i] = float(acc)
-            eps_h[i] = float(jnp.exp(log_eps))
-            res_h[i] = float(res)
-        i += 1
-        if progress is not None:
-            progress({"polish": jp + 1, "accept": float(acc),
-                      "step_size": float(jnp.exp(log_eps))})
+    qs, b, logz, log_eps, i, hists = _host_stage_loop(
+        stage_j, qs, lw, b, logz, log_eps, key,
+        max_stages=max_stages, n_polish=n_polish,
+        resample_ess=resample_ess, resample=resample,
+        dtype=dtype, progress=progress,
+    )
+    betas_h, cess_h, acc_h, eps_h, res_h = hists
     pots = u_batch(qs)
     return (
         qs, logz + _logz0(dim, ref_scale, dtype),
@@ -971,6 +1005,7 @@ def smc_sample_sharded(
         jnp.asarray(adapt_rate, dtype), jnp.asarray(min_beta_step, dtype),
         metric=metric, shrink=float(shrink), axis=ax, n_shards=n_dev,
         waste_free=_check_waste_free(waste_free, n, n_dev),
+        potential_batched=bool(potential_batched),
         adapt_mutations=bool(adapt_mutations), msjd_frac=float(msjd_frac),
         resample_ess=float(resample_ess), resample=resample,
     )
@@ -999,42 +1034,15 @@ def smc_sample_sharded(
     logz = jax.device_put(logz, rep)
     log_eps = jax.device_put(jnp.log(jnp.asarray(step_size, dtype)), rep)
     key = jax.device_put(key, rep)
-    betas_h = np.ones((max_stages,), np.asarray(0.0, dtype).dtype)
-    cess_h = np.zeros_like(betas_h)
-    acc_h = np.zeros_like(betas_h)
-    eps_h = np.zeros_like(betas_h)
-    res_h = np.zeros_like(betas_h)
-    i = 0
-    while i < max_stages and float(b) < 1.0:
-        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_sh(
-            qs, lw, b, logz, log_eps, key
-        )
-        jax.block_until_ready(qs)
-        betas_h[i] = float(b)
-        cess_h[i] = float(cess_frac)
-        acc_h[i] = float(acc)
-        eps_h[i] = float(jnp.exp(log_eps))
-        res_h[i] = float(res)
-        i += 1
-        if progress is not None:
-            progress({"stage": i, "beta": float(b), "cess": float(cess_frac),
-                      "accept": float(acc), "step_size": eps_h[i - 1],
-                      "resampled": bool(res_h[i - 1])})
-    for jp in range(n_polish if float(b) >= 1.0 else 0):
-        qs, lw, b, logz, log_eps, key, cess_frac, acc, res = stage_sh(
-            qs, lw, b, logz, log_eps, key
-        )
-        jax.block_until_ready(qs)
-        if i < max_stages:
-            betas_h[i] = float(b)
-            cess_h[i] = float(cess_frac)
-            acc_h[i] = float(acc)
-            eps_h[i] = float(jnp.exp(log_eps))
-            res_h[i] = float(res)
-        i += 1
-        if progress is not None:
-            progress({"polish": jp + 1, "accept": float(acc),
-                      "step_size": float(jnp.exp(log_eps))})
+    qs, b, logz, log_eps, i, hists = _host_stage_loop(
+        stage_sh, qs, lw, b, logz, log_eps, key,
+        max_stages=max_stages, n_polish=n_polish,
+        resample_ess=resample_ess, resample=resample,
+        dtype=dtype, progress=progress,
+    )
+    betas_h, cess_h, acc_h, eps_h, res_h = hists
+    # the truncation resample's gather drops the particle sharding — restore
+    qs = jax.device_put(qs, shard)
     pots = pots_sh(qs)
     return SMCResult(
         particles=qs,

@@ -1038,6 +1038,11 @@ def _pf_host_resample(pooled, log_w, lds, key, n_out, s_real):
         ), dtype=np.float64)
         scores = np.where(np.isfinite(lw_s), lw_s + g, -np.inf)
         top = np.argsort(scores)[::-1][: int(n_out)]
+        if top.shape[0] < int(n_out):
+            # pool smaller than the requested draw count (n_out >
+            # paths x draws): cycle the ranked indices rather than crash
+            # on the fixed-width row assignment
+            top = np.resize(top, int(n_out))
         draws_out[i] = pooled[i][np.ascontiguousarray(top)]
         k_hats[i] = kh
     return draws_out, k_hats, log_ev

@@ -113,6 +113,11 @@ class PipelineConfig:
     #                  or "pathfinder" (multipathfinder posterior moments
     #                  seed ref_mean/ref_scale: the tempering path starts
     #                  posterior-shaped, cutting stages; inference/pathfinder)
+    pf_khat_max: float = 0.7  # pathfinder->SMC ref gate: seed only when
+    #                  the PSIS diagnostic says the proposal is reliable
+    #                  (k_hat <= this); above it the prior reference is
+    #                  used and pf_ref_used=False is recorded — an
+    #                  unreliable seed is a measured negative (ROADMAP)
     pf_paths: int = 8  # pathfinder: independent L-BFGS paths (vmapped)
     pf_iters: int = 100  # pathfinder: L-BFGS iterations per path
     pf_draws: int = 400  # pathfinder: draws per path pooled for PSIS
@@ -404,12 +409,25 @@ def _run_chain_smc(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
             n_draws=cfg.pf_draws, n_out=cfg.pf_draws,
             sweep_chunk=cfg.pf_sweep_chunk,
         )
-        ref_kw = dict(
-            ref_mean=mpf.ref_mean,
-            ref_scale=jnp.clip(cfg.pf_inflate * mpf.ref_scale, 0.05, 10.0),
-        )
         pf_info = {"smc_ref": "pathfinder", "pf_k_hat": float(mpf.k_hat),
                    "pf_wall_s": round(time.time() - t_pf, 2)}
+        if float(mpf.k_hat) > cfg.pf_khat_max:
+            # the seed is gated on pathfinder's own PSIS diagnostic:
+            # measured at the reference scale (N=200, TPU, 6 runs), a
+            # k_hat=inf proposal's moments misplace the reference and
+            # poison the telescope — logz -8016 +/- 4797 vs the prior
+            # reference's 4901.6 +/- 0.8, min-ESS 0.8, ~45 stages vs ~24
+            # (ROADMAP).  An unreliable proposal forfeits the seed; the
+            # N(0, I) prior reference is always sound.
+            pf_info["pf_ref_used"] = False
+        else:
+            ref_kw = dict(
+                ref_mean=mpf.ref_mean,
+                ref_scale=jnp.clip(
+                    cfg.pf_inflate * mpf.ref_scale, 0.05, 10.0
+                ),
+            )
+            pf_info["pf_ref_used"] = True
     elif cfg.smc_ref != "prior":
         raise ValueError(f"unknown smc_ref {cfg.smc_ref!r} "
                          "(want 'prior' or 'pathfinder')")
@@ -545,8 +563,11 @@ def _sampling_record(chains: np.ndarray, n_chains: int) -> dict:
     if d["max_rhat"] > 1.1 or d["min_ess"] < 10.0:
         rec["warning"] = (
             f"chains may not have mixed: min-ESS {d['min_ess']:.1f}, "
-            f"max split-R̂ {d['max_rhat']:.3f} — increase n_hmc, keep "
-            "cohort_sampler='auto', or inspect the trace before using "
+            f"max split-R̂ {d['max_rhat']:.3f} — at this scale longer "
+            "chains were measured NOT to help (inference/drhmc.py); "
+            "switch to cohort_sampler='config' with sampler='smc' "
+            "(the configuration whose independent runs agree at N=200, "
+            "inference/smc.py) or inspect the trace before using "
             "sample-based summaries"
         )
     return rec

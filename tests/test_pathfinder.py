@@ -10,6 +10,7 @@ prior-reference telescope, since the reference is a normalized Gaussian
 either way.
 """
 
+import dataclasses
 import math
 
 import numpy as np
@@ -326,9 +327,73 @@ def test_smc_pathfinder_reference_workflow():
     assert np.all(np.isfinite(np.asarray(samples)))
     assert s_pf["smc_ref"] == "pathfinder"
     assert np.isfinite(s_pf["pf_k_hat"])
+    assert s_pf["pf_ref_used"] in (True, False)
     assert s_pf["beta_final"] == 1.0
     assert np.isfinite(s_pf["log_evidence"])
+
+    # the k_hat gate: an unreliable proposal (pf_khat_max below any real
+    # k_hat) forfeits the seed — prior reference, pf_ref_used=False — and
+    # the run still completes; a permissive gate uses the seed
+    cfg_gate = dataclasses.replace(cfg, pf_khat_max=-1.0)
+    _, _, s_gated = workflows._run_chain_smc(nlp, res.vec, cfg_gate,
+                                             key, whitener=w)
+    assert s_gated["pf_ref_used"] is False
+    assert s_gated["beta_final"] == 1.0
+    cfg_open = dataclasses.replace(cfg, pf_khat_max=np.inf)
+    _, _, s_open = workflows._run_chain_smc(nlp, res.vec, cfg_open,
+                                            key, whitener=w)
+    assert s_open["pf_ref_used"] is True
 
     with pytest.raises(ValueError, match="smc_ref"):
         bad = workflows.PipelineConfig(**{**cfg.__dict__, "smc_ref": "x"})
         workflows._run_chain_smc(nlp, res.vec, bad, key, whitener=w)
+
+
+def test_multipathfinder_all_paths_diverged():
+    """Every pooled weight non-finite (NaN potential): the designed
+    degenerate result is k_hat=inf + -inf evidence with full-shape draws —
+    not an empty-array crash in the moment computation."""
+
+    def pot(q):
+        return jnp.nan * jnp.sum(q ** 2)
+
+    r = pf.multipathfinder(
+        pot, jnp.zeros(4), jax.random.PRNGKey(0),
+        n_paths=2, max_iters=6, n_draws=8, n_out=8,
+    )
+    assert not np.isfinite(r.k_hat)
+    assert float(r.log_evidence) == -np.inf
+    assert r.draws.shape == (8, 4)
+    assert r.ref_scale.shape == (4,)
+
+
+def test_multipathfinder_n_out_exceeds_pool():
+    """n_out larger than the pooled draw count (paths x draws) cycles the
+    ranked indices to the requested width instead of crashing or silently
+    shrinking."""
+    pot, mu, cov, logz = _corr_gauss(dim=4)
+    r = pf.multipathfinder(
+        pot, jnp.zeros(4), jax.random.PRNGKey(1),
+        n_paths=2, max_iters=20, n_draws=8, n_out=40,
+    )
+    assert r.draws.shape == (40, 4)
+    assert np.all(np.isfinite(np.asarray(r.draws)))
+
+
+def test_gauss_factors_logdet_small_dim():
+    """P < 2*memory: reduced QR keeps k = min(P, 2m) eigen-directions, so
+    log|H| must count the alpha-only complement as p - k, not p - 2m
+    (the fixed count misstates the logdet whenever alpha != 1)."""
+    p, m = 3, 6
+    scales = jnp.asarray([0.5, 1.0, 2.0])
+    pot = lambda q: 0.5 * jnp.sum((q / scales) ** 2)
+    thetas, grads, _ = pf._lbfgs_trajectory(pot, jnp.ones(p), 12, m)
+    l_last = thetas.shape[0] - 1
+    _, alpha, qu, lam, logdet = pf._gauss_factors(
+        thetas, grads, l_last, m, thetas.dtype
+    )
+    assert abs(float(alpha) - 1.0) > 1e-3  # the case the count matters for
+    h = alpha * jnp.eye(p) + qu @ jnp.diag(lam) @ qu.T
+    sign, ld_true = jnp.linalg.slogdet(h)
+    assert float(sign) > 0
+    np.testing.assert_allclose(float(logdet), float(ld_true), rtol=1e-4)

@@ -622,3 +622,27 @@ def test_resampling_schemes():
     assert np.all(np.asarray(r.beta_final) == 1.0)
     assert np.all(np.isfinite(np.asarray(r.logz)))
     assert workflows.PipelineConfig(smc_resample="residual").smc_resample == "residual"
+
+
+def test_gated_truncation_returns_unweighted():
+    """A gated run that exhausts max_stages before beta=1 carries
+    non-uniform weights into its last stage; the return must consume them
+    (one forced final resample — duplicates of heavy particles appear)
+    instead of silently dropping them, on both dispatch paths."""
+    dim = 4
+    pot = lambda q: 0.5 * jnp.sum((q / 0.05) ** 2)  # tight: heavy reweights
+    for dispatch in ("device", "host"):
+        r = smc.smc_sample(
+            pot, dim, 3, 256, max_stages=3, resample_ess=0.01,
+            dispatch=dispatch,
+        )
+        assert float(r.beta_final) < 1.0  # truly truncated
+        res = np.asarray(r.resampled[: int(r.n_stages)])
+        assert res.sum() == 0.0, "gate unexpectedly resampled"
+        pts = np.asarray(r.particles)
+        n_unique = np.unique(pts, axis=0).shape[0]
+        assert n_unique < pts.shape[0], (
+            "truncated gated run returned a weighted population "
+            "(no duplicates -> the carried weights were dropped)"
+        )
+        assert np.all(np.isfinite(np.asarray(r.logz)))

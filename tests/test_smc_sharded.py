@@ -116,3 +116,31 @@ def test_sharded_waste_free_matches_single_device():
         rtol=1e-9, atol=1e-9,
     )
     np.testing.assert_allclose(float(r_sh.logz), float(r_ref.logz), rtol=1e-9)
+
+
+def test_sharded_potential_batched():
+    """potential_batched reaches the sharded stage builder: a batch-native
+    (B, P) -> (B,) potential must run (it crashed when the flag was
+    silently dropped) and agree with the row-wise potential's run at the
+    same key on schedule, evidence, and cloud statistics."""
+    scales = jnp.asarray([0.3, 1.0, 3.0, 0.5, 2.0, 1.5])
+    pot_row = lambda q: 0.5 * jnp.sum((q / scales) ** 2)
+    pot_batch = lambda qs: 0.5 * jnp.sum((qs / scales) ** 2, axis=1)
+    kwargs = dict(n_mutations=2, n_leapfrog=4, metric="full", n_polish=2)
+    r_row = smc.smc_sample_sharded(
+        pot_row, 6, jax.random.PRNGKey(7), 64, **kwargs
+    )
+    r_b = smc.smc_sample_sharded(
+        pot_batch, 6, jax.random.PRNGKey(7), 64,
+        potential_batched=True, **kwargs
+    )
+    assert int(r_b.n_stages) == int(r_row.n_stages)
+    np.testing.assert_allclose(
+        np.asarray(r_b.betas), np.asarray(r_row.betas), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(r_b.logz), float(r_row.logz), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_b.particles).mean(0),
+        np.asarray(r_row.particles).mean(0),
+        atol=0.05 * float(scales.max()),
+    )
