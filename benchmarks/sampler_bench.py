@@ -341,6 +341,10 @@ def main():
             step_size=args.step_size, rm_step_size=args.rm_step_size,
             n_leapfrog=leap, rm_leapfrog=args.rm_leapfrog, n_fp=args.rm_fp,
             n_warmup=args.warmup,
+            # off-CPU: per-draw dispatch — the monolithic third-order-AD
+            # scan faults the tunneled TPU (workflows routes the same way)
+            dispatch=("device" if jax.devices()[0].platform == "cpu"
+                      else "host"),
         )
         # grad-equivalent accounting: stage A pays leap+1 full gradients per
         # draw (incl. the post-accept refresh); stage B pays, per leapfrog

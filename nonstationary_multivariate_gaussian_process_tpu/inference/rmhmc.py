@@ -361,19 +361,11 @@ def rmhmc_sample(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "potential_fn", "n_samples", "n_leapfrog", "rm_leapfrog", "n_fp",
-        "n_warmup", "adapt_step_size",
-    ),
-)
-def _run_gibbs(
+def _make_gibbs_step(
     potential_fn,
-    q0,
     idx,
-    key,
-    n_samples: int,
+    dim: int,
+    dtype,
     step_size0,
     rm_step_size0,
     n_leapfrog: int,
@@ -384,9 +376,8 @@ def _run_gibbs(
     adapt_step_size: bool,
     target_accept,
 ):
-    dim = q0.shape[0]
-    dtype = q0.dtype
-
+    """Build the per-draw Gibbs ``step(carry, (i, key))`` shared by the
+    scan driver and the host-dispatched loop (identical draws)."""
     grad_u = jax.grad(potential_fn)
     val_grad_u = jax.value_and_grad(potential_fn)
 
@@ -451,21 +442,102 @@ def _run_gibbs(
         carry = (q, u_q, g_q, da_a, eps_a, da_b, eps_b)
         return carry, (q, u_q, ap_a, ap_b)
 
-    n_total = n_warmup + n_samples
-    keys = jax.random.split(key, n_total)
+    return step, val_grad_u
+
+
+def _gibbs_init(q0, val_grad_u, step_size0, rm_step_size0, dtype):
     zero = jnp.asarray(0.0, dtype) * q0[0]
     le_a = jnp.log(jnp.asarray(step_size0, dtype)) + zero
     le_b = jnp.log(jnp.asarray(rm_step_size0, dtype)) + zero
     u0, g0 = val_grad_u(q0)
-    init = (
+    return (
         q0, u0, g0,
         (le_a, le_a, zero), jnp.asarray(step_size0, dtype) + zero,
         (le_b, le_b, zero), jnp.asarray(rm_step_size0, dtype) + zero,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn", "n_samples", "n_leapfrog", "rm_leapfrog", "n_fp",
+        "n_warmup", "adapt_step_size",
+    ),
+)
+def _run_gibbs(
+    potential_fn,
+    q0,
+    idx,
+    key,
+    n_samples: int,
+    step_size0,
+    rm_step_size0,
+    n_leapfrog: int,
+    rm_leapfrog: int,
+    n_fp: int,
+    alpha,
+    n_warmup: int,
+    adapt_step_size: bool,
+    target_accept,
+):
+    dtype = q0.dtype
+    step, val_grad_u = _make_gibbs_step(
+        potential_fn, idx, q0.shape[0], dtype, step_size0, rm_step_size0,
+        n_leapfrog, rm_leapfrog, n_fp, alpha, n_warmup, adapt_step_size,
+        target_accept,
+    )
+    n_total = n_warmup + n_samples
+    keys = jax.random.split(key, n_total)
+    init = _gibbs_init(q0, val_grad_u, step_size0, rm_step_size0, dtype)
     (qf, uf, gf, daa, epsa, dab, epsb), (qs, us, apa, apb) = jax.lax.scan(
         step, init, (jnp.arange(n_total), keys)
     )
     return qs, us, apa, apb, epsa, epsb
+
+
+def _run_gibbs_host(
+    potential_fn,
+    q0,
+    idx,
+    key,
+    n_samples: int,
+    step_size0,
+    rm_step_size0,
+    n_leapfrog: int,
+    rm_leapfrog: int,
+    n_fp: int,
+    alpha,
+    n_warmup: int,
+    adapt_step_size: bool,
+    target_accept,
+):
+    """One XLA dispatch per draw: the tunneled TPU faults minutes-long
+    single-program executions (the monolithic-scan failure class,
+    CLAUDE.md) — the same posture that lets SMC run there.  Same step
+    body, same key threading: draws are bit-identical to the scan
+    (tests/test_rmhmc.py pins it)."""
+    dtype = q0.dtype
+    step, val_grad_u = _make_gibbs_step(
+        potential_fn, idx, q0.shape[0], dtype, step_size0, rm_step_size0,
+        n_leapfrog, rm_leapfrog, n_fp, alpha, n_warmup, adapt_step_size,
+        target_accept,
+    )
+    step_j = jax.jit(step)
+    n_total = n_warmup + n_samples
+    keys = jax.random.split(key, n_total)
+    carry = _gibbs_init(q0, val_grad_u, step_size0, rm_step_size0, dtype)
+    qs_l, us_l, apa_l, apb_l = [], [], [], []
+    for i in range(n_total):
+        carry, (q_i, u_i, ap_a, ap_b) = step_j(
+            carry, (jnp.asarray(i), keys[i])
+        )
+        jax.block_until_ready(q_i)
+        qs_l.append(q_i)
+        us_l.append(u_i)
+        apa_l.append(ap_a)
+        apb_l.append(ap_b)
+    return (jnp.stack(qs_l), jnp.stack(us_l), jnp.stack(apa_l),
+            jnp.stack(apb_l), carry[4], carry[6])
 
 
 def rmhmc_gibbs_sample(
@@ -483,6 +555,7 @@ def rmhmc_gibbs_sample(
     n_warmup: int = 0,
     adapt_step_size: bool = True,
     target_accept: float = 0.75,
+    dispatch: str = "device",
 ) -> RMHMCGibbsResult:
     """RMHMC-within-Gibbs: plain HMC globally + SoftAbs RMHMC on ``idx``.
 
@@ -510,7 +583,11 @@ def rmhmc_gibbs_sample(
         raise ValueError(
             f"idx must be a non-empty 1-D index array, got shape {idx.shape}"
         )
-    qs, us, apa, apb, epsa, epsb = _run_gibbs(
+    if dispatch not in ("device", "host"):
+        raise ValueError(f"unknown dispatch {dispatch!r} "
+                         "(want 'device' or 'host')")
+    run = _run_gibbs if dispatch == "device" else _run_gibbs_host
+    qs, us, apa, apb, epsa, epsb = run(
         potential_fn, q0, idx, key, int(n_samples), float(step_size),
         float(rm_step_size), int(n_leapfrog), int(rm_leapfrog), int(n_fp),
         float(alpha), int(n_warmup), bool(adapt_step_size),

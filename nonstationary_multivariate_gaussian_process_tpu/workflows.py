@@ -239,6 +239,11 @@ def _run_chain(nlp, map_vec, cfg: PipelineConfig, key, whitener=None):
             step_size=cfg.hmc_step_size, rm_step_size=cfg.rm_step_size,
             n_leapfrog=cfg.hmc_leapfrog, rm_leapfrog=cfg.rm_leapfrog,
             n_fp=cfg.rm_fp, n_warmup=n_warm,
+            # off-CPU: per-draw dispatch — the monolithic third-order-AD
+            # scan faults the tunneled TPU (same class and same fix as
+            # SMC's host stage loop; draws bit-identical either way)
+            dispatch=("device" if jax.devices()[0].platform == "cpu"
+                      else "host"),
         )
         accept = float(np.mean(np.asarray(chain.accept_prob)[n_warm:]))
         return np.asarray(chain.samples), accept

@@ -218,3 +218,33 @@ def test_slowest_coords():
     assert idx.tolist() == [1]
     with pytest.raises(ValueError, match="samples"):
         rmhmc.slowest_coords(np.zeros(5), 1)
+
+
+def test_gibbs_host_dispatch_bit_identity(rng):
+    """dispatch="host" (one XLA dispatch per draw — the tunneled-TPU
+    posture, same fix as SMC's host stage loop) must reproduce the scan
+    driver's draws bit-for-bit at the same key."""
+    potential, _ = _gauss_potential(rng, 5)
+    kwargs = dict(
+        idx=jnp.asarray([1, 3]), step_size=0.15, rm_step_size=0.3,
+        n_leapfrog=4, rm_leapfrog=3, n_fp=3, n_warmup=5,
+    )
+    r_dev = rmhmc.rmhmc_gibbs_sample(
+        potential, jnp.zeros(5), 12, jax.random.PRNGKey(3), **kwargs
+    )
+    r_host = rmhmc.rmhmc_gibbs_sample(
+        potential, jnp.zeros(5), 12, jax.random.PRNGKey(3),
+        dispatch="host", **kwargs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_host.samples), np.asarray(r_dev.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_host.rm_accept_prob), np.asarray(r_dev.rm_accept_prob)
+    )
+    assert float(r_host.step_size) == float(r_dev.step_size)
+    with pytest.raises(ValueError, match="dispatch"):
+        rmhmc.rmhmc_gibbs_sample(
+            potential, jnp.zeros(5), 4, jax.random.PRNGKey(0),
+            idx=jnp.asarray([0]), dispatch="nope",
+        )
