@@ -54,15 +54,21 @@ tests/test_rmhmc.py (round-trip error at working step sizes ≪ MH noise).
 
 Measured (benchmarks/sampler_bench.py --samplers rmhmc): the funnel
 validation and Gaussian/Gibbs exactness run on CPU (tests/test_rmhmc.py).
-**On the TPU the Gibbs tier cannot run at model scale**: at N=200 the
-compiled chain (third-order AD through the GNMGP potential inside the
-scan) reproducibly trips a device fault on the current runtime — at
-k=12/fp=6 and at the reduced k=8/fp=4/leapfrog=4 alike — the same failure
-class as the monolithic f64 HMC scan (CLAUDE.md).  The N=200 wall verdict
-therefore falls to the many-chain tier (inference/chees.py), which attacks
-the same budget with K lockstep chains instead of a costlier single chain;
-RMHMC remains the CPU-tier escalation for posteriors whose necks DRHMC
-cannot thread.
+**On the TPU, run the Gibbs tier with ``dispatch="host"``** (workflows
+and sampler_bench route it automatically off-CPU): the monolithic chain
+— third-order AD through the GNMGP potential inside one ``lax.scan``
+program — reproducibly trips a device fault on the current runtime at
+k=12/fp=6 and at the reduced k=8/fp=4/leapfrog=4 alike (the monolithic
+f64 HMC scan's failure class, CLAUDE.md), and one XLA dispatch per draw
+is the same measured fix that lets SMC run there: at N=200
+(k=8/fp=4/leapfrog=4, f32, whitened) the host-dispatched chain runs 100
+draws in 162 s on the chip, draws bit-identical to the scan driver
+(tests/test_rmhmc.py).  The *statistical* N=200 verdict is unchanged —
+min-ESS at a 50-draw budget sits in the same 3-5 band as every chain
+tier (the obstruction is the collective ridge, and a k-subspace metric
+does not thread it either) — so the production posture at that scale
+remains tempered SMC (inference/smc.py); RMHMC is the escalation for
+posteriors whose *necks* DRHMC cannot thread.
 """
 
 from __future__ import annotations
