@@ -39,6 +39,11 @@ def main():
                          "approximations (lmc is skipped: no latent-GP "
                          "blocks to whiten, so no tractable reference)")
     ap.add_argument("--smc-particles", type=int, default=512)
+    ap.add_argument("--loo", action="store_true",
+                    help="with --n-hmc: also report WAIC and PSIS-LOO from "
+                         "the chain (exact joint-MVN LOO conditionals, "
+                         "evaluate.psis_loo) -- the modern fully-Bayesian "
+                         "criteria beyond the reference's AIC/BIC/DIC")
     ap.add_argument("--test-size", type=float, default=0.25)
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
@@ -65,6 +70,7 @@ def main():
                 do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
                 whiten=args.n_hmc > 0 and model != "lmc",
                 do_pred_grid=False, do_map_analysis=False, seed=seed,
+                do_loo=args.loo and args.n_hmc > 0,
             )
             if args.evidence and model != "lmc":
                 cfg = dataclasses.replace(
@@ -79,6 +85,8 @@ def main():
                           "test_lpd", "test_pmse")
                 if k in res
             }
+            if "loo" in res:
+                scores.update({k: float(v) for k, v in res["loo"].items()})
             if args.evidence and "sampling" in res \
                     and "log_evidence" in res["sampling"]:
                 scores["log_evidence"] = res["sampling"]["log_evidence"]

@@ -65,6 +65,10 @@ class PipelineConfig:
     do_pred_grid: bool = True
     do_pred_test: bool = True
     do_evaluation: bool = True
+    do_loo: bool = False  # with do_hmc: WAIC + PSIS-LOO from the chain via
+    #                       exact joint-MVN LOO conditionals (evaluate.psis_loo;
+    #                       k-hat reliability lands in result["loo"])
+    loo_draws: int = 200  # chain draws used for LOO (evenly thinned)
     n_opt: int = 1000
     lr: float = 2e-1
     map_method: str = "adam"  # "adam" (reference contract) | "lbfgs"
@@ -812,6 +816,27 @@ def run_subject(
         result["bic"] = evaluate.get_bic(map_vec, dev, n_obs=n)
         if "hmc_samples" in result:
             result["dic"] = evaluate.get_dic(jnp.asarray(result["hmc_samples"]), dev)
+        if cfg.do_loo and "hmc_samples" in result:
+            # fully-Bayesian criteria from the chain: pointwise terms are the
+            # exact LOO conditionals of the joint MVN likelihood (no refits)
+            hist = np.asarray(result["hmc_samples"])
+            if hist.shape[0] > cfg.loo_draws:
+                idx = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
+                hist = hist[idx]
+            cond_ll = evaluate.chain_conditional_loglik(
+                cfg.model, hist, np.asarray(xd), np.asarray(yd)
+            )
+            loo = evaluate.psis_loo(cond_ll)
+            wa = evaluate.waic(cond_ll)
+            result["loo"] = {
+                "elpd_loo": loo["elpd_loo"], "p_loo": loo["p_loo"],
+                "looic": loo["looic"], "n_bad_k": loo["n_bad_k"],
+                "k_hat_max": float(np.max(loo["k_hat"])),
+                "elpd_waic": wa["elpd_waic"], "p_waic": wa["p_waic"],
+                "waic": wa["waic"],
+            }
+            if store is not None:
+                store.save(_key("loo"), **result["loo"])
 
     return result
 
