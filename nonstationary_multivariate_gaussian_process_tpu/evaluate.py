@@ -119,6 +119,66 @@ def observation_cov(model: str, vec, x, n: int, m: int) -> jnp.ndarray:
     raise ValueError(f"unknown model {model!r}")
 
 
+def observation_cov_hadamard(model: str, vec, x, indx, m: int) -> jnp.ndarray:
+    """Dense (N×N) observation covariance for Hadamard-layout data.
+
+    One observation per (input, task) pair — the reference's ``*_non``/KAISER
+    layout; the covariance each ``log_posterior_hadamard`` builds
+    (``K_x ∘ K_indx + noise``).
+    """
+    from .models import gnmgp, lmc, snmgp
+    from .ops import kernels, transforms
+
+    vec = jnp.asarray(vec)
+    x = jnp.asarray(x)
+    indx = jnp.asarray(indx, jnp.int32)
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=vec.dtype)
+    if model == "gnmgp":
+        p = gnmgp.unpack(vec, n, m)
+        k_x = kernels.nonstationary_rbf_cov(x, ell1=jnp.exp(p.tilde_l))
+        t = transforms.tri_size(m)
+        g = gnmgp.hadamard_gram(p.ul_vecs.reshape(n, t), indx, k_x, m)
+        return g + jnp.exp(p.tilde_sigma2_err) * eye
+    if model == "snmgp":
+        p = snmgp.unpack(vec, n, m)
+        return snmgp.hadamard_gram(p, x, indx, m) + jnp.exp(
+            p.tilde_sigma2_err
+        ) * eye
+    if model == "lmc":
+        p = lmc.unpack(vec, m)
+        l_mat = transforms.vec_to_tril(p.ul_vec, m)
+        b_f = l_mat @ l_mat.T
+        k_x = kernels.rbf_cov(
+            x, alpha=jnp.exp(p.tilde_sigma), beta=jnp.exp(p.tilde_l)
+        )
+        return k_x * b_f[indx[:, None], indx[None, :]] + jnp.exp(
+            p.tilde_sigma2_err
+        ) * eye
+    raise ValueError(f"unknown hadamard model {model!r}")
+
+
+def chain_conditional_loglik_hadamard(
+    model: str, hist_vecs, x, indx, y, m: int, mask=None, chunk: int = 8
+) -> np.ndarray:
+    """(S, N) exact LOO-conditional log densities for Hadamard-layout chains."""
+    hist = jnp.asarray(hist_vecs)
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    mask_b = None if mask is None else jnp.asarray(mask, bool)
+    s = hist.shape[0]
+    pad = (-s) % chunk
+    hist_p = jnp.concatenate([hist, jnp.tile(hist[-1:], (pad, 1))]) if pad else hist
+
+    def one(vec):
+        return pointwise_conditional_loglik(
+            observation_cov_hadamard(model, vec, x, indx, m), y, mask_b
+        )
+
+    out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))
+    return np.asarray(out.reshape(-1, n)[:s])
+
+
 def pointwise_conditional_loglik(cov, y_tm, mask_tm=None) -> jnp.ndarray:
     """Exact per-coordinate leave-one-out conditional log densities.
 

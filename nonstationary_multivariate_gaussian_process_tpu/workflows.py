@@ -920,6 +920,24 @@ def run_subject_hadamard(
         )
         out["hmc_samples"] = samples
         out["hmc_accept"] = accept
+        if cfg.do_loo:
+            hist = np.asarray(samples)
+            if hist.shape[0] > cfg.loo_draws:
+                idx = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
+                hist = hist[idx]
+            cond_ll = evaluate.chain_conditional_loglik_hadamard(
+                cfg.model, hist, np.asarray(data.x), np.asarray(data.indx),
+                np.asarray(data.y), m,
+            )
+            loo = evaluate.psis_loo(cond_ll)
+            wa = evaluate.waic(cond_ll)
+            out["loo"] = {
+                "elpd_loo": loo["elpd_loo"], "p_loo": loo["p_loo"],
+                "looic": loo["looic"], "n_bad_k": loo["n_bad_k"],
+                "k_hat_max": float(np.max(loo["k_hat"])),
+                "elpd_waic": wa["elpd_waic"], "p_waic": wa["p_waic"],
+                "waic": wa["waic"],
+            }
 
     if x_te is not None and cfg.do_pred_test:
         xt = jnp.asarray(x_te, settings.dtype)

@@ -106,6 +106,46 @@ class TestObservationCov:
         np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
 
 
+class TestHadamard:
+    @pytest.mark.parametrize("model", ["gnmgp", "snmgp", "lmc"])
+    def test_observation_cov_hadamard_matches_loglik(self, rng, model):
+        from nonstationary_multivariate_gaussian_process_tpu.models import (
+            base as mbase,
+        )
+
+        n, m = 10, 2
+        x = np.sort(rng.uniform(size=n))
+        indx = rng.integers(0, m, size=n)
+        y = rng.normal(size=n)
+        mod = {"gnmgp": gnmgp, "snmgp": snmgp, "lmc": lmc}[model]
+        n_params = mod.n_params(m) if model == "lmc" else mod.n_params(n, m)
+        vec = jnp.asarray(0.1 * rng.normal(size=n_params))
+        cov = evaluate.observation_cov_hadamard(model, vec, x, indx, m)
+        got = dists.mvn_logpdf_dense_unnorm(jnp.asarray(y), 0.0, cov)
+        p = mod.unpack(vec, m) if model == "lmc" else mod.unpack(vec, n, m)
+        data = mbase.HadamardData(
+            jnp.asarray(x), jnp.asarray(indx, jnp.int32), jnp.asarray(y)
+        )
+        want = mod.log_posterior_hadamard(p, data, m, prior=False)[0]
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    def test_run_subject_hadamard_do_loo(self, rng):
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+        n, m = 18, 2
+        x = np.sort(rng.uniform(size=n))
+        indx = rng.integers(0, m, size=n)
+        y = rng.normal(size=n)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=30, do_hmc=True, do_loo=True, n_hmc=6,
+            loo_draws=4, hmc_step_size=1e-4, hmc_leapfrog=2,
+            do_pred_grid=False, do_empirical=False,
+        )
+        res = workflows.run_subject_hadamard(x, indx, y, m, cfg=cfg)
+        assert np.isfinite(res["loo"]["elpd_loo"])
+        assert np.isfinite(res["loo"]["elpd_waic"])
+
+
 class TestChainCriteria:
     def test_chain_conditional_loglik_shape_and_chunking(self, rng):
         n, m, s = 6, 2, 5
