@@ -48,6 +48,9 @@ def main():
                          "--chains jittered chains, and per-subject min-ESS/"
                          "split-R-hat are reported")
     ap.add_argument("--chains", type=int, default=2)
+    ap.add_argument("--loo", action="store_true",
+                    help="with --n-hmc: per-subject WAIC + PSIS-LOO from "
+                         "the draws (exact joint-MVN LOO conditionals)")
     ap.add_argument("--extrapolation", type=int, default=5)
     ap.add_argument("--buckets", type=int, default=4)
     ap.add_argument("--sharded-threshold", type=int, default=None,
@@ -64,7 +67,7 @@ def main():
     cfg = workflows.PipelineConfig(
         model=args.model, n_opt=args.n_opt, map_method=args.map_method,
         do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
-        n_chains=args.chains,
+        n_chains=args.chains, do_loo=args.loo and args.n_hmc > 0,
     )
     store = ArtifactStore(args.out)
     out = workflows.run_cohort(
@@ -80,6 +83,17 @@ def main():
             "min_ess_worst": min(s["min_ess"] for s in samp),
             "max_rhat_worst": max(s["max_rhat"] for s in samp),
             "n_warned": sum("warning" in s for s in samp),
+        }
+    loos = [rec["loo"] for rec in out["subjects"].values() if "loo" in rec]
+    if loos:
+        report["loo"] = {
+            "elpd_loo_sum": sum(l["elpd_loo"] for l in loos),
+            "elpd_waic_sum": sum(l["elpd_waic"] for l in loos),
+            "n_bad_k_total": sum(l["n_bad_k"] for l in loos),
+            "per_subject_elpd_loo": {
+                sid: rec["loo"]["elpd_loo"]
+                for sid, rec in out["subjects"].items() if "loo" in rec
+            },
         }
     print(json.dumps(report, indent=1, default=str))
 

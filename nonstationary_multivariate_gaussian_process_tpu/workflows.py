@@ -1191,14 +1191,33 @@ def run_cohort_hadamard(
         i_u = indxs[pos][:n_real]
         y_u = ys[pos][:n_real]
         vec = jnp.asarray(entry["vec"], settings.dtype)
-        if cfg.model == "gnmgp":
-            n_fit = (vec.shape[0] - 1) // (1 + t)
-        elif cfg.model == "snmgp":
-            n_fit = (vec.shape[0] - t - 1) // 2
-        else:
-            n_fit = n_real
+        n_fit = _vec_input_count(cfg.model, int(vec.shape[0]), m, n_real)
         vec = _crop_vec(cfg.model, vec, n_fit, n_real, m)
         rec["map_vec"] = np.asarray(vec)
+        if cfg.do_loo and "hmc_samples" in rec:
+            hist = np.asarray(rec["hmc_samples"])
+            if hist.shape[0] > cfg.loo_draws:
+                sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
+                hist = hist[sel]
+            if n_fit != n_real and cfg.model != "lmc":
+                hist = np.asarray(jax.vmap(
+                    lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
+                )(jnp.asarray(hist)))
+            cond_ll = evaluate.chain_conditional_loglik_hadamard(
+                cfg.model, hist, np.asarray(x_u), np.asarray(i_u),
+                np.asarray(y_u), m,
+            )
+            loo = evaluate.psis_loo(cond_ll)
+            wa = evaluate.waic(cond_ll)
+            rec["loo"] = {
+                "elpd_loo": loo["elpd_loo"], "p_loo": loo["p_loo"],
+                "n_bad_k": loo["n_bad_k"],
+                "k_hat_max": float(np.max(loo["k_hat"])),
+                "elpd_waic": wa["elpd_waic"], "p_waic": wa["p_waic"],
+            }
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "loo"),
+                           **rec["loo"])
         x_te, i_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test and len(np.asarray(x_te)) > 0:
             data = HadamardData(
@@ -1748,6 +1767,37 @@ def run_cohort(
                         max_rhat=rec["sampling"]["max_rhat"],
                         n_chains=rec["sampling"]["n_chains"],
                     )
+        if cfg.do_loo and "hmc_samples" in rec:
+            # per-subject WAIC + PSIS-LOO from the pooled draws (exact
+            # joint-MVN LOO conditionals); padded fits are cropped to the
+            # subject's real inputs first
+            n_bucket = int(entry["n_train"])
+            x_used = np.asarray(xs[pos][:n_bucket])
+            y_used = np.asarray(ys[pos][:n_bucket])
+            m_tasks = y_used.shape[1]
+            hist = np.asarray(rec["hmc_samples"])
+            if hist.shape[0] > cfg.loo_draws:
+                sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
+                hist = hist[sel]
+            n_fit = _vec_input_count(cfg.model, hist.shape[1], m_tasks, n_bucket)
+            if n_fit != n_bucket and cfg.model != "lmc":
+                hist = np.asarray(jax.vmap(
+                    lambda v: _crop_vec(cfg.model, v, n_fit, n_bucket, m_tasks)
+                )(jnp.asarray(hist)))
+            cond_ll = evaluate.chain_conditional_loglik(
+                cfg.model, hist, x_used, y_used
+            )
+            loo = evaluate.psis_loo(cond_ll)
+            wa = evaluate.waic(cond_ll)
+            rec["loo"] = {
+                "elpd_loo": loo["elpd_loo"], "p_loo": loo["p_loo"],
+                "n_bad_k": loo["n_bad_k"],
+                "k_hat_max": float(np.max(loo["k_hat"])),
+                "elpd_waic": wa["elpd_waic"], "p_waic": wa["p_waic"],
+            }
+            if store is not None:
+                store.save(ArtifactStore.key(cfg.model, dataset, sid, "loo"),
+                           **rec["loo"])
         x_te, y_te = tests[pos]
         if x_te is not None and cfg.do_pred_test:
             # bucket staging may have cropped (truncate) or padded (pad) the
@@ -1760,15 +1810,9 @@ def run_cohort(
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
             m_tasks = y_used.shape[1]
-            t = m_tasks * (m_tasks + 1) // 2
-            if cfg.model == "gnmgp":
-                n_pad_fit = (vec.shape[0] - 1) // (1 + t)
-            elif cfg.model == "gnmgp_hetero":
-                n_pad_fit = vec.shape[0] // (1 + t + m_tasks)
-            elif cfg.model == "snmgp":
-                n_pad_fit = (vec.shape[0] - t - 1) // 2
-            else:
-                n_pad_fit = n_bucket
+            n_pad_fit = _vec_input_count(
+                cfg.model, int(vec.shape[0]), m_tasks, n_bucket
+            )
             vec = _crop_vec(cfg.model, vec, n_pad_fit, n_bucket, m_tasks)
             if cfg.model == "lmc":
                 tp = pred_mod.predict_map(vec, data, jnp.asarray(x_te, settings.dtype))
@@ -2007,6 +2051,22 @@ def _pad_vec(model: str, vec, n_real: int, n_pad: int, m: int):
     if model == "gnmgp_hetero":
         return _pad_hetero_vec(vec, n_real, n_pad, m)
     return _pad_gnmgp_vec(vec, n_real, n_pad, m)
+
+
+def _vec_input_count(model: str, p_len: int, m: int, fallback: int) -> int:
+    """Number of inputs N a packed vector of length ``p_len`` was fit at.
+
+    Inverts each model's ``n_params`` (lmc has no per-input slots, so the
+    caller's ``fallback`` is returned).
+    """
+    t = m * (m + 1) // 2
+    if model == "gnmgp":
+        return (p_len - 1) // (1 + t)
+    if model == "gnmgp_hetero":
+        return p_len // (1 + t + m)
+    if model == "snmgp":
+        return (p_len - t - 1) // 2
+    return fallback
 
 
 def _crop_vec(model: str, vec, n_pad: int, n_real: int, m: int):

@@ -79,13 +79,17 @@ class TestCohortWorkflow:
         cfg = workflows.PipelineConfig(
             model="gnmgp", n_opt=30, window_size=5, do_hmc=True, n_hmc=5,
             whiten=True, hmc_step_size=1e-3, do_pred_test=False,
-            cohort_sampler="config", n_chains=1,
+            cohort_sampler="config", n_chains=1, do_loo=True, loo_draws=4,
         )
         store = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort(subjects, cfg, store=store, n_buckets=2)
         for sid, rec in out["subjects"].items():
             s = rec["hmc_samples"]
             assert s.shape[0] == 5 and np.all(np.isfinite(s))
+            # per-subject WAIC/PSIS-LOO from the pooled draws (padded fits
+            # crop their latent slots before the LOO conditionals)
+            assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "loo"))
         # bucket-padded layout: ragged subjects carry the padded param count
         assert out["subjects"]["id0"]["hmc_samples"].shape[1] >= gnmgp.n_params(14, 2)
         assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "hmc"))

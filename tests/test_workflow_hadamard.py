@@ -203,7 +203,7 @@ class TestHadamardCohort:
         cfg = workflows.PipelineConfig(
             model="gnmgp", n_opt=25, do_hmc=True, n_hmc=5, whiten=True,
             hmc_step_size=1e-3, do_pred_test=False,
-            cohort_sampler="config", n_chains=1,
+            cohort_sampler="config", n_chains=1, do_loo=True, loo_draws=4,
         )
         st = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort_hadamard(
@@ -212,7 +212,9 @@ class TestHadamardCohort:
         for sid, rec in out["subjects"].items():
             s = rec["hmc_samples"]
             assert s.shape[0] == 5 and np.all(np.isfinite(s)), sid
+            assert np.isfinite(rec["loo"]["elpd_loo"]), sid
         assert st.exists(ArtifactStore.key("gnmgp", "cohort_h", "s0", "hmc"))
+        assert st.exists(ArtifactStore.key("gnmgp", "cohort_h", "s0", "loo"))
 
     @pytest.mark.slow
     def test_run_cohort_hadamard_nuts_and_sample_scoring(self, tmp_path, rng):
