@@ -61,6 +61,7 @@ def main():
     per_model_scores = {m: [] for m in MODELS}
     evidence_by_model = {m: [] for m in MODELS}
     rmse_by_model = {m: {} for m in MODELS}
+    loo_pointwise = {m: [] for m in MODELS}
     for seed in range(args.seeds):
         d = sim.sim_mnts(jax.random.PRNGKey(seed), n=args.n)
         x, y = np.asarray(d.x), np.asarray(d.y)
@@ -86,7 +87,11 @@ def main():
                 if k in res
             }
             if "loo" in res:
-                scores.update({k: float(v) for k, v in res["loo"].items()})
+                scores.update({
+                    k: float(v) for k, v in res["loo"].items()
+                    if np.ndim(v) == 0
+                })
+                loo_pointwise[model].append(np.asarray(res["loo"]["pointwise"]))
             if args.evidence and "sampling" in res \
                     and "log_evidence" in res["sampling"]:
                 scores["log_evidence"] = res["sampling"]["log_evidence"]
@@ -110,6 +115,19 @@ def main():
         }
     out = {"n": args.n, "seeds": args.seeds, "scores": report,
            "paired_rmse": pairs}
+    done_loo = [m for m in MODELS if len(loo_pointwise[m]) == args.seeds]
+    if len(done_loo) >= 2:
+        from nonstationary_multivariate_gaussian_process_tpu import evaluate
+
+        # identical splits per seed => pointwise elpds pair across models;
+        # concatenating seeds gives one paired comparison over all points
+        cat = {m: np.concatenate(loo_pointwise[m]) for m in done_loo}
+        out["loo_compare"] = {
+            f"{b}_vs_{a}": evaluate.loo_compare(cat[a], cat[b])
+            for i, a in enumerate(done_loo) for b in done_loo[i + 1:]
+        }
+        w = evaluate.stacking_weights([cat[m] for m in done_loo])
+        out["stacking_weights"] = {m: float(wk) for m, wk in zip(done_loo, w)}
     if args.evidence:
         # mean log Bayes factor per pair (positive favors the second family)
         bf = {}

@@ -297,6 +297,60 @@ def psis_loo(cond_loglik) -> dict:
     }
 
 
+def loo_compare(pointwise_a, pointwise_b) -> dict:
+    """Paired elpd comparison of two models on the same observations.
+
+    ``elpd_diff = Σᵢ (b_i − a_i)`` with the standard paired standard error
+    ``SE = sqrt(n · Var(b_i − a_i))`` (Vehtari et al.); positive favors the
+    second model.  Both inputs are pointwise elpd vectors
+    (:func:`psis_loo`'s ``pointwise``) over identical observations.
+    """
+    a = np.asarray(pointwise_a, dtype=np.float64)
+    b = np.asarray(pointwise_b, dtype=np.float64)
+    if a.shape != b.shape:
+        raise ValueError(
+            f"pointwise elpd shapes differ: {a.shape} vs {b.shape} — models "
+            "must be scored on identical observations"
+        )
+    d = b - a
+    n = d.shape[0]
+    return {
+        "elpd_diff": float(d.sum()),
+        "se_diff": float(np.sqrt(n * d.var(ddof=1))) if n > 1 else float("nan"),
+        "n_points": n,
+    }
+
+
+def stacking_weights(pointwise_list, n_iters: int = 2000, tol: float = 1e-10):
+    """Bayesian stacking of predictive distributions (Yao et al. 2018).
+
+    Maximizes ``Σᵢ log Σₖ wₖ exp(elpdᵢₖ)`` over the simplex — the optimal
+    convex combination of the models' LOO predictive densities.  The
+    objective is a mixture log-likelihood in ``w``, so EM updates
+    (``wₖ ∝ Σᵢ rᵢₖ`` with responsibilities ``rᵢₖ``) climb a concave
+    objective to its global optimum — pure numpy, no solver dependency.
+    Returns (K,) weights.
+    """
+    ll = np.stack([np.asarray(p, dtype=np.float64) for p in pointwise_list])
+    k, n = ll.shape
+    if k == 1:
+        return np.ones(1)
+    # stabilize per point: responsibilities are shift-invariant
+    ll = ll - ll.max(axis=0, keepdims=True)
+    p = np.exp(ll)  # (K, N)
+    w = np.full(k, 1.0 / k)
+    for _ in range(n_iters):
+        mix = w @ p  # (N,)
+        r = (w[:, None] * p) / np.maximum(mix[None, :], 1e-300)
+        w_new = r.mean(axis=1)
+        w_new = w_new / w_new.sum()
+        if np.max(np.abs(w_new - w)) < tol:
+            w = w_new
+            break
+        w = w_new
+    return w
+
+
 def _logsumexp(a, axis=None):
     a = np.asarray(a, dtype=np.float64)
     mx = np.max(a, axis=axis, keepdims=True)

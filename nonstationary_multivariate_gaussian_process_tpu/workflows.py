@@ -837,6 +837,10 @@ def run_subject(
             }
             if store is not None:
                 store.save(_key("loo"), **result["loo"])
+            # pointwise elpd vector for paired model comparison / stacking
+            # (evaluate.loo_compare, evaluate.stacking_weights); kept out of
+            # the scalar artifact record
+            result["loo"]["pointwise"] = loo["pointwise"]
 
     return result
 

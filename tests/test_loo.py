@@ -146,6 +146,41 @@ class TestHadamard:
         assert np.isfinite(res["loo"]["elpd_waic"])
 
 
+class TestComparison:
+    def test_loo_compare_paired_se(self, rng):
+        a = rng.normal(size=50)
+        d = 0.3 + 0.1 * rng.normal(size=50)
+        res = evaluate.loo_compare(a, a + d)
+        np.testing.assert_allclose(res["elpd_diff"], d.sum(), rtol=1e-12)
+        np.testing.assert_allclose(
+            res["se_diff"], np.sqrt(50 * d.var(ddof=1)), rtol=1e-12
+        )
+        with pytest.raises(ValueError, match="identical observations"):
+            evaluate.loo_compare(a, a[:10])
+
+    def test_stacking_dominant_model_takes_all(self, rng):
+        n = 200
+        good = _normal_logpdf(rng.normal(size=n), 0.0, 1.0)
+        bad = good - 3.0  # uniformly 3 nats worse per point
+        w = evaluate.stacking_weights([bad, good])
+        assert w.shape == (2,)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+        assert w[1] > 0.99
+
+    def test_stacking_complementary_models_mix(self, rng):
+        # model A predicts the first half well, model B the second half:
+        # the optimal stack is an interior mixture
+        n = 400
+        a = np.where(np.arange(n) < n // 2, -0.5, -5.0)
+        b = np.where(np.arange(n) < n // 2, -5.0, -0.5)
+        w = evaluate.stacking_weights([a, b])
+        assert 0.4 < w[0] < 0.6 and 0.4 < w[1] < 0.6
+        # and the stacked objective beats either endpoint
+        def obj(w):
+            return np.sum(np.log(w[0] * np.exp(a) + w[1] * np.exp(b)))
+        assert obj(w) > max(obj([1.0, 0.0]), obj([0.0, 1.0]))
+
+
 class TestChainCriteria:
     def test_chain_conditional_loglik_shape_and_chunking(self, rng):
         n, m, s = 6, 2, 5
