@@ -1128,7 +1128,10 @@ def run_cohort_hadamard(
                     masks=mask_t, whiten=whiten_flag,
                 )
             else:
-                raise ValueError(f"unknown sampler {sampler!r}")
+                raise ValueError(
+                    f"unknown cohort sampler {sampler!r}: cohort drivers "
+                    "support hmc/nuts/drhmc/chees/smc/pathfinder "
+                    "(rmhmc is single-subject — use run_subject)")
             if "hmc" not in out:  # smc/pathfinder wrote (S, 1, T, P) direct
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
         return out
@@ -1634,7 +1637,10 @@ def run_cohort(
                     whiten=whiten_flag, masks=mask_t,
                 )
             else:
-                raise ValueError(f"unknown sampler {sampler!r}")
+                raise ValueError(
+                    f"unknown cohort sampler {sampler!r}: cohort drivers "
+                    "support hmc/nuts/drhmc/chees/smc/pathfinder "
+                    "(rmhmc is single-subject — use run_subject)")
             if "hmc" not in out:  # chees writes (S, C, T, P) itself
                 c = max(1, cfg.n_chains)
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
