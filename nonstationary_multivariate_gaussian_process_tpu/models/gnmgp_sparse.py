@@ -1,0 +1,330 @@
+"""Sparse (inducing-point) GNMGP — the large-N tier.
+
+The exact GNMGP likelihood factorizes a dense (MN x MN) Gram
+(``models/gnmgp.py``; reference ``Utility/logpos.py:299-380``), which caps a
+single chip near the reference's own N=200 and caps the *parameter* vector at
+N + N*T + 1 (the latent lengthscale and Cholesky-entry processes are
+parametrized at every input).  This module removes both ceilings with one
+TPU-friendly construction:
+
+1. **Latent processes live at m inducing inputs Z** (m << N).  Their values at
+   the data are the *prior conditional mean* (kriging) under the same RBF
+   priors the exact model uses — a fixed (m, N) projection, precomputed once
+   on the host in float64 (the smooth-RBF prior Gram is an f64 island, see
+   ``predict/latent.krige_proj``) and applied as one matmul per evaluation.
+   Parameter count drops from ``N(1+T)+1`` to ``m(1+T)+1``.
+
+2. **The f-process gets a Nystrom approximation** over the same inducing set:
+   ``Q = K_nm K_mm^{-1} K_mn`` with either the FITC diagonal correction
+   (``approx="fitc"``: Lambda = diag(K - Q) + sigma^2) or the Titsias VFE
+   evidence lower bound (``approx="vfe"``: Lambda = sigma^2 plus the
+   ``-tr(K - Q)/(2 sigma^2)`` penalty, a true lower bound on the exact
+   marginal likelihood at the same latent fields).  The likelihood is one
+   Woodbury solve: O(N M (mM)^2) flops and O(N M * mM) memory — at N=2000,
+   M=2, m=64 that is ~65 MFLOP per evaluation versus the exact path's
+   ~(MN)^3/3 = 21 GFLOP factorization, and every contraction is a large
+   static-shape matmul that XLA tiles straight onto the MXU.
+
+Everything downstream is unchanged: the packed-vector convention means MAP
+(Adam/L-BFGS), HMC/NUTS/SMC, and the artifact store consume the sparse
+objective exactly like any other model's.  The reference has no counterpart
+for any of this (its only scaling strategy is more MPI ranks, one subject
+each); the construction follows Quinonero-Candela & Rasmussen (2005) and
+Titsias (2009), re-derived for the task-major multivariate layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import dists, settings
+from ..ops import chol, kernels, transforms
+from .base import FullData, task_major
+from .gnmgp import DEFAULT_HYPERS
+
+
+class SparseParams(NamedTuple):
+    tilde_l_z: jnp.ndarray  # (m_z,) log lengthscale process at Z
+    ul_vecs_z: jnp.ndarray  # (m_z*T,) unconstrained Cholesky vectors at Z
+    tilde_sigma2_err: jnp.ndarray  # () log noise variance
+
+
+def n_params(m_z: int, m: int) -> int:
+    return m_z + m_z * transforms.tri_size(m) + 1
+
+
+def unpack(vec: jnp.ndarray, m_z: int, m: int) -> SparseParams:
+    """Packed layout ``[tilde_l_z(m_z), uL_vecs_z(m_z*T), tilde_sigma2_err]``
+    — the exact model's layout (logpos.py:32-43) with N replaced by m_z."""
+    from . import base
+
+    t = transforms.tri_size(m)
+    base.check_vec(vec, m_z + m_z * t + 1, "gnmgp_sparse",
+                   f"[tilde_l_z({m_z}), uL_vecs_z({m_z}*{t}), tilde_sigma2_err] "
+                   f"for m_z={m_z}, M={m}")
+    return SparseParams(
+        tilde_l_z=vec[:m_z],
+        ul_vecs_z=vec[m_z : m_z + m_z * t],
+        tilde_sigma2_err=vec[-1],
+    )
+
+
+def pack(p: SparseParams) -> jnp.ndarray:
+    return jnp.concatenate(
+        [p.tilde_l_z, p.ul_vecs_z, jnp.reshape(p.tilde_sigma2_err, (1,))]
+    )
+
+
+def choose_inducing(x, m_z: int) -> jnp.ndarray:
+    """Evenly-spaced quantile subset of the (sorted) inputs as inducing inputs.
+
+    Data-supported locations avoid kriging extrapolation; quantiles track the
+    input density.  Host-side (concrete x only).
+    """
+    import numpy as np
+
+    x64 = np.sort(np.asarray(x, np.float64))
+    n = x64.shape[0]
+    if not 2 <= m_z <= n:
+        raise ValueError(f"choose_inducing: need 2 <= m_z <= N, got m_z={m_z}, N={n}")
+    idx = np.unique(np.round(np.linspace(0, n - 1, m_z)).astype(int))
+    z = np.unique(x64[idx])
+    return jnp.asarray(z, settings.dtype)
+
+
+class SparseOps(NamedTuple):
+    """Loop-invariant pieces, hoisted once per objective (host-f64 islands)."""
+
+    z: jnp.ndarray  # (m_z,) inducing inputs
+    proj_l: jnp.ndarray  # (m_z, N) prior-conditional projection, tilde_l kernel
+    proj_ul: jnp.ndarray  # (m_z, N) projection under the L-entry kernel
+    pc_l_z: object  # TriInv of the tilde_l prior Gram at Z
+    pc_ul_z: object  # TriInv of the L-entry prior Gram at Z
+
+
+def make_ops(x, z, hyper: dict | None = None) -> SparseOps:
+    """Precompute the kriging projections Z->X and the prior factors at Z."""
+    from ..predict.latent import krige_proj
+
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    proj_l, _ = krige_proj(z, x, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    proj_ul, _ = krige_proj(z, x, hp["alpha_L"], hp["beta_L"])
+    pc_l_z = chol.prior_rbf_inv(z, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    pc_ul_z = chol.prior_rbf_inv(z, hp["alpha_L"], hp["beta_L"])
+    return SparseOps(jnp.asarray(z, settings.dtype), proj_l, proj_ul, pc_l_z, pc_ul_z)
+
+
+def latents_at_data(p: SparseParams, ops: SparseOps, m: int, hyper=None):
+    """Kriged latent fields at the data: ``(tilde_l_x (N,), ul_x (N, T))``.
+
+    The prior conditional mean under the exact model's own latent priors —
+    the deterministic interpolant the sparse likelihood (and its tests)
+    evaluate the f-process covariance at.
+    """
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops.z.shape[0]
+    t = transforms.tri_size(m)
+    tl_x = hp["mu_tilde_l"] + (p.tilde_l_z - hp["mu_tilde_l"]) @ ops.proj_l
+    ul_mat_z = p.ul_vecs_z.reshape(m_z, t)  # (m_z, T)
+    ul_x = (hp["mu_L"] + (ul_mat_z.T - hp["mu_L"]) @ ops.proj_ul).T  # (N, T)
+    return tl_x, ul_x
+
+
+def cross_gram(k_xz: jnp.ndarray, lx: jnp.ndarray, lz: jnp.ndarray) -> jnp.ndarray:
+    """Task-major cross Gram ``K[(a,n),(c,j)] = K_x[n,j] * (Lx_n Lz_j^T)[a,c]``.
+
+    Rows follow ``models.gnmgp.gram``'s task-major layout (row = a*N + n),
+    columns the same over the inducing set (col = c*m_z + j).
+    """
+    n, m, _ = lx.shape
+    m_z = lz.shape[0]
+    b4 = jnp.einsum("nab,jcb->najc", lx, lz, precision=jax.lax.Precision.HIGHEST)
+    k4 = jnp.einsum("nj,najc->ancj", k_xz, b4, precision=jax.lax.Precision.HIGHEST)
+    return k4.reshape(n * m, m_z * m)
+
+
+class _Woodbury(NamedTuple):
+    """Shared FITC/VFE factor set (everything prediction needs too)."""
+
+    c_mm: jnp.ndarray  # (mM, mM) chol(K_mm)
+    a: jnp.ndarray  # (mM, NM) = C^{-1} K_mn Lambda^{-1/2}, masked cols zeroed
+    c_in: jnp.ndarray  # (mM, mM) chol(I + A A^T)
+    lam: jnp.ndarray  # (NM,) diagonal (1.0 at masked slots)
+    d: jnp.ndarray  # (NM,) = y_task_major / sqrt(Lambda), masked zeroed
+    corr: jnp.ndarray  # (NM,) clamp(K_diag - Q_diag, 0) — FITC/VFE correction
+    mv: jnp.ndarray | None  # (NM,) mask in task-major layout (None = all real)
+
+
+def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              approx: str, hyper=None, mask=None) -> _Woodbury:
+    n = data.y.shape[0]
+    m_z = ops.z.shape[0]
+    tl_x, ul_x = latents_at_data(p, ops, m, hyper)
+    lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)  # (N,M,M)
+    lz = transforms.vec_to_tril(
+        transforms.ulvec_to_lvec(p.ul_vecs_z.reshape(m_z, -1), m), m
+    )  # (m_z, M, M)
+    ell_x = jnp.exp(tl_x)
+    ell_z = jnp.exp(p.tilde_l_z)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    from .gnmgp import gram
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)  # self: + jitter I
+    k_mm = gram(k_zz, lz)  # (mM, mM)
+    k_xz = kernels.nonstationary_rbf_cov(data.x, ell1=ell_x, x2=ops.z, ell2=ell_z)
+    k_nm = cross_gram(k_xz, lx, lz)  # (NM, mM)
+    # Gibbs self-cov is 1 (+ jitter) so diag K[(a,n)] = (1+j) * ||Lx_n[a,:]||^2
+    k_diag = ((1.0 + settings.jitter) * jnp.sum(lx * lx, axis=-1)).T.reshape(-1)
+
+    mv = None
+    y_t = task_major(data.y)
+    if mask is not None:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (NM,)
+        k_nm = k_nm * mv[:, None]
+        y_t = y_t * mv
+
+    # K_mm is a Gram of exact-model type: factor with the robust ladder, plus
+    # a small relative ridge — near-singular L_z rows make K_mm rank-deficient
+    # in a way the data cannot see through Q (standard inducing practice).
+    ridge = 1e-8 * jnp.mean(jnp.diagonal(k_mm))
+    c_mm = chol.safe_cholesky(k_mm + ridge * jnp.eye(k_mm.shape[0], dtype=k_mm.dtype))
+    b = chol.tri_solve(c_mm, k_nm.T)  # (mM, NM)
+    q_diag = jnp.sum(b * b, axis=0)
+    corr = jnp.maximum(k_diag - q_diag, 0.0)
+
+    if approx == "fitc":
+        lam = corr + sigma2_err
+    elif approx == "vfe":
+        lam = jnp.full_like(q_diag, sigma2_err)
+    else:
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    if mv is not None:
+        lam = jnp.where(mv > 0, lam, 1.0)
+
+    rsqrt_lam = jax.lax.rsqrt(lam)
+    a = b * rsqrt_lam[None, :]
+    inner = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
+    c_in = chol.safe_cholesky(inner)
+    d = y_t * rsqrt_lam
+    return _Woodbury(c_mm, a, c_in, lam, d, corr, mv)
+
+
+def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
+            approx: str = "fitc", hyper=None, mask=None) -> jnp.ndarray:
+    """Sparse marginal log-likelihood (unnormalized, reference convention).
+
+    ``approx="fitc"``: log N(y; 0, Q + diag(K-Q) + sigma^2 I).
+    ``approx="vfe"``:  log N(y; 0, Q + sigma^2 I) - tr(K-Q)/(2 sigma^2)
+    — Titsias' collapsed bound, ``<=`` the exact GNMGP log-likelihood at the
+    same latent fields (Q is a Nystrom compression, K - Q is PSD).
+    ``mask`` (N,) excludes padded observations exactly (rows of K_nm zeroed,
+    unit Lambda, zero observation — nothing reaches logdet or the quadratic).
+    """
+    w = _woodbury(p, data, ops, data.y.shape[1], approx, hyper, mask)
+    u = w.a @ w.d
+    sol = chol.tri_solve(w.c_in, u)
+    quad = jnp.sum(w.d * w.d) - jnp.sum(sol * sol)
+    logdet = jnp.sum(jnp.log(w.lam)) + chol.chol_logdet(w.c_in)
+    res = -0.5 * logdet - 0.5 * quad
+    if approx == "vfe":
+        sigma2_err = jnp.exp(p.tilde_sigma2_err)
+        corr = w.corr if w.mv is None else w.corr * w.mv
+        res = res - 0.5 * jnp.sum(corr) / sigma2_err
+    return res
+
+
+def log_posterior(p: SparseParams, data: FullData, ops: SparseOps,
+                  approx: str = "fitc", hyper=None, prior: bool = True,
+                  mask=None):
+    """Sparse log-posterior: the exact model's priors, over the Z-latents.
+
+    GP priors (RBF at Z, same hypers as the exact model's at X), the
+    inverse-gamma noise prior and its exp-transform Jacobian — mirrors
+    ``logpos_SVC`` (logpos.py:326-380) with the latent fields at Z.
+    """
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops.z.shape[0]
+    m = data.y.shape[1]
+    t = transforms.tri_size(m)
+    loglik = log_lik(p, data, ops, approx=approx, hyper=hp, mask=mask)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    lp_l = dists.mvn_logpdf_chol(p.tilde_l_z, hp["mu_tilde_l"], ops.pc_l_z)
+    ul_mat = p.ul_vecs_z.reshape(m_z, t)
+    lp_uL = jnp.sum(
+        jax.vmap(lambda col: dists.mvn_logpdf_chol(col, hp["mu_L"], ops.pc_ul_z))(
+            ul_mat.T
+        )
+    )
+    lp_s2 = dists.inverse_gamma_logpdf(sigma2_err, alpha=hp["a"], beta=hp["b"])
+
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_uL + lp_s2 + p.tilde_sigma2_err
+    comps = {
+        "loglik": loglik,
+        "log_prior_tilde_l": lp_l,
+        "log_prior_uL_vecs": lp_uL,
+        "log_prior_sigma2_err": lp_s2,
+    }
+    return res, comps
+
+
+def make_objective(data: FullData, z=None, n_inducing: int = 64,
+                   hyper: dict | None = None, approx: str = "fitc",
+                   prior: bool = True, mask=None):
+    """Jit-friendly sparse negative-log-posterior closure.
+
+    Returns ``(nlp, ops)``: the objective over the packed
+    ``m_z(1+T)+1`` vector, and the hoisted :class:`SparseOps` (needed again
+    by prediction).  ``z`` defaults to ``choose_inducing(x, n_inducing)``.
+    """
+    from . import base
+
+    base.check_full_data(data, "gnmgp_sparse")
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    if z is None:
+        x_real = data.x if mask is None else data.x[: int(jnp.sum(mask))]
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops = make_ops(data.x, z, hp)
+    m_z = ops.z.shape[0]
+    m = data.y.shape[1]
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack(vec, m_z, m)
+        res, _ = log_posterior(p, data, ops, approx=approx, hyper=hp,
+                               prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops
+
+
+def init_from_empirical(emp_vec, n: int, m_z: int, m: int, x, z) -> jnp.ndarray:
+    """Subsample an exact-model empirical init (N-layout) onto the Z-layout.
+
+    Each inducing slot takes the latent values of its nearest data input —
+    the same initialization quality the exact tier gets from
+    ``inference/empirical.py``, restated at m_z points.
+    """
+    import numpy as np
+
+    from . import gnmgp as dense
+
+    p = dense.unpack(jnp.asarray(emp_vec), n, m)
+    x64 = np.asarray(x, np.float64)
+    z64 = np.asarray(z, np.float64)
+    nearest = np.argmin(np.abs(x64[None, :] - z64[:, None]), axis=1)  # (m_z,)
+    t = transforms.tri_size(m)
+    tl_z = jnp.asarray(np.asarray(p.tilde_l)[nearest], settings.dtype)
+    ul_z = jnp.asarray(
+        np.asarray(p.ul_vecs.reshape(n, t))[nearest].reshape(-1), settings.dtype
+    )
+    return jnp.concatenate(
+        [tl_z, ul_z, jnp.reshape(jnp.asarray(p.tilde_sigma2_err, settings.dtype), (1,))]
+    )

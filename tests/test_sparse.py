@@ -1,0 +1,185 @@
+"""Sparse (inducing-point) GNMGP tier.
+
+* Woodbury identity: the O(N(mM)^2) likelihood equals a dense MVN over the
+  explicitly assembled Q + diag(Lambda) covariance.
+* Exact limit: with Z = X, FITC reproduces the exact GNMGP likelihood at the
+  same (kriged) latent fields.
+* Titsias bound: the VFE likelihood lower-bounds the exact one.
+* Mask exactness: a padded subject scores identically to the unpadded one.
+* End-to-end: MAP on simulated truth recovers the latent processes and
+  predicts held-out data at N far beyond the exact tier's budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu import dists
+from nonstationary_multivariate_gaussian_process_tpu.data import sim
+from nonstationary_multivariate_gaussian_process_tpu.inference.map import fit_map
+from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp
+from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp_sparse as sp
+from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData, task_major
+from nonstationary_multivariate_gaussian_process_tpu.ops import transforms
+from nonstationary_multivariate_gaussian_process_tpu.predict import gnmgp_sparse as sp_pred
+
+
+M = 2
+T = transforms.tri_size(M)
+
+
+def _data(n=24, key=0):
+    d = sim.sim_mnts(jax.random.PRNGKey(key), n=n, m=M)
+    return FullData(d.x, d.y)
+
+
+def _rand_vec(m_z, key=1, scale=0.3):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
+    tl = -1.0 + scale * jax.random.normal(k1, (m_z,))
+    ul = scale * jax.random.normal(k2, (m_z * T,))
+    s2 = jnp.asarray([-3.0]) + scale * jax.random.normal(k3, (1,))
+    return jnp.concatenate([tl, ul, s2])
+
+
+def _dense_cov_from_woodbury(w):
+    """Reassemble Q + diag(Lambda) from the factor set."""
+    b = w.a * jnp.sqrt(w.lam)[None, :]  # C^{-1} K_mn
+    return b.T @ b + jnp.diag(w.lam)
+
+
+class TestWoodbury:
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_matches_dense_mvn(self, approx):
+        data = _data(n=24)
+        z = sp.choose_inducing(data.x, 8)
+        ops = sp.make_ops(data.x, z)
+        m_z = z.shape[0]
+        vec = _rand_vec(m_z)
+        p = sp.unpack(vec, m_z, M)
+        w = sp._woodbury(p, data, ops, M, approx)
+        cov = _dense_cov_from_woodbury(w)
+        want = dists.mvn_logpdf_dense_unnorm(task_major(data.y), 0.0, cov)
+        if approx == "vfe":
+            want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
+        got = sp.log_lik(p, data, ops, approx=approx)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    def test_fitc_exact_limit_z_equals_x(self):
+        data = _data(n=24)
+        ops = sp.make_ops(data.x, data.x)
+        vec = _rand_vec(data.x.shape[0], key=2)
+        p = sp.unpack(vec, data.x.shape[0], M)
+        tl_x, ul_x = sp.latents_at_data(p, ops, M)
+        dense_p = gnmgp.Params(
+            tilde_l=tl_x, ul_vecs=ul_x.reshape(-1),
+            tilde_sigma2_err=p.tilde_sigma2_err,
+        )
+        want = gnmgp.log_lik(dense_p, data)
+        got = sp.log_lik(p, data, ops, approx="fitc")
+        # only the prior nugget (1e-6) separates Q from K here
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-3, atol=0.05)
+
+    def test_vfe_lower_bounds_exact(self):
+        data = _data(n=24)
+        z = sp.choose_inducing(data.x, 8)
+        ops = sp.make_ops(data.x, z)
+        m_z = z.shape[0]
+        vec = _rand_vec(m_z, key=3)
+        p = sp.unpack(vec, m_z, M)
+        tl_x, ul_x = sp.latents_at_data(p, ops, M)
+        dense_p = gnmgp.Params(
+            tilde_l=tl_x, ul_vecs=ul_x.reshape(-1),
+            tilde_sigma2_err=p.tilde_sigma2_err,
+        )
+        exact = float(gnmgp.log_lik(dense_p, data))
+        vfe = float(sp.log_lik(p, data, ops, approx="vfe"))
+        assert vfe <= exact + 1e-6
+
+
+class TestObjective:
+    def test_mask_pad_exact(self):
+        data = _data(n=20)
+        n_pad = 26
+        x_pad = jnp.concatenate([data.x, jnp.full((n_pad - 20,), data.x[-1])])
+        y_pad = jnp.concatenate([data.y, jnp.zeros((n_pad - 20, M), data.y.dtype)])
+        mask = jnp.arange(n_pad) < 20
+        z = sp.choose_inducing(data.x, 7)
+        nlp_real, _ = sp.make_objective(data, z=z)
+        nlp_pad, _ = sp.make_objective(FullData(x_pad, y_pad), z=z, mask=mask)
+        vec = _rand_vec(z.shape[0], key=4)
+        np.testing.assert_allclose(
+            float(nlp_pad(vec)), float(nlp_real(vec)), rtol=1e-9
+        )
+
+    def test_grad_finite_and_jittable(self):
+        data = _data(n=32)
+        nlp, ops = sp.make_objective(data, n_inducing=10)
+        vec = _rand_vec(ops.z.shape[0], key=5)
+        val, g = jax.jit(jax.value_and_grad(nlp))(vec)
+        assert jnp.isfinite(val)
+        assert jnp.all(jnp.isfinite(g))
+
+    def test_unpack_named_error(self):
+        with pytest.raises(ValueError, match="gnmgp_sparse"):
+            sp.unpack(jnp.zeros(11), 8, M)
+
+    def test_bad_approx_named_error(self):
+        data = _data(n=16)
+        with pytest.raises(ValueError, match="approx"):
+            sp.make_objective(data, n_inducing=6, approx="dtc")
+
+    def test_init_from_empirical_layout(self):
+        data = _data(n=32)
+        z = sp.choose_inducing(data.x, 8)
+        dense_vec = jnp.arange(gnmgp.n_params(32, M), dtype=jnp.float64)
+        v = sp.init_from_empirical(dense_vec, 32, z.shape[0], M, data.x, z)
+        assert v.shape == (sp.n_params(z.shape[0], M),)
+        # slot 0 of tilde_l_z should equal tilde_l at the nearest input (x[0])
+        np.testing.assert_allclose(float(v[0]), 0.0)
+
+
+class TestEndToEnd:
+    def test_map_recovery_and_prediction(self):
+        """N=160 subject, m_z=24: MAP recovers the latent lengthscale trend
+        and predicts interleaved held-out points better than the data scale."""
+        d = sim.sim_mnts(jax.random.PRNGKey(7), n=200, m=M)
+        test_idx = np.arange(2, 200, 5)
+        train_idx = np.setdiff1d(np.arange(200), test_idx)
+        train = FullData(d.x[train_idx], d.y[train_idx])
+        x_test, y_test = d.x[test_idx], d.y[test_idx]
+
+        nlp, ops = sp.make_objective(train, n_inducing=24, approx="fitc")
+        m_z = ops.z.shape[0]
+        init = jnp.concatenate([
+            jnp.full((m_z,), -1.0),
+            jnp.tile(jnp.asarray([0.3, 0.0, 0.3]), m_z),
+            jnp.asarray([-3.0]),
+        ])
+        res = fit_map(nlp, init, n_iters=400, method="lbfgs")
+        assert float(nlp(res.vec)) < float(nlp(init)) - 50.0
+
+        mu, s2 = sp_pred.predict_test(res.vec, train, ops, x_test)
+        assert mu.shape == (40, M) and s2.shape == (40, M)
+        rmse = float(jnp.sqrt(jnp.mean((mu - y_test) ** 2)))
+        base = float(jnp.sqrt(jnp.mean(y_test**2)))
+        assert rmse < 0.5 * base  # interpolation beats the zero predictor
+
+        grid = jnp.linspace(float(train.x[0]), float(train.x[-1]), 50)
+        gp = sp_pred.predict_map(res.vec, train, ops, grid)
+        assert gp.mean.shape == (50, M)
+        assert bool(jnp.all(jnp.isfinite(gp.percentiles)))
+        # interpolation error well under the data scale
+        mu_tr, _ = sp_pred.predict_test(res.vec, train, ops, train.x)
+        rmse_tr = float(jnp.sqrt(jnp.mean((mu_tr - train.y) ** 2)))
+        base_tr = float(jnp.sqrt(jnp.mean(train.y**2)))
+        assert rmse_tr < 0.5 * base_tr
+
+    def test_chain_sample_prediction_shapes(self):
+        data = _data(n=32)
+        nlp, ops = sp.make_objective(data, n_inducing=8)
+        vecs = jnp.stack([_rand_vec(ops.z.shape[0], key=k) for k in (1, 2, 3)])
+        grid = jnp.linspace(0.1, 0.9, 11)
+        ys = sp_pred.predict_sample(jax.random.PRNGKey(0), vecs, data, ops, grid)
+        assert ys.shape == (11, 3, M)
+        assert bool(jnp.all(jnp.isfinite(ys)))
