@@ -27,8 +27,14 @@ from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gnmgp",
-                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
+                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero",
+                             "gnmgp_sparse"])
     ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--n-inducing", type=int, default=64,
+                    help="gnmgp_sparse: inducing-input count (the large-N "
+                         "tier: O(N M (mM)^2) likelihood)")
+    ap.add_argument("--sparse-approx", default="fitc",
+                    choices=["fitc", "vfe"])
     ap.add_argument("--n-opt", type=int, default=1000)
     ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"],
                     help="MAP engine (lbfgs: deeper optima in ~10x fewer "
@@ -64,7 +70,7 @@ def main():
 
     hyper = (
         {"alpha_tilde_l": 10.0, "beta_tilde_l": 1.0, "alpha_L": 10.0, "beta_L": 1.0}
-        if args.model == "gnmgp"
+        if args.model in ("gnmgp", "gnmgp_sparse")
         else {}
     )
     cfg = workflows.PipelineConfig(
@@ -74,6 +80,7 @@ def main():
         seed=args.seed, sampler=args.sampler, smc_ref=args.smc_ref,
         whiten=False if args.whiten == "off" else args.whiten,
         hmc_step_size=args.hmc_step_size,
+        n_inducing=args.n_inducing, sparse_approx=args.sparse_approx,
     )
     store = ArtifactStore(args.out)
     res = workflows.run_subject(x, y, cfg, store=store, dataset="sim", subject=args.seed)

@@ -241,6 +241,53 @@ def chain_conditional_loglik(
     return np.asarray(out.reshape(-1, n * m)[:s])
 
 
+def chain_conditional_loglik_sparse(
+    hist_vecs, data, ops, approx: str = "fitc", hyper=None, mask=None,
+    chunk: int = 8,
+) -> np.ndarray:
+    """(S, MN) exact LOO-conditional log densities under the sparse GNMGP.
+
+    The sparse observation covariance is ``Sigma = diag(Lambda) + B^T B``
+    (``models/gnmgp_sparse``), so the LOO identity's two ingredients come
+    from the same Woodbury factors the likelihood builds — never the dense
+    (MN x MN) precision:
+
+        diag(Sigma^-1) = (1 - colnorms^2(L_in^-1 A)) / Lambda
+        Sigma^-1 y     = (d - A^T inner^-1 (A d)) / sqrt(Lambda)
+
+    O(S * N M (mM)^2): PSIS-LOO/WAIC stay tractable at the N this tier
+    exists for (the dense :func:`chain_conditional_loglik` inverts an
+    MN x MN matrix per draw).
+    """
+    from .models import gnmgp_sparse as sp_model
+    from .ops import chol as _chol
+
+    hist = jnp.asarray(hist_vecs)
+    n, m = data.y.shape
+    m_z = ops.z.shape[0]
+    mask_tm = None if mask is None else jnp.tile(jnp.asarray(mask, bool), m)
+    s = hist.shape[0]
+    pad = (-s) % chunk
+    hist_p = jnp.concatenate([hist, jnp.tile(hist[-1:], (pad, 1))]) if pad else hist
+
+    def one(vec):
+        p = sp_model.unpack(vec, m_z, m)
+        w = sp_model._woodbury(p, data, ops, m, approx, hyper, mask)
+        u = _chol.tri_solve(w.c_in, w.a)  # L_in^{-1} A, (mM, NM)
+        prec_diag = (1.0 - jnp.sum(u * u, axis=0)) / w.lam
+        ad = w.a @ w.d
+        prec_y = (w.d - w.a.T @ jax.scipy.linalg.cho_solve(
+            (w.c_in, True), ad)) / jnp.sqrt(w.lam)
+        d = jnp.maximum(prec_diag, 1e-300)
+        ll = 0.5 * jnp.log(d) - 0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * prec_y**2 / d
+        if mask_tm is not None:
+            ll = jnp.where(mask_tm, ll, 0.0)
+        return ll
+
+    out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))
+    return np.asarray(out.reshape(-1, n * m)[:s])
+
+
 def waic(cond_loglik) -> dict:
     """WAIC from (S, MN) pointwise log densities (non-factorized form).
 

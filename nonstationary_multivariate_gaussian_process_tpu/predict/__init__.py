@@ -1,2 +1,2 @@
-from . import gnmgp, hadamard, latent, lmc, snmgp  # noqa: F401
+from . import gnmgp, gnmgp_sparse, hadamard, latent, lmc, snmgp  # noqa: F401
 from .snmgp import GridPrediction, SampledPrediction  # noqa: F401

@@ -35,19 +35,22 @@ from .inference import (
     init as init_mod,
     map as map_mod,
 )
-from .models import FullData, gnmgp, gnmgp_hetero, lmc, snmgp
+from .models import FullData, gnmgp, gnmgp_hetero, gnmgp_sparse, lmc, snmgp
 from .parallel import fleet as fleet_mod
 from .parallel.mesh import make_mesh
 from .predict import gnmgp as pred_gnmgp, lmc as pred_lmc, snmgp as pred_snmgp
 from .predict import gnmgp_hetero as pred_gnmgp_hetero
+from .predict import gnmgp_sparse as pred_gnmgp_sparse
 from .utils.artifacts import ArtifactStore
 
-_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp, "gnmgp_hetero": gnmgp_hetero}
+_MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp, "gnmgp_hetero": gnmgp_hetero,
+           "gnmgp_sparse": gnmgp_sparse}
 _PREDICT = {
     "lmc": pred_lmc,
     "snmgp": pred_snmgp,
     "gnmgp": pred_gnmgp,
     "gnmgp_hetero": pred_gnmgp_hetero,
+    "gnmgp_sparse": pred_gnmgp_sparse,
 }
 
 
@@ -58,6 +61,12 @@ class PipelineConfig:
 
     model: str = "gnmgp"
     hyper: dict = dataclasses.field(default_factory=dict)
+    n_inducing: int = 64  # gnmgp_sparse: inducing-input count m (latents
+    #                       parametrized at m quantile-chosen inputs, kriged
+    #                       to the data; likelihood is O(N M (mM)^2) — the
+    #                       large-N tier, models/gnmgp_sparse.py)
+    sparse_approx: str = "fitc"  # gnmgp_sparse: "fitc" (diag-corrected) or
+    #                       "vfe" (Titsias bound on the exact likelihood)
     do_empirical: bool = True
     do_map: bool = True
     do_map_analysis: bool = True  # latent-process summaries from the MAP/chain
@@ -489,15 +498,18 @@ def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
         return None
     from .inference import whiten as whiten_mod
 
+    # the sparse layout IS the gnmgp layout with (x, N) -> (Z, m_z); the
+    # caller passes x=Z, n=m_z, so the dense whitener applies verbatim
+    model_name = "gnmgp" if cfg.model == "gnmgp_sparse" else cfg.model
     if cfg.whiten == "pncp":
-        w = whiten_mod.make_whitener(cfg.model, x, n, m, cfg.hyper,
+        w = whiten_mod.make_whitener(model_name, x, n, m, cfg.hyper,
                                      hadamard=hadamard, mode="eig")
         pilot_cfg = dataclasses.replace(cfg, n_hmc=cfg.pncp_pilot, whiten=False)
         pilot, _ = _run_chain(nlp, map_vec, pilot_cfg,
                               jax.random.fold_in(key, 11), whitener=w)
         return whiten_mod.retune(w, pilot, interp=cfg.pncp_interp)
     if cfg.whiten in (True, "prior"):
-        return whiten_mod.make_whitener(cfg.model, x, n, m, cfg.hyper,
+        return whiten_mod.make_whitener(model_name, x, n, m, cfg.hyper,
                                         hadamard=hadamard)
     raise ValueError(f"unknown whiten setting {cfg.whiten!r} "
                      "(want False, True, 'prior' or 'pncp')")
@@ -617,11 +629,17 @@ def _validate_hadamard(x, indx, y, m):
         raise ValueError("x/y contain non-finite values")
 
 
-def _build_inits(cfg, emp, x, y, key):
+def _build_inits(cfg, emp, x, y, key, z=None):
     n, m = y.shape
     model = cfg.model
     if model == "lmc":
         return {"empirical": init_mod.lmc_from_empirical(emp, n, m)}
+    if model == "gnmgp_sparse":
+        # subsample the dense empirical init onto the inducing layout — no
+        # separable warm-start fit (that costs the O((MN)^3) this tier avoids)
+        dense = init_mod.gnmgp_from_empirical(emp, n, m)
+        return {"empirical": gnmgp_sparse.init_from_empirical(
+            dense, n, z.shape[0], m, x, z)}
     if model == "snmgp":
         lmc_nlp = lmc.make_objective(FullData(x, y))
         lmc_res = map_mod.fit_map(
@@ -690,9 +708,22 @@ def run_subject(
     result["timings"]["empirical"] = time.time() - t0
     result["empirical"] = emp
 
-    nlp = model.make_objective(data, hyper=cfg.hyper)
+    sparse = cfg.model == "gnmgp_sparse"
+    if sparse:
+        nlp, sp_ops = gnmgp_sparse.make_objective(
+            data, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
+            hyper=cfg.hyper,
+        )
+        m_z = int(sp_ops.z.shape[0])
+        result["n_inducing"] = m_z
+        result["sparse_approx"] = cfg.sparse_approx
+    else:
+        nlp = model.make_objective(data, hyper=cfg.hyper)
+        sp_ops = None
+        m_z = None
     if cfg.do_map:
         expected_p = (model.n_params(m) if cfg.model == "lmc"
+                      else model.n_params(m_z, m) if sparse
                       else model.n_params(n, m))
         stored = None
         if store is not None and store.exists(_key("map")):
@@ -710,7 +741,8 @@ def run_subject(
             result["map_vec"] = map_vec = stored
         else:
             t0 = time.time()
-            inits = _build_inits(cfg, emp, xd, yd, key)
+            inits = _build_inits(cfg, emp, xd, yd, key,
+                                 z=sp_ops.z if sparse else None)
             ckpt = None
             if store is not None:
                 ckpt = lambda v, i: store.save(_key("map_ckpt"), vec=np.asarray(v), iteration=i)
@@ -730,7 +762,11 @@ def run_subject(
 
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
-        whitener = _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
+        whitener = (
+            _make_sampling_whitener(nlp, map_vec, cfg, key, sp_ops.z, m_z, m)
+            if sparse else
+            _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
+        )
         if cfg.sampler == "chees":
             samples, accept, sampling = _run_chain_chees(
                 nlp, map_vec, cfg, key, whitener=whitener
@@ -763,28 +799,37 @@ def run_subject(
                     if np.isscalar(v)
                 })
 
-    if cfg.do_map_analysis and map_vec is not None and cfg.model == "gnmgp":
+    if (cfg.do_map_analysis and map_vec is not None
+            and cfg.model in ("gnmgp", "gnmgp_sparse")):
         # latent-process analysis: MAP point processes + posterior bands
         # (the reference's do_map_analysis / do_post_analysis stages,
-        # Nonseparable_model.py:290-299 and posterior_analysis.visualization_pos)
+        # Nonseparable_model.py:290-299 and posterior_analysis.visualization_pos).
+        # The sparse layout is the dense layout at the inducing inputs, so the
+        # same unpack applies with n -> m_z; "inputs" records where the
+        # processes live.
         from .postprocess import analysis as analysis_mod
 
+        n_lat = m_z if sparse else n
         tilde_l, b_proc, cor_proc, std_proc = analysis_mod.gnmgp_map_latents(
-            np.asarray(map_vec), n, m
+            np.asarray(map_vec), n_lat, m
         )
         result["map_latents"] = {
             "tilde_l": tilde_l, "B": b_proc, "R": cor_proc, "stds": std_proc,
+            "inputs": np.asarray(sp_ops.z) if sparse else np.asarray(x),
         }
         if "hmc_samples" in result:
             result["latent_summary"] = analysis_mod.gnmgp_latent_summary(
-                result["hmc_samples"], n, m
+                result["hmc_samples"], n_lat, m
             )
 
     pred = _PREDICT[cfg.model]
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
     if cfg.do_pred_grid and map_vec is not None:
         t0 = time.time()
-        if cfg.model == "lmc":
+        if sparse:
+            gp = pred.predict_map(map_vec, data, sp_ops, grid,
+                                  hyper=cfg.hyper, approx=cfg.sparse_approx)
+        elif cfg.model == "lmc":
             gp = pred.predict_map(map_vec, data, grid)
         else:
             gp = pred.predict_map(map_vec, data, grid, hyper=cfg.hyper)
@@ -797,7 +842,10 @@ def run_subject(
 
     if cfg.do_pred_test and map_vec is not None and x_test is not None:
         xt = jnp.asarray(x_test, settings.dtype)
-        if cfg.model == "lmc":
+        if sparse:
+            tp = pred.predict_map(map_vec, data, sp_ops, xt,
+                                  hyper=cfg.hyper, approx=cfg.sparse_approx)
+        elif cfg.model == "lmc":
             tp = pred.predict_map(map_vec, data, xt)
         else:
             tp = pred.predict_map(map_vec, data, xt, hyper=cfg.hyper)
@@ -810,7 +858,13 @@ def run_subject(
                 store.save(_key("scores"), rmse=result["test_rmse"], lpd=result["test_lpd"])
 
     if cfg.do_evaluation and map_vec is not None:
-        dev = lambda v: _MODELS[cfg.model].deviance(v, yd, xd)
+        if sparse:
+            dev = lambda v: -2.0 * gnmgp_sparse.log_lik(
+                gnmgp_sparse.unpack(jnp.asarray(v, settings.dtype), m_z, m),
+                data, sp_ops, approx=cfg.sparse_approx, hyper=cfg.hyper,
+            )
+        else:
+            dev = lambda v: _MODELS[cfg.model].deviance(v, yd, xd)
         result["deviance"] = float(dev(map_vec))
         result["aic"] = evaluate.get_aic(map_vec, dev)
         result["bic"] = evaluate.get_bic(map_vec, dev, n_obs=n)
@@ -823,9 +877,15 @@ def run_subject(
             if hist.shape[0] > cfg.loo_draws:
                 idx = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[idx]
-            cond_ll = evaluate.chain_conditional_loglik(
-                cfg.model, hist, np.asarray(xd), np.asarray(yd)
-            )
+            if sparse:
+                cond_ll = evaluate.chain_conditional_loglik_sparse(
+                    hist, data, sp_ops, approx=cfg.sparse_approx,
+                    hyper=cfg.hyper,
+                )
+            else:
+                cond_ll = evaluate.chain_conditional_loglik(
+                    cfg.model, hist, np.asarray(xd), np.asarray(yd)
+                )
             loo = evaluate.psis_loo(cond_ll)
             wa = evaluate.waic(cond_ll)
             result["loo"] = {

@@ -183,3 +183,44 @@ class TestEndToEnd:
         ys = sp_pred.predict_sample(jax.random.PRNGKey(0), vecs, data, ops, grid)
         assert ys.shape == (11, 3, M)
         assert bool(jnp.all(jnp.isfinite(ys)))
+
+
+class TestWorkflow:
+    def test_run_subject_sparse_end_to_end(self, tmp_path):
+        """model="gnmgp_sparse" through the full pipeline: empirical init,
+        MAP, whitened HMC, grid/test prediction, IC + sparse PSIS-LOO."""
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+        from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+            ArtifactStore,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(3), n=96, m=M)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp_sparse", n_inducing=16, n_opt=150,
+            map_method="lbfgs", do_hmc=True, n_hmc=12, whiten=True,
+            do_loo=True, loo_draws=8, test_size=0.2, n_grid=31, seed=0,
+        )
+        store = ArtifactStore(tmp_path)
+        res = workflows.run_subject(np.asarray(d.x), np.asarray(d.y),
+                                    cfg, store=store)
+        assert res["n_inducing"] == 16
+        p_len = sp.n_params(16, M)
+        assert res["map_vec"].shape == (p_len,)
+        assert res["hmc_samples"].shape[1] == p_len
+        assert res["pred_grid"].mean.shape == (31, M)
+        assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
+        assert np.isfinite(res["aic"]) and np.isfinite(res["dic"])
+        assert np.isfinite(res["loo"]["elpd_loo"])
+        assert res["loo"]["pointwise"].shape == (res["n"] * M,)
+        # latent analysis lives at the inducing inputs
+        assert res["map_latents"]["tilde_l"].shape == (16,)
+        # resumable: second run loads the stored MAP and reproduces scores
+        res2 = workflows.run_subject(np.asarray(d.x), np.asarray(d.y),
+                                     dataclasses_replace_nohmc(cfg), store=store)
+        np.testing.assert_allclose(res2["test_rmse"], res["test_rmse"], rtol=1e-6)
+
+
+def dataclasses_replace_nohmc(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, do_hmc=False, do_loo=False)
