@@ -291,6 +291,58 @@ def bench_jax(x, y, vec, run_hmc: bool):
         except Exception as e:
             _log(f"[{dtype_name}] smc probe failed ({type(e).__name__}: {e})")
 
+    # sparse (inducing-point) large-N probe (f32 headline only): the tier
+    # that removes the O((MN)^3) ceiling — gradient rate at N far beyond the
+    # exact path's budget (models/gnmgp_sparse.py)
+    sparse_row = {}
+    if (run_hmc and settings.precision_mode == "f32"
+            and os.environ.get("NMGP_BENCH_SPARSE", "1") != "0"):
+        try:
+            from nonstationary_multivariate_gaussian_process_tpu.models import (
+                gnmgp_sparse,
+            )
+
+            sp_n = int(os.environ.get("NMGP_BENCH_SPARSE_N", "2000"))
+            sp_mz = int(os.environ.get("NMGP_BENCH_SPARSE_MZ", "64"))
+            t = M * (M + 1) // 2
+            rng3 = np.random.default_rng(4)
+            xs = jnp.asarray(np.sort(rng3.uniform(size=sp_n)), settings.dtype)
+            ys = jnp.asarray(rng3.normal(size=(sp_n, M)), settings.dtype)
+            snlp_sp, ops_sp = gnmgp_sparse.make_objective(
+                FullData(xs, ys), n_inducing=sp_mz
+            )
+            mz = int(ops_sp.z.shape[0])
+            v_sp = jnp.asarray(
+                np.concatenate([
+                    -1.0 + 0.1 * rng3.normal(size=mz),
+                    0.3 * rng3.normal(size=mz * t),
+                    [-4.0],
+                ]), settings.dtype,
+            )
+
+            def scan_sp(v):
+                def body(c, _):
+                    val, g = jax.value_and_grad(snlp_sp)(c)
+                    return c + 0.0 * g, val
+                return jax.lax.scan(body, v, None, length=N_GRAD_EVALS)[1][-1]
+
+            fn_sp = jax.jit(scan_sp)
+            fn_sp(v_sp).block_until_ready()
+            rates_sp = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn_sp(v_sp).block_until_ready()
+                rates_sp.append(N_GRAD_EVALS / (time.perf_counter() - t0))
+            sparse_row = {
+                "sparse_grad_evals_per_sec": max(rates_sp),
+                "sparse_n": sp_n,
+                "sparse_m_z": mz,
+            }
+            _log(f"[{dtype_name}] sparse(N={sp_n}, m_z={mz}) grad evals/sec "
+                 f"{max(rates_sp):.1f}")
+        except Exception as e:
+            _log(f"[{dtype_name}] sparse probe failed ({type(e).__name__}: {e})")
+
     # secondary models at this precision (SNMGP/LMC ride the Kronecker path;
     # in mixed mode it routes through the corrected per-block solver)
     other = {}
@@ -348,11 +400,12 @@ def bench_jax(x, y, vec, run_hmc: bool):
         "fleet_achieved_tflops": fleet_achieved,
         "dtype": dtype_name,
         **smc_row,
+        **sparse_row,
         **other,
     }
 
 
-def bench_reference_baseline(x, y, vec):
+def bench_reference_baseline(x, y, vec, n_evals: int | None = None):
     """Time the GENUINE reference objective (``Utility/logpos.nlogpos_obj_SVC``,
     ``/root/reference/Utility/logpos.py:299``) — value + backward per eval,
     torch CPU float64, with torch>=2 shims for removed ops (as in
@@ -380,16 +433,17 @@ def bench_reference_baseline(x, y, vec):
         warnings.simplefilter("ignore")
         from Utility import logpos
 
+    n_evals = BASELINE_EVALS if n_evals is None else n_evals
     v = torch.as_tensor(vec).clone().requires_grad_(True)
     xt = torch.as_tensor(x)
     yt = torch.as_tensor(y)
     logpos.nlogpos_obj_SVC(v, yt, xt).backward()  # warm up
     t0 = time.perf_counter()
-    for _ in range(BASELINE_EVALS):
+    for _ in range(n_evals):
         v.grad = None
         logpos.nlogpos_obj_SVC(v, yt, xt).backward()
-    eps = BASELINE_EVALS / (time.perf_counter() - t0)
-    _log(f"[reference-cpu-f64] grad evals/sec {eps:.3f}")
+    eps = n_evals / (time.perf_counter() - t0)
+    _log(f"[reference-cpu-f64] n={len(x)} grad evals/sec {eps:.3f}")
     return eps
 
 
@@ -489,6 +543,23 @@ def main():
     except Exception as e:
         _log(f"genuine-reference baseline failed: {type(e).__name__}: {e}")
         base_eps = float("nan")
+    # reference comparator at the sparse tier's N (one eval — the dense f64
+    # CPU path is minutes-per-gradient up here, which is the point)
+    ref_sparse_eps = float("nan")
+    if f32 and f32.get("sparse_grad_evals_per_sec"):
+        try:
+            sp_n = int(f32["sparse_n"])
+            rng3 = np.random.default_rng(4)
+            x_sp = np.sort(rng3.uniform(size=sp_n))
+            y_sp = rng3.normal(size=(sp_n, M))
+            t = M * (M + 1) // 2
+            v_sp = np.concatenate([
+                -1.0 + 0.1 * rng3.normal(size=sp_n),
+                0.3 * rng3.normal(size=sp_n * t), [-4.0],
+            ])
+            ref_sparse_eps = bench_reference_baseline(x_sp, y_sp, v_sp, n_evals=1)
+        except Exception as e:
+            _log(f"reference sparse-N baseline failed: {type(e).__name__}: {e}")
     try:
         reimpl_eps = bench_torch_baseline(x, y, vec)
     except Exception:
@@ -554,6 +625,14 @@ def main():
                 "smc_logz_spread_2runs": r(head.get("smc_logz_spread"), 2),
                 "smc_n": head.get("smc_n"),
                 "smc_wall_s": r(head.get("smc_wall_s"), 1),
+                "sparse_grad_evals_per_sec_f32": r(head.get("sparse_grad_evals_per_sec"), 1),
+                "sparse_n": head.get("sparse_n"),
+                "sparse_m_z": head.get("sparse_m_z"),
+                "sparse_vs_reference_same_n": r(
+                    float(head.get("sparse_grad_evals_per_sec") or "nan")
+                    / ref_sparse_eps if ref_sparse_eps == ref_sparse_eps
+                    else float("nan"), 1),
+                "reference_cpu_f64_sparse_n_evals_per_sec": r(ref_sparse_eps, 4),
                 "n": N,
                 "m": M,
                 "parity": "log-posterior matches reference at 1e-6 rtol in f64 AND mixed (tests/test_models_parity.py, tests/test_mixed.py)",

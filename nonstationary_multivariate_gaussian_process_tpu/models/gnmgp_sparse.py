@@ -187,11 +187,19 @@ def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
         k_nm = k_nm * mv[:, None]
         y_t = y_t * mv
 
-    # K_mm is a Gram of exact-model type: factor with the robust ladder, plus
-    # a small relative ridge — near-singular L_z rows make K_mm rank-deficient
-    # in a way the data cannot see through Q (standard inducing practice).
-    ridge = 1e-8 * jnp.mean(jnp.diagonal(k_mm))
-    c_mm = chol.safe_cholesky(k_mm + ridge * jnp.eye(k_mm.shape[0], dtype=k_mm.dtype))
+    # K_mm is a Gram of exact-model type: factor with the robust ladder
+    # (forced — an inducing Gram over few, widely-correlated points is
+    # ill-conditioned in f32 even when the global fast path disables
+    # retries), plus a small relative ridge — near-singular L_z rows make
+    # K_mm rank-deficient in a way the data cannot see through Q (standard
+    # inducing practice).
+    ridge = (1e-8 if k_mm.dtype == jnp.float64 else 1e-5) * jnp.mean(
+        jnp.diagonal(k_mm)
+    )
+    c_mm = chol.safe_cholesky(
+        k_mm + ridge * jnp.eye(k_mm.shape[0], dtype=k_mm.dtype),
+        force_robust=True,
+    )
     b = chol.tri_solve(c_mm, k_nm.T)  # (mM, NM)
     q_diag = jnp.sum(b * b, axis=0)
     corr = jnp.maximum(k_diag - q_diag, 0.0)
