@@ -158,34 +158,16 @@ class _Woodbury(NamedTuple):
     mv: jnp.ndarray | None  # (NM,) mask in task-major layout (None = all real)
 
 
-def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
-              approx: str, hyper=None, mask=None) -> _Woodbury:
-    n = data.y.shape[0]
-    m_z = ops.z.shape[0]
-    tl_x, ul_x = latents_at_data(p, ops, m, hyper)
-    lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)  # (N,M,M)
-    lz = transforms.vec_to_tril(
-        transforms.ulvec_to_lvec(p.ul_vecs_z.reshape(m_z, -1), m), m
-    )  # (m_z, M, M)
-    ell_x = jnp.exp(tl_x)
-    ell_z = jnp.exp(p.tilde_l_z)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+def _woodbury_core(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
+                   mv=None) -> _Woodbury:
+    """Layout-agnostic Woodbury factor set from assembled cross pieces.
 
-    from .gnmgp import gram
-
-    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)  # self: + jitter I
-    k_mm = gram(k_zz, lz)  # (mM, mM)
-    k_xz = kernels.nonstationary_rbf_cov(data.x, ell1=ell_x, x2=ops.z, ell2=ell_z)
-    k_nm = cross_gram(k_xz, lx, lz)  # (NM, mM)
-    # Gibbs self-cov is 1 (+ jitter) so diag K[(a,n)] = (1+j) * ||Lx_n[a,:]||^2
-    k_diag = ((1.0 + settings.jitter) * jnp.sum(lx * lx, axis=-1)).T.reshape(-1)
-
-    mv = None
-    y_t = task_major(data.y)
-    if mask is not None:
-        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (NM,)
+    ``k_nm`` rows / ``k_diag`` / ``y_flat`` / ``mv`` share one flat
+    observation axis (task-major NM for the full layout, N for Hadamard).
+    """
+    if mv is not None:
         k_nm = k_nm * mv[:, None]
-        y_t = y_t * mv
+        y_flat = y_flat * mv
 
     # K_mm is a Gram of exact-model type: factor with the robust ladder
     # (forced — an inducing Gram over few, widely-correlated points is
@@ -217,8 +199,48 @@ def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
     a = b * rsqrt_lam[None, :]
     inner = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
     c_in = chol.safe_cholesky(inner)
-    d = y_t * rsqrt_lam
+    d = y_flat * rsqrt_lam
     return _Woodbury(c_mm, a, c_in, lam, d, corr, mv)
+
+
+def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              approx: str, hyper=None, mask=None) -> _Woodbury:
+    m_z = ops.z.shape[0]
+    tl_x, ul_x = latents_at_data(p, ops, m, hyper)
+    lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)  # (N,M,M)
+    lz = transforms.vec_to_tril(
+        transforms.ulvec_to_lvec(p.ul_vecs_z.reshape(m_z, -1), m), m
+    )  # (m_z, M, M)
+    ell_x = jnp.exp(tl_x)
+    ell_z = jnp.exp(p.tilde_l_z)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    from .gnmgp import gram
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)  # self: + jitter I
+    k_mm = gram(k_zz, lz)  # (mM, mM)
+    k_xz = kernels.nonstationary_rbf_cov(data.x, ell1=ell_x, x2=ops.z, ell2=ell_z)
+    k_nm = cross_gram(k_xz, lx, lz)  # (NM, mM)
+    # Gibbs self-cov is 1 (+ jitter) so diag K[(a,n)] = (1+j) * ||Lx_n[a,:]||^2
+    k_diag = ((1.0 + settings.jitter) * jnp.sum(lx * lx, axis=-1)).T.reshape(-1)
+
+    mv = None
+    if mask is not None:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (NM,)
+    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), sigma2_err,
+                          approx, mv)
+
+
+def _loglik_from_woodbury(w: _Woodbury, sigma2_err, approx: str) -> jnp.ndarray:
+    u = w.a @ w.d
+    sol = chol.tri_solve(w.c_in, u)
+    quad = jnp.sum(w.d * w.d) - jnp.sum(sol * sol)
+    logdet = jnp.sum(jnp.log(w.lam)) + chol.chol_logdet(w.c_in)
+    res = -0.5 * logdet - 0.5 * quad
+    if approx == "vfe":
+        corr = w.corr if w.mv is None else w.corr * w.mv
+        res = res - 0.5 * jnp.sum(corr) / sigma2_err
+    return res
 
 
 def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
@@ -233,16 +255,7 @@ def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
     unit Lambda, zero observation — nothing reaches logdet or the quadratic).
     """
     w = _woodbury(p, data, ops, data.y.shape[1], approx, hyper, mask)
-    u = w.a @ w.d
-    sol = chol.tri_solve(w.c_in, u)
-    quad = jnp.sum(w.d * w.d) - jnp.sum(sol * sol)
-    logdet = jnp.sum(jnp.log(w.lam)) + chol.chol_logdet(w.c_in)
-    res = -0.5 * logdet - 0.5 * quad
-    if approx == "vfe":
-        sigma2_err = jnp.exp(p.tilde_sigma2_err)
-        corr = w.corr if w.mv is None else w.corr * w.mv
-        res = res - 0.5 * jnp.sum(corr) / sigma2_err
-    return res
+    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior(p: SparseParams, data: FullData, ops: SparseOps,
@@ -336,3 +349,119 @@ def init_from_empirical(emp_vec, n: int, m_z: int, m: int, x, z) -> jnp.ndarray:
     return jnp.concatenate(
         [tl_z, ul_z, jnp.reshape(jnp.asarray(p.tilde_sigma2_err, settings.dtype), (1,))]
     )
+
+
+# ---------------------------------------------------------------------------
+# Hadamard variant: one observation per (input, task) pair.
+# ---------------------------------------------------------------------------
+
+#: Hadamard hyper defaults mirror the exact Hadamard SVC's (logpos.py:566-585).
+HADAMARD_DEFAULT_HYPERS = {
+    "mu_tilde_l": 0.0, "alpha_tilde_l": 1.0, "beta_tilde_l": 1.0,
+    "mu_L": 0.0, "alpha_L": 1.0, "beta_L": 1.0, "a": 1.0, "b": 1.0,
+}
+
+
+def make_ops_hadamard(x, z, hyper: dict | None = None) -> SparseOps:
+    """:func:`make_ops` under the Hadamard hyper defaults."""
+    return make_ops(x, z, {**HADAMARD_DEFAULT_HYPERS, **(hyper or {})})
+
+
+def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       approx: str, hyper=None, mask=None) -> _Woodbury:
+    """Hadamard-layout Woodbury factors.
+
+    Reference Hadamard-SVC conventions apply (``models.gnmgp.
+    log_posterior_hadamard``): the per-input Cholesky vectors are used
+    *raw* (no exp transform on the diagonal slots), so ``p.ul_vecs_z``
+    holds plain L_vecs at Z and the kriged field is used as-is.
+    """
+    hp = {**HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    x, indx, y = data
+    n = y.shape[0]
+    m_z = ops.z.shape[0]
+    t = transforms.tri_size(m)
+    tl_x, l_x = latents_at_data(p, ops, m, hp)  # raw L_vecs kriged
+    lx = transforms.vec_to_tril(l_x, m)  # (N, M, M)
+    lz = transforms.vec_to_tril(p.ul_vecs_z.reshape(m_z, t), m)  # (m_z, M, M)
+    rows = lx[jnp.arange(n), indx, :]  # (N, M) observed task rows
+    ell_x = jnp.exp(tl_x)
+    ell_z = jnp.exp(p.tilde_l_z)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    from .gnmgp import gram
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)
+    k_mm = gram(k_zz, lz)  # (m_z*M, m_z*M), cols (c, j) c-major
+    k_xz = kernels.nonstationary_rbf_cov(x, ell1=ell_x, x2=ops.z, ell2=ell_z)
+    b3 = jnp.einsum("ib,jcb->icj", rows, lz,
+                    precision=jax.lax.Precision.HIGHEST)  # (N, M, m_z)
+    k_nm = (k_xz[:, None, :] * b3).reshape(n, m * m_z)  # cols match k_mm
+    k_diag = (1.0 + settings.jitter) * jnp.sum(rows * rows, axis=-1)
+
+    mv = None if mask is None else jnp.asarray(mask, y.dtype)
+    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+
+
+def log_lik_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                     approx: str = "fitc", hyper=None, mask=None) -> jnp.ndarray:
+    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
+    w = _woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
+    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+
+
+def log_posterior_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                           approx: str = "fitc", hyper=None,
+                           prior: bool = True, mask=None):
+    """Sparse Hadamard log-posterior — the exact Hadamard SVC's priors over
+    the Z-latents (raw-L_vec GP priors, unnormalized inverse-gamma + the
+    exp-transform Jacobian; ``models.gnmgp.log_posterior_hadamard``)."""
+    hp = {**HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops.z.shape[0]
+    t = transforms.tri_size(m)
+    loglik = log_lik_hadamard(p, data, ops, m, approx=approx, hyper=hp,
+                              mask=mask)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    lp_l = dists.mvn_logpdf_chol(p.tilde_l_z, hp["mu_tilde_l"], ops.pc_l_z)
+    l_mat = p.ul_vecs_z.reshape(m_z, t)
+    lp_L = jnp.sum(
+        jax.vmap(lambda col: dists.mvn_logpdf_chol(col, hp["mu_L"], ops.pc_ul_z))(
+            l_mat.T
+        )
+    )
+    lp_s2 = dists.inverse_gamma_logpdf_u(sigma2_err, alpha=hp["a"], beta=hp["b"])
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_L + lp_s2 + p.tilde_sigma2_err
+    comps = {"loglik": loglik, "log_prior_tilde_l": lp_l,
+             "log_prior_L_vecs": lp_L, "log_prior_sigma2_err": lp_s2}
+    return res, comps
+
+
+def make_objective_hadamard(data, m: int, z=None, n_inducing: int = 64,
+                            hyper: dict | None = None, approx: str = "fitc",
+                            prior: bool = True, mask=None):
+    """Jit-friendly sparse Hadamard negative-log-posterior closure.
+
+    Returns ``(nlp, ops)`` like :func:`make_objective`.  ``data`` is a
+    :class:`..models.base.HadamardData`; ``m`` the task count.
+    """
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    hp = {**HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    if z is None:
+        import numpy as _np
+
+        x_real = (data.x if mask is None
+                  else data.x[: int(_np.asarray(mask).sum())])
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops = make_ops(data.x, z, hp)
+    m_z = ops.z.shape[0]
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack(vec, m_z, m)
+        res, _ = log_posterior_hadamard(p, data, ops, m, approx=approx,
+                                        hyper=hp, prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops

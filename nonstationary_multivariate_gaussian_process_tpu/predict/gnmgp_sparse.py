@@ -160,3 +160,93 @@ def predict_sample(key, hist_vecs, data: FullData, ops: model.SparseOps, grid,
     keys = jax.random.split(key, hist_vecs.shape[0])
     ys = jax.vmap(draw)(hist_vecs, keys)  # (S, G, M)
     return jnp.moveaxis(ys, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Hadamard variant.
+# ---------------------------------------------------------------------------
+
+
+def _latents_at_hadamard(p, z, grid, hp, m: int):
+    """Kriged latents at the grid under Hadamard conventions (raw L_vecs)."""
+    m_z = z.shape[0]
+    t = transforms.tri_size(m)
+    proj_l, _ = krige_proj(z, grid, hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    proj_ul, _ = krige_proj(z, grid, hp["alpha_L"], hp["beta_L"])
+    tl_g = hp["mu_tilde_l"] + (p.tilde_l_z - hp["mu_tilde_l"]) @ proj_l
+    l_mat_z = p.ul_vecs_z.reshape(m_z, t)
+    l_g = (hp["mu_L"] + (l_mat_z.T - hp["mu_L"]) @ proj_ul).T  # (G, T) raw
+    return tl_g, l_g, transforms.vec_to_tril(l_g, m)
+
+
+def _moments_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                      indx_grid=None, hyper=None, approx: str = "fitc",
+                      mask=None):
+    """Sparse Hadamard predictive moments.
+
+    ``indx_grid=None`` → per-task moments at every grid point ((G, M) each);
+    with task indices → per-observation moments ((G,) each) for test scoring
+    (the reference's indexed Hadamard prediction, prediction.py:585-708).
+    """
+    hp = {**model.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops.z.shape[0]
+    p = model.unpack(jnp.asarray(vec), m_z, m)
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+    t = transforms.tri_size(m)
+
+    w = model._woodbury_hadamard(p, data, ops, m, approx, hp, mask)
+    tl_g, l_g, ls_g = _latents_at_hadamard(p, ops.z, grid, hp, m)
+    ell_g = jnp.exp(tl_g)
+    ell_z = jnp.exp(p.tilde_l_z)
+    lz = transforms.vec_to_tril(p.ul_vecs_z.reshape(m_z, t), m)
+    k_gz = kernels.nonstationary_rbf_cov(grid, ell1=ell_g, x2=ops.z, ell2=ell_z)
+
+    if indx_grid is None:
+        k_gm = model.cross_gram(k_gz, ls_g, lz)  # (GM, mM), task-major rows
+        k_star_diag = (
+            (1.0 + settings.jitter) * jnp.sum(ls_g * ls_g, axis=-1)
+        ).T.reshape(-1)
+    else:
+        rows = ls_g[jnp.arange(g), jnp.asarray(indx_grid, jnp.int32), :]  # (G, M)
+        b3 = jnp.einsum("ib,jcb->icj", rows, lz,
+                        precision=jax.lax.Precision.HIGHEST)  # (G, M, m_z)
+        k_gm = (k_gz[:, None, :] * b3).reshape(g, -1)
+        k_star_diag = (1.0 + settings.jitter) * jnp.sum(rows * rows, axis=-1)
+
+    t_star = chol_ops.tri_solve(w.c_mm, k_gm.T)
+    w_star = chol_ops.tri_solve(w.c_in, t_star)
+    v = chol_ops.tri_solve(w.c_in, w.a @ w.d)
+    mu_flat = w_star.T @ v
+    var_flat = (k_star_diag - jnp.sum(t_star * t_star, axis=0)
+                + jnp.sum(w_star * w_star, axis=0))
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    if indx_grid is None:
+        mu = mu_flat.reshape(m, g).T
+        s2 = var_flat.reshape(m, g).T + sigma2_err
+    else:
+        mu = mu_flat
+        s2 = var_flat + sigma2_err
+    s2 = jnp.maximum(s2, sigma2_err)
+    return mu, s2, l_g
+
+
+def predict_map_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                         hyper=None, approx: str = "fitc",
+                         mask=None) -> GridPredictionSVC:
+    """Plug-in MAP grid prediction, all tasks (sparse Hadamard analogue of
+    ``predict.hadamard.predict_map_svc``)."""
+    mu, s2, l_g = _moments_hadamard(vec, data, ops, m, grid, None, hyper,
+                                    approx, mask)
+    sd = jnp.sqrt(s2)
+    pct = jnp.stack([mu - 1.96 * sd, mu, mu + 1.96 * sd], axis=1)
+    return GridPredictionSVC(percentiles=pct, mean=mu, std=sd, l_vecs=l_g)
+
+
+def predict_test_hadamard(vec, data, ops: model.SparseOps, m: int, x_test,
+                          indx_test, hyper=None, approx: str = "fitc",
+                          mask=None):
+    """Held-out per-observation ``(mean (G,), var (G,))`` for RMSE/LPD."""
+    mu, s2, _ = _moments_hadamard(vec, data, ops, m, x_test, indx_test,
+                                  hyper, approx, mask)
+    return mu, s2

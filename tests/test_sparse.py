@@ -224,3 +224,103 @@ def dataclasses_replace_nohmc(cfg):
     import dataclasses
 
     return dataclasses.replace(cfg, do_hmc=False, do_loo=False)
+
+
+class TestHadamard:
+    def _hdata(self, n=30, key=0):
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            HadamardData,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(key), n=n, m=M)
+        indx = jnp.asarray(np.arange(n) % M, jnp.int32)
+        y = d.y[jnp.arange(n), indx]
+        return HadamardData(d.x, indx, y)
+
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_woodbury_matches_dense(self, approx):
+        data = self._hdata(n=30)
+        z = sp.choose_inducing(data.x, 9)
+        ops = sp.make_ops_hadamard(data.x, z)
+        m_z = z.shape[0]
+        vec = _rand_vec(m_z, key=6)
+        p = sp.unpack(vec, m_z, M)
+        w = sp._woodbury_hadamard(p, data, ops, M, approx)
+        cov = _dense_cov_from_woodbury(w)
+        want = dists.mvn_logpdf_dense_unnorm(data.y, 0.0, cov)
+        if approx == "vfe":
+            want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
+        got = sp.log_lik_hadamard(p, data, ops, M, approx=approx)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    def test_exact_limit_z_equals_x(self):
+        data = self._hdata(n=24)
+        ops = sp.make_ops_hadamard(data.x, data.x)
+        vec = _rand_vec(24, key=7)
+        p = sp.unpack(vec, 24, M)
+        # dense Hadamard loglik at the same kriged latent fields (raw L_vecs)
+        hp = dict(sp.HADAMARD_DEFAULT_HYPERS)
+        tl_x, l_x = sp.latents_at_data(p, ops, M, hp)
+        dense_p = gnmgp.Params(tilde_l=tl_x, ul_vecs=l_x.reshape(-1),
+                               tilde_sigma2_err=p.tilde_sigma2_err)
+        _, comps = gnmgp.log_posterior_hadamard(dense_p, data, M, prior=False)
+        got = sp.log_lik_hadamard(p, data, ops, M, approx="fitc")
+        np.testing.assert_allclose(float(got), float(comps["loglik"]),
+                                   rtol=1e-3, atol=0.05)
+
+    def test_mask_pad_exact(self):
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            HadamardData,
+        )
+
+        data = self._hdata(n=26)
+        n_pad = 32
+        x_pad = jnp.concatenate([data.x, jnp.full((n_pad - 26,), data.x[-1])])
+        i_pad = jnp.concatenate([data.indx, jnp.zeros((n_pad - 26,), jnp.int32)])
+        y_pad = jnp.concatenate([data.y, jnp.zeros((n_pad - 26,), data.y.dtype)])
+        mask = jnp.arange(n_pad) < 26
+        z = sp.choose_inducing(data.x, 8)
+        nlp_real, _ = sp.make_objective_hadamard(data, M, z=z)
+        nlp_pad, _ = sp.make_objective_hadamard(
+            HadamardData(x_pad, i_pad, y_pad), M, z=z, mask=mask)
+        vec = _rand_vec(z.shape[0], key=8)
+        np.testing.assert_allclose(float(nlp_pad(vec)), float(nlp_real(vec)),
+                                   rtol=1e-9)
+
+    def test_map_and_prediction(self):
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            HadamardData,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(9), n=240, m=M)
+        indx = np.arange(240) % M
+        y = np.asarray(d.y)[np.arange(240), indx]
+        test_idx = np.arange(1, 240, 6)
+        train_idx = np.setdiff1d(np.arange(240), test_idx)
+        data = HadamardData(d.x[train_idx], jnp.asarray(indx[train_idx]),
+                            jnp.asarray(y[train_idx]))
+        nlp, ops = sp.make_objective_hadamard(data, M, n_inducing=24)
+        m_z = ops.z.shape[0]
+        init = jnp.concatenate([
+            jnp.full((m_z,), -1.0),
+            jnp.tile(jnp.asarray([1.0, 0.0, 1.0]), m_z),  # raw L_vecs
+            jnp.asarray([-3.0]),
+        ])
+        res = fit_map(nlp, init, n_iters=300, method="lbfgs")
+        assert float(nlp(res.vec)) < float(nlp(init)) - 20.0
+
+        mu, s2 = sp_pred.predict_test_hadamard(
+            res.vec, data, ops, M, d.x[test_idx], jnp.asarray(indx[test_idx]))
+        assert mu.shape == (len(test_idx),)
+        rmse = float(jnp.sqrt(jnp.mean((mu - y[test_idx]) ** 2)))
+        base = float(jnp.sqrt(jnp.mean(y[test_idx] ** 2)))
+        # single-observation-per-input interleaved prediction is intrinsically
+        # hard: the EXACT Hadamard GNMGP scores ratio 0.953 on this split
+        # (measured); the sparse tier's 0.893 beats it — pin "beats the zero
+        # predictor and the exact tier's measured score"
+        assert rmse < 0.95 * base
+
+        gp = sp_pred.predict_map_hadamard(
+            res.vec, data, ops, M, jnp.linspace(0.05, 0.95, 21))
+        assert gp.mean.shape == (21, M)
+        assert bool(jnp.all(jnp.isfinite(gp.percentiles)))
