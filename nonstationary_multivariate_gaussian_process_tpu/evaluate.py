@@ -273,19 +273,51 @@ def chain_conditional_loglik_sparse(
     def one(vec):
         p = sp_model.unpack(vec, m_z, m)
         w = sp_model._woodbury(p, data, ops, m, approx, hyper, mask)
-        u = _chol.tri_solve(w.c_in, w.a)  # L_in^{-1} A, (mM, NM)
-        prec_diag = (1.0 - jnp.sum(u * u, axis=0)) / w.lam
-        ad = w.a @ w.d
-        prec_y = (w.d - w.a.T @ jax.scipy.linalg.cho_solve(
-            (w.c_in, True), ad)) / jnp.sqrt(w.lam)
-        d = jnp.maximum(prec_diag, 1e-300)
-        ll = 0.5 * jnp.log(d) - 0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * prec_y**2 / d
-        if mask_tm is not None:
-            ll = jnp.where(mask_tm, ll, 0.0)
-        return ll
+        return _loo_from_woodbury(w, mask_tm)
 
     out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))
     return np.asarray(out.reshape(-1, n * m)[:s])
+
+
+def _loo_from_woodbury(w, mask_flat=None) -> jnp.ndarray:
+    """Per-slot LOO conditional log densities from sparse Woodbury factors."""
+    from .ops import chol as _chol
+
+    u = _chol.tri_solve(w.c_in, w.a)  # L_in^{-1} A
+    prec_diag = (1.0 - jnp.sum(u * u, axis=0)) / w.lam
+    ad = w.a @ w.d
+    prec_y = (w.d - w.a.T @ jax.scipy.linalg.cho_solve(
+        (w.c_in, True), ad)) / jnp.sqrt(w.lam)
+    d = jnp.maximum(prec_diag, 1e-300)
+    ll = 0.5 * jnp.log(d) - 0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * prec_y**2 / d
+    if mask_flat is not None:
+        ll = jnp.where(mask_flat, ll, 0.0)
+    return ll
+
+
+def chain_conditional_loglik_sparse_hadamard(
+    hist_vecs, data, ops, m: int, approx: str = "fitc", hyper=None,
+    mask=None, chunk: int = 8,
+) -> np.ndarray:
+    """(S, N) sparse-Hadamard LOO conditional log densities (see
+    :func:`chain_conditional_loglik_sparse`)."""
+    from .models import gnmgp_sparse as sp_model
+
+    hist = jnp.asarray(hist_vecs)
+    n = data.y.shape[0]
+    m_z = ops.z.shape[0]
+    mask_b = None if mask is None else jnp.asarray(mask, bool)
+    s = hist.shape[0]
+    pad = (-s) % chunk
+    hist_p = jnp.concatenate([hist, jnp.tile(hist[-1:], (pad, 1))]) if pad else hist
+
+    def one(vec):
+        p = sp_model.unpack(vec, m_z, m)
+        w = sp_model._woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
+        return _loo_from_woodbury(w, mask_b)
+
+    out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))
+    return np.asarray(out.reshape(-1, n)[:s])
 
 
 def waic(cond_loglik) -> dict:

@@ -947,7 +947,16 @@ def run_subject_hadamard(
     )
     model = _MODELS[cfg.model]
 
-    if cfg.model == "lmc":
+    sparse = cfg.model == "gnmgp_sparse"
+    sp_ops = None
+    if sparse:
+        nlp, sp_ops = gnmgp_sparse.make_objective_hadamard(
+            data, m, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
+            hyper=cfg.hyper,
+        )
+        m_z = int(sp_ops.z.shape[0])
+        dim = gnmgp_sparse.n_params(m_z, m)
+    elif cfg.model == "lmc":
         dim = 2 + t + 1
         nlp = lambda v: model.nlogpos_hadamard(v, data.x, data.indx, data.y, m, **cfg.hyper)
     elif cfg.model == "snmgp":
@@ -965,7 +974,11 @@ def run_subject_hadamard(
 
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
     if cfg.do_pred_grid:
-        if cfg.model == "lmc":
+        if sparse:
+            gp = pred_gnmgp_sparse.predict_map_hadamard(
+                res.vec, data, sp_ops, m, grid, hyper=cfg.hyper,
+                approx=cfg.sparse_approx)
+        elif cfg.model == "lmc":
             gp = pred_h.lmc_predict_map(res.vec, data, grid, m)
         elif cfg.model == "snmgp":
             gp = pred_h.snmgp_predict_map(res.vec, data, grid, m, hyper=cfg.hyper)
@@ -977,7 +990,9 @@ def run_subject_hadamard(
     if cfg.do_hmc:
         whitener = _make_sampling_whitener(
             nlp, res.vec, cfg, jax.random.fold_in(key, 3),
-            data.x, data.x.shape[0], m, hadamard=True,
+            sp_ops.z if sparse else data.x,
+            int(sp_ops.z.shape[0]) if sparse else data.x.shape[0],
+            m, hadamard=True,
         )
         samples, accept = _run_chain(
             nlp, res.vec, cfg, jax.random.fold_in(key, 3), whitener=whitener
@@ -989,10 +1004,16 @@ def run_subject_hadamard(
             if hist.shape[0] > cfg.loo_draws:
                 idx = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[idx]
-            cond_ll = evaluate.chain_conditional_loglik_hadamard(
-                cfg.model, hist, np.asarray(data.x), np.asarray(data.indx),
-                np.asarray(data.y), m,
-            )
+            if sparse:
+                cond_ll = evaluate.chain_conditional_loglik_sparse_hadamard(
+                    hist, data, sp_ops, m, approx=cfg.sparse_approx,
+                    hyper=cfg.hyper,
+                )
+            else:
+                cond_ll = evaluate.chain_conditional_loglik_hadamard(
+                    cfg.model, hist, np.asarray(data.x), np.asarray(data.indx),
+                    np.asarray(data.y), m,
+                )
             loo = evaluate.psis_loo(cond_ll)
             wa = evaluate.waic(cond_ll)
             out["loo"] = {
@@ -1006,7 +1027,12 @@ def run_subject_hadamard(
     if x_te is not None and cfg.do_pred_test:
         xt = jnp.asarray(x_te, settings.dtype)
         it = jnp.asarray(indx_te, jnp.int32)
-        if cfg.model == "lmc":
+        if sparse:
+            mean, var = pred_gnmgp_sparse.predict_test_hadamard(
+                res.vec, data, sp_ops, m, xt, it, hyper=cfg.hyper,
+                approx=cfg.sparse_approx)
+            std = jnp.sqrt(var)
+        elif cfg.model == "lmc":
             mean, std = pred_h.lmc_predict_test(res.vec, data, xt, it, m)
         elif cfg.model == "snmgp":
             mean, std = pred_h.snmgp_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
@@ -1014,7 +1040,7 @@ def run_subject_hadamard(
             mean, std = pred_h.svc_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
         out["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
         out["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
-        if "hmc_samples" in out:
+        if "hmc_samples" in out and not sparse:
             # sample-based indexed scoring over the chain — the KAISER path
             # (reference test_predsample_hadamard, prediction.py:678-708)
             hv = jnp.asarray(out["hmc_samples"])

@@ -324,3 +324,24 @@ class TestHadamard:
             res.vec, data, ops, M, jnp.linspace(0.05, 0.95, 21))
         assert gp.mean.shape == (21, M)
         assert bool(jnp.all(jnp.isfinite(gp.percentiles)))
+
+
+class TestWorkflowHadamard:
+    def test_run_subject_hadamard_sparse(self):
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+        d = sim.sim_mnts(jax.random.PRNGKey(5), n=120, m=M)
+        indx = np.arange(120) % M
+        y = np.asarray(d.y)[np.arange(120), indx]
+        cfg = workflows.PipelineConfig(
+            model="gnmgp_sparse", n_inducing=16, n_opt=120,
+            map_method="lbfgs", do_hmc=True, n_hmc=10, whiten=True,
+            do_loo=True, loo_draws=6, test_size=0.2, n_grid=21,
+        )
+        res = workflows.run_subject_hadamard(np.asarray(d.x), indx, y, M, cfg)
+        p_len = sp.n_params(16, M)
+        assert res["map_vec"].shape == (p_len,)
+        assert res["hmc_samples"].shape[1] == p_len
+        assert res["pred_grid"].mean.shape == (21, M)
+        assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
+        assert np.isfinite(res["loo"]["elpd_loo"])
