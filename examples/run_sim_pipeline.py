@@ -28,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gnmgp",
                     choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero",
-                             "gnmgp_sparse"])
+                             "gnmgp_sparse", "gnmgp_hetero_sparse"])
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--n-inducing", type=int, default=64,
                     help="gnmgp_sparse: inducing-input count (the large-N "
@@ -64,7 +64,9 @@ def main():
         loaded = data_io.load_sim_pickle(args.data)
         x, y = loaded["x"], loaded["y"]
     else:
-        gen = sim.sim_mnts_hetero if args.model == "gnmgp_hetero" else sim.sim_mnts
+        gen = (sim.sim_mnts_hetero
+               if args.model in ("gnmgp_hetero", "gnmgp_hetero_sparse")
+               else sim.sim_mnts)
         d = gen(jax.random.PRNGKey(args.seed), n=args.n)
         x, y = np.asarray(d.x), np.asarray(d.y)
 

@@ -243,7 +243,7 @@ def chain_conditional_loglik(
 
 def chain_conditional_loglik_sparse(
     hist_vecs, data, ops, approx: str = "fitc", hyper=None, mask=None,
-    chunk: int = 8,
+    chunk: int = 8, hetero: bool = False,
 ) -> np.ndarray:
     """(S, MN) exact LOO-conditional log densities under the sparse GNMGP.
 
@@ -260,19 +260,26 @@ def chain_conditional_loglik_sparse(
     MN x MN matrix per draw).
     """
     from .models import gnmgp_sparse as sp_model
-    from .ops import chol as _chol
 
     hist = jnp.asarray(hist_vecs)
     n, m = data.y.shape
-    m_z = ops.z.shape[0]
+    m_z = (ops.base.z if hetero else ops.z).shape[0]
     mask_tm = None if mask is None else jnp.tile(jnp.asarray(mask, bool), m)
     s = hist.shape[0]
     pad = (-s) % chunk
     hist_p = jnp.concatenate([hist, jnp.tile(hist[-1:], (pad, 1))]) if pad else hist
 
     def one(vec):
-        p = sp_model.unpack(vec, m_z, m)
-        w = sp_model._woodbury(p, data, ops, m, approx, hyper, mask)
+        if hetero:
+            p = sp_model.unpack_hetero(vec, m_z, m)
+            noise = jnp.exp(sp_model.noise_at_data(p, ops, m, hyper))
+            sp_p = sp_model.SparseParams(p.tilde_l, p.ul_vecs,
+                                         jnp.zeros((), vec.dtype))
+            w = sp_model._woodbury_noise(sp_p, data, ops.base, m, approx,
+                                         noise, hyper, mask)
+        else:
+            p = sp_model.unpack(vec, m_z, m)
+            w = sp_model._woodbury(p, data, ops, m, approx, hyper, mask)
         return _loo_from_woodbury(w, mask_tm)
 
     out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))

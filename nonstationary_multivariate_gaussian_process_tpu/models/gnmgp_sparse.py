@@ -189,7 +189,10 @@ def _woodbury_core(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
     if approx == "fitc":
         lam = corr + sigma2_err
     elif approx == "vfe":
-        lam = jnp.full_like(q_diag, sigma2_err)
+        # broadcast handles both the scalar and the hetero per-slot noise
+        lam = jnp.broadcast_to(
+            jnp.asarray(sigma2_err, q_diag.dtype), q_diag.shape
+        )
     else:
         raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
     if mv is not None:
@@ -465,3 +468,167 @@ def make_objective_hadamard(data, m: int, z=None, n_inducing: int = 64,
         return -res
 
     return nlp, ops
+
+
+# ---------------------------------------------------------------------------
+# Heteroscedastic variant: per-(input, task) noise GP, also at Z.
+# ---------------------------------------------------------------------------
+
+#: Hetero hyper defaults mirror models/gnmgp_hetero.py (noise GP replaces IG).
+HETERO_DEFAULT_HYPERS = {
+    k: v for k, v in DEFAULT_HYPERS.items() if k not in ("a", "b")
+}
+HETERO_DEFAULT_HYPERS.update({"mu_err": 0.0, "alpha_err": 1.0, "beta_err": 1.0})
+
+
+class SparseHeteroOps(NamedTuple):
+    """Sparse ops + the noise process's kriging projection / prior factor."""
+
+    base: SparseOps
+    proj_err: jnp.ndarray  # (m_z, N)
+    pc_err_z: object  # TriInv of the noise-GP prior Gram at Z
+
+
+def n_params_hetero(m_z: int, m: int) -> int:
+    return m_z + m_z * transforms.tri_size(m) + m_z * m
+
+
+def unpack_hetero(vec: jnp.ndarray, m_z: int, m: int):
+    """Layout ``[tilde_l_z(m_z), uL_vecs_z(m_z*T), tilde_sigma2_err_z(m_z*M
+    task-major)]`` — models/gnmgp_hetero.py's layout with N -> m_z."""
+    from . import base as base_mod
+    from .gnmgp_hetero import Params as HeteroParams
+
+    t = transforms.tri_size(m)
+    base_mod.check_vec(vec, m_z + m_z * t + m_z * m, "gnmgp_hetero_sparse",
+                       f"[tilde_l_z({m_z}), uL_vecs_z({m_z}*{t}), "
+                       f"tilde_sigma2_err_z({m_z}*{m})] for m_z={m_z}, M={m}")
+    return HeteroParams(
+        tilde_l=vec[:m_z],
+        ul_vecs=vec[m_z : m_z + m_z * t],
+        tilde_sigma2_err=vec[m_z + m_z * t :],
+    )
+
+
+def make_ops_hetero(x, z, hyper: dict | None = None) -> SparseHeteroOps:
+    from ..predict.latent import krige_proj
+
+    hp = {**HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    base_ops = make_ops(x, z, hp)
+    proj_err, _ = krige_proj(z, x, hp["alpha_err"], hp["beta_err"])
+    pc_err_z = chol.prior_rbf_inv(z, hp["alpha_err"], hp["beta_err"])
+    return SparseHeteroOps(base_ops, proj_err, pc_err_z)
+
+
+def noise_at_data(p, ops_h: SparseHeteroOps, m: int, hyper=None) -> jnp.ndarray:
+    """Kriged task-major (N*M,) log-noise field at the data inputs."""
+    hp = {**HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops_h.base.z.shape[0]
+    err_mat_z = p.tilde_sigma2_err.reshape(m, m_z)  # task-major rows
+    return (hp["mu_err"]
+            + (err_mat_z - hp["mu_err"]) @ ops_h.proj_err).reshape(-1)
+
+
+def log_lik_hetero(p, data: FullData, ops_h: SparseHeteroOps,
+                   approx: str = "fitc", hyper=None, mask=None) -> jnp.ndarray:
+    """Sparse heteroscedastic marginal log-likelihood.
+
+    Identical Nystrom structure with a per-slot noise diagonal
+    ``exp(kriged log-noise)``; the VFE penalty becomes the per-slot
+    ``-corr_i / (2 lambda_i)`` (the Titsias bound holds pointwise).
+    """
+    m = data.y.shape[1]
+    sp_p = SparseParams(p.tilde_l, p.ul_vecs,
+                        jnp.zeros((), data.y.dtype))  # sigma2 unused below
+    noise = jnp.exp(noise_at_data(p, ops_h, m, hyper))  # (N*M,)
+    w = _woodbury_noise(sp_p, data, ops_h.base, m, approx, noise, hyper, mask)
+    res = _loglik_from_woodbury(w, 1.0, approx="fitc")  # telescope only;
+    # the hetero VFE penalty is per-slot and added below
+    if approx == "vfe":
+        corr = w.corr if w.mv is None else w.corr * w.mv
+        res = res - 0.5 * jnp.sum(corr / noise)
+    return res
+
+
+def _woodbury_noise(sp_p: SparseParams, data: FullData, ops: SparseOps,
+                    m: int, approx: str, noise: jnp.ndarray, hyper=None,
+                    mask=None) -> _Woodbury:
+    """:func:`_woodbury` with an explicit per-slot noise diagonal."""
+    m_z = ops.z.shape[0]
+    tl_x, ul_x = latents_at_data(sp_p, ops, m, hyper)
+    lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)
+    lz = transforms.vec_to_tril(
+        transforms.ulvec_to_lvec(sp_p.ul_vecs_z.reshape(m_z, -1), m), m
+    )
+    ell_x = jnp.exp(tl_x)
+    ell_z = jnp.exp(sp_p.tilde_l_z)
+
+    from .gnmgp import gram
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)
+    k_mm = gram(k_zz, lz)
+    k_xz = kernels.nonstationary_rbf_cov(data.x, ell1=ell_x, x2=ops.z, ell2=ell_z)
+    k_nm = cross_gram(k_xz, lx, lz)
+    k_diag = ((1.0 + settings.jitter) * jnp.sum(lx * lx, axis=-1)).T.reshape(-1)
+    mv = None
+    if mask is not None:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)
+    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), noise,
+                          approx, mv)
+
+
+def log_posterior_hetero(p, data: FullData, ops_h: SparseHeteroOps,
+                         approx: str = "fitc", hyper=None,
+                         prior: bool = True, mask=None):
+    """Sparse hetero log-posterior: the exact hetero model's priors at Z
+    (models/gnmgp_hetero.log_posterior — GP priors on tilde_l, the L-entry
+    columns, and each task's log-noise row, plus the exp Jacobian sum)."""
+    hp = {**HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops_h.base.z.shape[0]
+    m = data.y.shape[1]
+    t = transforms.tri_size(m)
+    loglik = log_lik_hetero(p, data, ops_h, approx=approx, hyper=hp, mask=mask)
+
+    lp_l = dists.mvn_logpdf_chol(p.tilde_l, hp["mu_tilde_l"], ops_h.base.pc_l_z)
+    ul_mat = p.ul_vecs.reshape(m_z, t)
+    lp_uL = jnp.sum(
+        jax.vmap(lambda col: dists.mvn_logpdf_chol(
+            col, hp["mu_L"], ops_h.base.pc_ul_z))(ul_mat.T)
+    )
+    err_mat = p.tilde_sigma2_err.reshape(m, m_z)
+    lp_err = jnp.sum(
+        jax.vmap(lambda row: dists.mvn_logpdf_chol(
+            row, hp["mu_err"], ops_h.pc_err_z))(err_mat)
+    )
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_uL + lp_err + jnp.sum(p.tilde_sigma2_err)
+    comps = {"loglik": loglik, "log_prior_tilde_l": lp_l,
+             "log_prior_uL_vecs": lp_uL, "log_prior_sigma2_err": lp_err}
+    return res, comps
+
+
+def make_objective_hetero(data: FullData, z=None, n_inducing: int = 64,
+                          hyper: dict | None = None, approx: str = "fitc",
+                          prior: bool = True, mask=None):
+    """Jit-friendly sparse hetero negative-log-posterior: ``(nlp, ops_h)``."""
+    from . import base as base_mod
+
+    base_mod.check_full_data(data, "gnmgp_hetero_sparse")
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    hp = {**HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    if z is None:
+        x_real = data.x if mask is None else data.x[: int(jnp.sum(mask))]
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops_h = make_ops_hetero(data.x, z, hp)
+    m_z = ops_h.base.z.shape[0]
+    m = data.y.shape[1]
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack_hetero(vec, m_z, m)
+        res, _ = log_posterior_hetero(p, data, ops_h, approx=approx,
+                                      hyper=hp, prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops_h

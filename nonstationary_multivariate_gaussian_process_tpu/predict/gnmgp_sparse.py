@@ -250,3 +250,69 @@ def predict_test_hadamard(vec, data, ops: model.SparseOps, m: int, x_test,
     mu, s2, _ = _moments_hadamard(vec, data, ops, m, x_test, indx_test,
                                   hyper, approx, mask)
     return mu, s2
+
+
+# ---------------------------------------------------------------------------
+# Heteroscedastic variant: predictive noise kriged from the Z noise field.
+# ---------------------------------------------------------------------------
+
+
+def _moments_hetero(vec, data: FullData, ops_h, grid, hyper=None,
+                    approx: str = "fitc", mask=None):
+    """Sparse hetero predictive moments: the homoscedastic machinery with a
+    per-slot training noise and the *kriged* noise at the grid in the
+    predictive variance (the exact-tier analogue is
+    ``predict/gnmgp_hetero.py``'s kriged-noise override)."""
+    hp = {**model.HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    n, m = data.y.shape
+    m_z = ops_h.base.z.shape[0]
+    p = model.unpack_hetero(jnp.asarray(vec), m_z, m)
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+
+    sp_p = model.SparseParams(p.tilde_l, p.ul_vecs, jnp.zeros((), data.y.dtype))
+    noise_tr = jnp.exp(model.noise_at_data(p, ops_h, m, hp))
+    w = model._woodbury_noise(sp_p, data, ops_h.base, m, approx, noise_tr,
+                              hp, mask)
+    tl_g, l_vec_g, ls_g = _latents_at(sp_p, ops_h.base.z, grid, hp, m)
+    ell_g = jnp.exp(tl_g)
+    ell_z = jnp.exp(p.tilde_l)
+    lz = transforms.vec_to_tril(
+        transforms.ulvec_to_lvec(p.ul_vecs.reshape(m_z, -1), m), m
+    )
+    k_gz = kernels.nonstationary_rbf_cov(grid, ell1=ell_g, x2=ops_h.base.z,
+                                         ell2=ell_z)
+    k_gm = model.cross_gram(k_gz, ls_g, lz)
+
+    t_star = chol_ops.tri_solve(w.c_mm, k_gm.T)
+    w_star = chol_ops.tri_solve(w.c_in, t_star)
+    v = chol_ops.tri_solve(w.c_in, w.a @ w.d)
+    mu = (w_star.T @ v).reshape(m, g).T
+    k_star_diag = ((1.0 + settings.jitter)
+                   * jnp.sum(ls_g * ls_g, axis=-1)).T.reshape(-1)
+    var = (k_star_diag - jnp.sum(t_star * t_star, axis=0)
+           + jnp.sum(w_star * w_star, axis=0)).reshape(m, g).T
+
+    # kriged per-task log-noise at the grid
+    proj_err, _ = krige_proj(ops_h.base.z, grid, hp["alpha_err"], hp["beta_err"])
+    err_mat_z = p.tilde_sigma2_err.reshape(m, m_z)
+    noise_g = jnp.exp(
+        hp["mu_err"] + (err_mat_z - hp["mu_err"]) @ proj_err
+    ).T  # (G, M)
+    s2 = jnp.maximum(var + noise_g, noise_g)
+    return mu, s2, l_vec_g
+
+
+def predict_map_hetero(vec, data: FullData, ops_h, grid, hyper=None,
+                       approx: str = "fitc", mask=None) -> GridPredictionSVC:
+    mu, s2, l_vec_g = _moments_hetero(vec, data, ops_h, grid, hyper, approx,
+                                      mask)
+    sd = jnp.sqrt(s2)
+    pct = jnp.stack([mu - 1.96 * sd, mu, mu + 1.96 * sd], axis=1)
+    return GridPredictionSVC(percentiles=pct, mean=mu, std=sd, l_vecs=l_vec_g)
+
+
+def predict_test_hetero(vec, data: FullData, ops_h, x_test, hyper=None,
+                        approx: str = "fitc", mask=None):
+    mu, s2, _ = _moments_hetero(vec, data, ops_h, x_test, hyper, approx, mask)
+    return mu, s2

@@ -44,13 +44,14 @@ from .predict import gnmgp_sparse as pred_gnmgp_sparse
 from .utils.artifacts import ArtifactStore
 
 _MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp, "gnmgp_hetero": gnmgp_hetero,
-           "gnmgp_sparse": gnmgp_sparse}
+           "gnmgp_sparse": gnmgp_sparse, "gnmgp_hetero_sparse": gnmgp_sparse}
 _PREDICT = {
     "lmc": pred_lmc,
     "snmgp": pred_snmgp,
     "gnmgp": pred_gnmgp,
     "gnmgp_hetero": pred_gnmgp_hetero,
     "gnmgp_sparse": pred_gnmgp_sparse,
+    "gnmgp_hetero_sparse": pred_gnmgp_sparse,
 }
 
 
@@ -498,9 +499,11 @@ def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
         return None
     from .inference import whiten as whiten_mod
 
-    # the sparse layout IS the gnmgp layout with (x, N) -> (Z, m_z); the
-    # caller passes x=Z, n=m_z, so the dense whitener applies verbatim
-    model_name = "gnmgp" if cfg.model == "gnmgp_sparse" else cfg.model
+    # the sparse layouts ARE the dense layouts with (x, N) -> (Z, m_z); the
+    # caller passes x=Z, n=m_z, so the dense whiteners apply verbatim
+    model_name = {"gnmgp_sparse": "gnmgp",
+                  "gnmgp_hetero_sparse": "gnmgp_hetero"}.get(cfg.model,
+                                                             cfg.model)
     if cfg.whiten == "pncp":
         w = whiten_mod.make_whitener(model_name, x, n, m, cfg.hyper,
                                      hadamard=hadamard, mode="eig")
@@ -634,12 +637,17 @@ def _build_inits(cfg, emp, x, y, key, z=None):
     model = cfg.model
     if model == "lmc":
         return {"empirical": init_mod.lmc_from_empirical(emp, n, m)}
-    if model == "gnmgp_sparse":
+    if model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
         # subsample the dense empirical init onto the inducing layout — no
         # separable warm-start fit (that costs the O((MN)^3) this tier avoids)
         dense = init_mod.gnmgp_from_empirical(emp, n, m)
-        return {"empirical": gnmgp_sparse.init_from_empirical(
-            dense, n, z.shape[0], m, x, z)}
+        v = gnmgp_sparse.init_from_empirical(dense, n, z.shape[0], m, x, z)
+        if model == "gnmgp_hetero_sparse":
+            # broadcast the homoscedastic noise over the (Z x task) process
+            v = jnp.concatenate(
+                [v[:-1], jnp.full((z.shape[0] * m,), v[-1], v.dtype)]
+            )
+        return {"empirical": v}
     if model == "snmgp":
         lmc_nlp = lmc.make_objective(FullData(x, y))
         lmc_res = map_mod.fit_map(
@@ -708,8 +716,17 @@ def run_subject(
     result["timings"]["empirical"] = time.time() - t0
     result["empirical"] = emp
 
-    sparse = cfg.model == "gnmgp_sparse"
-    if sparse:
+    sparse = cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse")
+    hsparse = cfg.model == "gnmgp_hetero_sparse"
+    if hsparse:
+        nlp, sp_ops = gnmgp_sparse.make_objective_hetero(
+            data, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
+            hyper=cfg.hyper,
+        )
+        m_z = int(sp_ops.base.z.shape[0])
+        result["n_inducing"] = m_z
+        result["sparse_approx"] = cfg.sparse_approx
+    elif sparse:
         nlp, sp_ops = gnmgp_sparse.make_objective(
             data, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
             hyper=cfg.hyper,
@@ -721,8 +738,10 @@ def run_subject(
         nlp = model.make_objective(data, hyper=cfg.hyper)
         sp_ops = None
         m_z = None
+    sp_z = ((sp_ops.base.z if hsparse else sp_ops.z) if sparse else None)
     if cfg.do_map:
         expected_p = (model.n_params(m) if cfg.model == "lmc"
+                      else gnmgp_sparse.n_params_hetero(m_z, m) if hsparse
                       else model.n_params(m_z, m) if sparse
                       else model.n_params(n, m))
         stored = None
@@ -741,8 +760,7 @@ def run_subject(
             result["map_vec"] = map_vec = stored
         else:
             t0 = time.time()
-            inits = _build_inits(cfg, emp, xd, yd, key,
-                                 z=sp_ops.z if sparse else None)
+            inits = _build_inits(cfg, emp, xd, yd, key, z=sp_z)
             ckpt = None
             if store is not None:
                 ckpt = lambda v, i: store.save(_key("map_ckpt"), vec=np.asarray(v), iteration=i)
@@ -763,7 +781,7 @@ def run_subject(
     if cfg.do_hmc and map_vec is not None:
         t0 = time.time()
         whitener = (
-            _make_sampling_whitener(nlp, map_vec, cfg, key, sp_ops.z, m_z, m)
+            _make_sampling_whitener(nlp, map_vec, cfg, key, sp_z, m_z, m)
             if sparse else
             _make_sampling_whitener(nlp, map_vec, cfg, key, xd, n, m)
         )
@@ -815,7 +833,7 @@ def run_subject(
         )
         result["map_latents"] = {
             "tilde_l": tilde_l, "B": b_proc, "R": cor_proc, "stds": std_proc,
-            "inputs": np.asarray(sp_ops.z) if sparse else np.asarray(x),
+            "inputs": np.asarray(sp_z) if sparse else np.asarray(x),
         }
         if "hmc_samples" in result:
             result["latent_summary"] = analysis_mod.gnmgp_latent_summary(
@@ -826,7 +844,11 @@ def run_subject(
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
     if cfg.do_pred_grid and map_vec is not None:
         t0 = time.time()
-        if sparse:
+        if hsparse:
+            gp = pred.predict_map_hetero(map_vec, data, sp_ops, grid,
+                                         hyper=cfg.hyper,
+                                         approx=cfg.sparse_approx)
+        elif sparse:
             gp = pred.predict_map(map_vec, data, sp_ops, grid,
                                   hyper=cfg.hyper, approx=cfg.sparse_approx)
         elif cfg.model == "lmc":
@@ -842,7 +864,11 @@ def run_subject(
 
     if cfg.do_pred_test and map_vec is not None and x_test is not None:
         xt = jnp.asarray(x_test, settings.dtype)
-        if sparse:
+        if hsparse:
+            tp = pred.predict_map_hetero(map_vec, data, sp_ops, xt,
+                                         hyper=cfg.hyper,
+                                         approx=cfg.sparse_approx)
+        elif sparse:
             tp = pred.predict_map(map_vec, data, sp_ops, xt,
                                   hyper=cfg.hyper, approx=cfg.sparse_approx)
         elif cfg.model == "lmc":
@@ -858,7 +884,13 @@ def run_subject(
                 store.save(_key("scores"), rmse=result["test_rmse"], lpd=result["test_lpd"])
 
     if cfg.do_evaluation and map_vec is not None:
-        if sparse:
+        if hsparse:
+            dev = lambda v: -2.0 * gnmgp_sparse.log_lik_hetero(
+                gnmgp_sparse.unpack_hetero(
+                    jnp.asarray(v, settings.dtype), m_z, m),
+                data, sp_ops, approx=cfg.sparse_approx, hyper=cfg.hyper,
+            )
+        elif sparse:
             dev = lambda v: -2.0 * gnmgp_sparse.log_lik(
                 gnmgp_sparse.unpack(jnp.asarray(v, settings.dtype), m_z, m),
                 data, sp_ops, approx=cfg.sparse_approx, hyper=cfg.hyper,
@@ -880,7 +912,7 @@ def run_subject(
             if sparse:
                 cond_ll = evaluate.chain_conditional_loglik_sparse(
                     hist, data, sp_ops, approx=cfg.sparse_approx,
-                    hyper=cfg.hyper,
+                    hyper=cfg.hyper, hetero=hsparse,
                 )
             else:
                 cond_ll = evaluate.chain_conditional_loglik(

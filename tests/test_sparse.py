@@ -345,3 +345,107 @@ class TestWorkflowHadamard:
         assert res["pred_grid"].mean.shape == (21, M)
         assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
         assert np.isfinite(res["loo"]["elpd_loo"])
+
+
+class TestHetero:
+    def _rand_hvec(self, m_z, key=1, scale=0.3):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
+        tl = -1.0 + scale * jax.random.normal(k1, (m_z,))
+        ul = scale * jax.random.normal(k2, (m_z * T,))
+        s2 = -3.0 + scale * jax.random.normal(k3, (m_z * M,))
+        return jnp.concatenate([tl, ul, s2])
+
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_woodbury_matches_dense(self, approx):
+        data = _data(n=24)
+        z = sp.choose_inducing(data.x, 8)
+        ops_h = sp.make_ops_hetero(data.x, z)
+        m_z = z.shape[0]
+        vec = self._rand_hvec(m_z, key=2)
+        p = sp.unpack_hetero(vec, m_z, M)
+        noise = jnp.exp(sp.noise_at_data(p, ops_h, M))
+        sp_p = sp.SparseParams(p.tilde_l, p.ul_vecs, jnp.zeros(()))
+        w = sp._woodbury_noise(sp_p, data, ops_h.base, M, approx, noise)
+        cov = _dense_cov_from_woodbury(w)
+        want = dists.mvn_logpdf_dense_unnorm(task_major(data.y), 0.0, cov)
+        if approx == "vfe":
+            want = want - 0.5 * jnp.sum(w.corr / noise)
+        got = sp.log_lik_hetero(p, data, ops_h, approx=approx)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    def test_exact_limit_z_equals_x(self):
+        from nonstationary_multivariate_gaussian_process_tpu.models import (
+            gnmgp_hetero,
+        )
+
+        data = _data(n=24)
+        ops_h = sp.make_ops_hetero(data.x, data.x)
+        vec = self._rand_hvec(24, key=3)
+        p = sp.unpack_hetero(vec, 24, M)
+        sp_p = sp.SparseParams(p.tilde_l, p.ul_vecs, jnp.zeros(()))
+        tl_x, ul_x = sp.latents_at_data(sp_p, ops_h.base, M,
+                                        sp.HETERO_DEFAULT_HYPERS)
+        noise_x = sp.noise_at_data(p, ops_h, M)
+        dense_p = gnmgp_hetero.Params(tilde_l=tl_x, ul_vecs=ul_x.reshape(-1),
+                                      tilde_sigma2_err=noise_x)
+        want = gnmgp_hetero.log_lik(dense_p, data)
+        got = sp.log_lik_hetero(p, data, ops_h, approx="fitc")
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-3, atol=0.05)
+
+    def test_mask_pad_exact(self):
+        data = _data(n=20)
+        n_pad = 26
+        x_pad = jnp.concatenate([data.x, jnp.full((n_pad - 20,), data.x[-1])])
+        y_pad = jnp.concatenate([data.y, jnp.zeros((n_pad - 20, M), data.y.dtype)])
+        mask = jnp.arange(n_pad) < 20
+        z = sp.choose_inducing(data.x, 7)
+        nlp_real, _ = sp.make_objective_hetero(data, z=z)
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            FullData as FD,
+        )
+        nlp_pad, _ = sp.make_objective_hetero(FD(x_pad, y_pad), z=z, mask=mask)
+        vec = self._rand_hvec(z.shape[0], key=4)
+        np.testing.assert_allclose(float(nlp_pad(vec)), float(nlp_real(vec)),
+                                   rtol=1e-9)
+
+    def test_map_recovers_noise_trend(self):
+        """Simulated hetero subject: the MAP's kriged noise field tracks the
+        truth's rising noise scale, and prediction stays calibrated."""
+        d = sim.sim_mnts_hetero(jax.random.PRNGKey(2), n=160, m=M)
+        data = FullData(d.x, d.y)
+        nlp, ops_h = sp.make_objective_hetero(data, n_inducing=20)
+        m_z = ops_h.base.z.shape[0]
+        init = jnp.concatenate([
+            jnp.full((m_z,), -1.0),
+            jnp.tile(jnp.asarray([0.3, 0.0, 0.3]), m_z),
+            jnp.full((m_z * M,), -3.0),
+        ])
+        res = fit_map(nlp, init, n_iters=300, method="lbfgs")
+        assert float(nlp(res.vec)) < float(nlp(init)) - 20.0
+        p = sp.unpack_hetero(res.vec, m_z, M)
+        noise_x = np.asarray(sp.noise_at_data(p, ops_h, M))  # (N*M,) log
+        truth = np.asarray(d.tilde_sigma2_err)  # (N*M,) true log noise
+        # recovered log-noise correlates with the true log-noise profile
+        corr = np.corrcoef(truth, noise_x)[0, 1]
+        assert corr > 0.3
+        mu, s2 = sp_pred.predict_test_hetero(res.vec, data, ops_h, data.x)
+        assert mu.shape == (160, M) and bool(jnp.all(s2 > 0))
+
+
+class TestWorkflowHeteroSparse:
+    def test_run_subject_hetero_sparse(self):
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+        d = sim.sim_mnts_hetero(jax.random.PRNGKey(4), n=96, m=M)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp_hetero_sparse", n_inducing=12, n_opt=120,
+            map_method="lbfgs", do_hmc=True, n_hmc=8, whiten=True,
+            do_loo=True, loo_draws=4, test_size=0.2, n_grid=17,
+        )
+        res = workflows.run_subject(np.asarray(d.x), np.asarray(d.y), cfg)
+        p_len = sp.n_params_hetero(12, M)
+        assert res["map_vec"].shape == (p_len,)
+        assert res["hmc_samples"].shape[1] == p_len
+        assert res["pred_grid"].mean.shape == (17, M)
+        assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
+        assert np.isfinite(res["aic"]) and np.isfinite(res["loo"]["elpd_loo"])
