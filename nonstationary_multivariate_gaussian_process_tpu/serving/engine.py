@@ -30,6 +30,7 @@ from .. import settings
 from ..models.base import FullData
 from ..predict import gnmgp as pred_gnmgp
 from ..predict import gnmgp_hetero as pred_hetero
+from ..predict import gnmgp_sparse as pred_sparse
 from ..predict import lmc as pred_lmc
 from ..predict import snmgp as pred_snmgp
 from ..utils.artifacts import ArtifactStore
@@ -39,7 +40,11 @@ _PRED = {
     "snmgp": pred_snmgp,
     "gnmgp": pred_gnmgp,
     "gnmgp_hetero": pred_hetero,
+    "gnmgp_sparse": pred_sparse,
+    "gnmgp_hetero_sparse": pred_sparse,
 }
+
+_SPARSE = ("gnmgp_sparse", "gnmgp_hetero_sparse")
 
 GRID_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
@@ -73,6 +78,27 @@ class PredictEngine:
         # the TPU is exclusive-access; serialize device work across threads
         self._lock = threading.Lock()
 
+        if model in _SPARSE:
+            # the sparse predictors krige grid-side projections on the host
+            # (f64 islands) so they run EAGERLY — at sparse cost
+            # (O(G M (mM)^2) matmuls) the dispatch overhead is negligible
+            if model == "gnmgp_hetero_sparse":
+                self._map_fn = lambda v, x, y, g, ops, approx: (
+                    pred_sparse.predict_map_hetero(
+                        v, FullData(x, y), ops, g, hyper=hyper, approx=approx
+                    ))
+                self._sample_fn = None  # hetero sparse chain prediction: map-only
+            else:
+                self._map_fn = lambda v, x, y, g, ops, approx: (
+                    pred_sparse.predict_map(
+                        v, FullData(x, y), ops, g, hyper=hyper, approx=approx
+                    ))
+                self._sample_fn = lambda k, hv, x, y, g, ops, approx: (
+                    pred_sparse.predict_sample(
+                        k, hv, FullData(x, y), ops, g, hyper=hyper,
+                        approx=approx
+                    ))
+            return
         if model == "lmc":
             map_fn = lambda v, x, y, g: pred_lmc.predict_map(v, FullData(x, y), g)
             sample_fn = lambda k, hv, x, y, g: pred_lmc.predict_sample(
@@ -110,11 +136,28 @@ class PredictEngine:
             if not self.store.exists(k("map")) or not self.store.exists(k("data")):
                 raise KeyError(f"subject {sid!r} has no fitted artifacts under {self.store.root}")
             data = self.store.load(k("data"))
+            map_art = self.store.load(k("map"))
             rec = {
                 "x": jnp.asarray(data["x"], settings.dtype),
                 "y": jnp.asarray(data["y"], settings.dtype),
-                "vec": jnp.asarray(self.store.load(k("map"))["vec"], settings.dtype),
+                "vec": jnp.asarray(map_art["vec"], settings.dtype),
             }
+            if self.model in _SPARSE:
+                from ..models import gnmgp_sparse as sp_model
+
+                if "z" not in map_art:
+                    raise KeyError(
+                        f"subject {sid!r}: sparse artifacts need the inducing "
+                        "inputs ('z' in the map stage) — refit with the "
+                        "current run_subject"
+                    )
+                z = jnp.asarray(map_art["z"], settings.dtype)
+                rec["ops"] = (
+                    sp_model.make_ops_hetero(rec["x"], z, self.hyper)
+                    if self.model == "gnmgp_hetero_sparse"
+                    else sp_model.make_ops(rec["x"], z, self.hyper)
+                )
+                rec["approx"] = str(map_art.get("approx", "fitc"))
             if self.store.exists(k("hmc")):
                 rec["chain"] = jnp.asarray(
                     self.store.load(k("hmc"))["samples"], settings.dtype
@@ -148,9 +191,12 @@ class PredictEngine:
         grid = jnp.asarray(
             np.concatenate([xs, np.full((gb - g,), xs[-1])]), settings.dtype
         )
+        sparse_args = ((rec["ops"], rec["approx"])
+                       if self.model in _SPARSE else ())
         with self._lock:
             if mode == "map":
-                gp = self._map_fn(rec["vec"], rec["x"], rec["y"], grid)
+                gp = self._map_fn(rec["vec"], rec["x"], rec["y"], grid,
+                                  *sparse_args)
                 return {
                     "mean": np.asarray(gp.mean)[:g],
                     "std": np.asarray(gp.std)[:g],
@@ -158,11 +204,16 @@ class PredictEngine:
                     "upper": np.asarray(gp.percentiles)[:g, 2],
                 }
             if mode == "sample":
+                if self._sample_fn is None:
+                    raise ValueError(
+                        f"model {self.model!r} serves mode='map' only"
+                    )
                 if "chain" not in rec:
                     raise KeyError(f"subject {sid!r} has no stored HMC chain")
                 self._key, sub = jax.random.split(self._key)
                 hv = rec["chain"][-int(n_sample):]
-                draws = self._sample_fn(sub, hv, rec["x"], rec["y"], grid)
+                draws = self._sample_fn(sub, hv, rec["x"], rec["y"], grid,
+                                        *sparse_args)
                 draws = np.asarray(draws)[:g]  # (G, S, M)
                 return {
                     "mean": draws.mean(axis=1),

@@ -773,8 +773,11 @@ def run_subject(
             result["map_init"] = name
             result["target_hist"] = np.asarray(res.target_hist)
             if store is not None:
+                extra = ({"z": np.asarray(sp_z),
+                          "approx": np.asarray(cfg.sparse_approx)}
+                         if sparse else {})
                 store.save(_key("map"), vec=np.asarray(res.vec),
-                           target_hist=np.asarray(res.target_hist))
+                           target_hist=np.asarray(res.target_hist), **extra)
     else:
         map_vec = None
 

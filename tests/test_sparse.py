@@ -449,3 +449,34 @@ class TestWorkflowHeteroSparse:
         assert res["pred_grid"].mean.shape == (17, M)
         assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
         assert np.isfinite(res["aic"]) and np.isfinite(res["loo"]["elpd_loo"])
+
+
+class TestServingSparse:
+    def test_engine_serves_sparse_subject(self, tmp_path):
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+        from nonstationary_multivariate_gaussian_process_tpu.serving.engine import (
+            PredictEngine,
+        )
+        from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+            ArtifactStore,
+        )
+
+        d = sim.sim_mnts(jax.random.PRNGKey(8), n=80, m=M)
+        cfg = workflows.PipelineConfig(
+            model="gnmgp_sparse", n_inducing=12, n_opt=100,
+            map_method="lbfgs", do_hmc=True, n_hmc=6,
+            do_pred_grid=False, do_pred_test=False, do_evaluation=False,
+        )
+        store = ArtifactStore(tmp_path)
+        workflows.run_subject(np.asarray(d.x), np.asarray(d.y), cfg,
+                              store=store, dataset="sim", subject=0)
+        eng = PredictEngine(tmp_path, model="gnmgp_sparse", dataset="sim")
+        assert eng.subject_ids() == ["0"]
+        out = eng.predict("0", np.linspace(0.1, 0.9, 7))
+        assert out["mean"].shape == (7, M)
+        assert np.all(np.isfinite(out["mean"])) and np.all(out["std"] > 0)
+        outs = eng.predict("0", np.linspace(0.1, 0.9, 7), mode="sample",
+                           n_sample=4)
+        assert outs["mean"].shape == (7, M)
+        info = eng.info("0")
+        assert info["n"] == 80 and info["has_chain"]
