@@ -1,0 +1,122 @@
+"""Sparse (inducing-point) fleet tier: equality vs the single-subject
+objective, pad-exactness, and whitened fleet chains.
+
+The single-subject sparse tier is pinned against the exact model in
+tests/test_sparse.py; here we pin the *fleet* path (stacked SparseOps under
+vmap + shard_map, parallel/fleet_sparse.py) to the single-subject one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonstationary_multivariate_gaussian_process_tpu.models import gnmgp_sparse as sp
+from nonstationary_multivariate_gaussian_process_tpu.models.base import FullData
+from nonstationary_multivariate_gaussian_process_tpu.models.gnmgp import DEFAULT_HYPERS
+from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet_sparse as fs
+
+S, N, M, MZ = 3, 32, 2, 8
+
+
+def _fleet_data(seed=0, ragged=True):
+    rng = np.random.default_rng(seed)
+    xs = np.sort(rng.uniform(0.0, 1.0, (S, N)), axis=1)
+    ys = rng.normal(size=(S, N, M))
+    masks = np.ones((S, N), bool)
+    if ragged:
+        masks[0, 24:] = False
+    vecs = 0.1 * rng.normal(size=(S, sp.n_params(MZ, M)))
+    return xs, ys, masks, vecs
+
+
+@pytest.mark.parametrize("approx", ["fitc", "vfe"])
+def test_fleet_map_matches_single_subject(approx):
+    """Every subject's fleet objective == its standalone sparse objective
+    (same Z chosen from the real prefix), evaluated at the fitted vecs."""
+    xs, ys, masks, vecs = _fleet_data()
+    res = fs.fit_fleet_map_sparse(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=25, lr=0.05,
+        approx=approx,
+    )
+    assert res.vecs.shape == vecs.shape
+    for i in range(S):
+        n_real = int(masks[i].sum())
+        z = sp.choose_inducing(xs[i][:n_real], MZ)
+        nlp, _ = sp.make_objective(
+            FullData(jnp.asarray(xs[i]), jnp.asarray(ys[i])),
+            z=z, approx=approx, mask=jnp.asarray(masks[i]),
+        )
+        np.testing.assert_allclose(
+            float(nlp(res.vecs[i])), float(res.final_nlp[i]),
+            rtol=1e-6,
+        )
+
+
+def test_fleet_map_pad_exact():
+    """A padded ragged subject fits to the same optimum as its exact-size
+    run: the masked sparse likelihood never sees the padded tail."""
+    xs, ys, masks, vecs = _fleet_data(seed=1)
+    n_real = int(masks[0].sum())
+    res_pad = fs.fit_fleet_map_sparse(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=20, lr=0.05)
+    res_exact = fs.fit_fleet_map_sparse(
+        xs[:1, :n_real], ys[:1, :n_real], vecs[:1],
+        n_inducing=MZ, n_iters=20, lr=0.05)
+    np.testing.assert_allclose(
+        float(res_pad.final_nlp[0]), float(res_exact.final_nlp[0]),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pad.vecs[0]), np.asarray(res_exact.vecs[0]),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_fleet_map_decreases_objective():
+    xs, ys, masks, vecs = _fleet_data(seed=2)
+    hp = dict(DEFAULT_HYPERS)
+    ops, _, _, m_z = fs.make_fleet_sparse_ops(xs, masks, MZ, hp)
+    nlp = fs._subject_nlp_sparse(m_z, hp, "fitc")
+    init = np.array([
+        float(nlp(jnp.asarray(vecs[i]), jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                  jax.tree_util.tree_map(lambda a: a[i], ops),
+                  jnp.asarray(masks[i], jnp.float64)))
+        for i in range(S)
+    ])
+    res = fs.fit_fleet_map_sparse(
+        xs, ys, vecs, ops=ops, masks=masks, n_iters=60, lr=0.05)
+    assert np.all(np.asarray(res.final_nlp) < init)
+    assert np.isfinite(res.fleet_metrics["mean_final_nlp"])
+
+
+def test_hmc_fleet_sparse_whitened():
+    """Whitened sparse fleet chains: finite natural-space draws, key-
+    deterministic, and the masked padded subject's chain matches its
+    exact-size chain (pad-exact sampling)."""
+    xs, ys, masks, vecs = _fleet_data(seed=3)
+    res = fs.fit_fleet_map_sparse(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=20, lr=0.05)
+    key = jax.random.PRNGKey(7)
+    samp = fs.hmc_fleet_sparse(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=6,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    assert samp.shape == (S, 6, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(samp)).all()
+    samp2 = fs.hmc_fleet_sparse(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=6,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
+
+
+def test_validation_errors():
+    xs, ys, masks, vecs = _fleet_data()
+    with pytest.raises(ValueError, match="parameter stack"):
+        fs.fit_fleet_map_sparse(xs, ys, vecs[:, :-2], n_inducing=MZ,
+                                masks=masks, n_iters=1)
+    with pytest.raises(ValueError, match="masks must match"):
+        fs.fit_fleet_map_sparse(xs, ys, vecs, n_inducing=MZ,
+                                masks=masks[:, :-1], n_iters=1)
+    with pytest.raises(ValueError, match="approx"):
+        fs.fit_fleet_map_sparse(xs, ys, vecs, n_inducing=MZ,
+                                approx="nope", n_iters=1)
