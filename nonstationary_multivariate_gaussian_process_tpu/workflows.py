@@ -1570,6 +1570,93 @@ def run_sim_fleet(
     return out
 
 
+def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
+    """One bucket of a sparse-GNMGP cohort: a stacked-SparseOps fleet.
+
+    The packed layout lives at the bucket's shared inducing count
+    ``m_z = min(cfg.n_inducing, bucket min real N)`` — parameters are at Z,
+    not X, so none of the dense cohort's latent-slot padding/cropping
+    applies.  Posterior sampling is the sparse fleet's tier: prior-whitened
+    adaptive HMC chains at Z (``parallel.fleet_sparse.hmc_fleet_sparse``),
+    ``cfg.n_chains`` per subject with non-primary starts jittered and pulled
+    back by a short fleet descent (the multichain recipe — raw jitter
+    strands chains above the typical set, ``inference/init.py``).
+    """
+    from .parallel import fleet_sparse as fsp
+
+    s = x.shape[0]
+    m = y.shape[-1]
+    ops, wl, wu, m_z = fsp.make_fleet_sparse_ops(
+        x, mask, cfg.n_inducing, cfg.hyper
+    )
+    inits = []
+    for j in range(s):
+        n_real = int(mask[j].sum())
+        emp = empirical.local_estimation(
+            x[j][:n_real], y[j][:n_real],
+            window_size=min(cfg.window_size, max(2, n_real // 3)),
+        )
+        dense_init = init_mod.gnmgp_from_empirical(emp, n_real, m)
+        inits.append(gnmgp_sparse.init_from_empirical(
+            dense_init, n_real, m_z, m, x[j][:n_real], ops.z[j]
+        ))
+    res = fsp.fit_fleet_map_sparse(
+        jnp.asarray(x), jnp.asarray(y), jnp.stack(inits), ops=ops,
+        hyper=cfg.hyper, approx=cfg.sparse_approx, n_iters=cfg.n_opt,
+        lr=cfg.lr, mesh=mesh, masks=jnp.asarray(mask),
+        method=cfg.map_method,
+    )
+    out = {
+        "vec": np.asarray(res.vecs),
+        "final_nlp": np.asarray(res.final_nlp),
+        "n_train": np.asarray(mask).sum(axis=1).astype(int),
+        "z": np.asarray(ops.z),
+        "m_z": np.full(s, m_z, dtype=int),
+    }
+    if cfg.do_hmc:
+        if cfg.whiten == "pncp":
+            raise ValueError("run_cohort supports whiten=True/'prior' only "
+                             "(pncp is single-subject)")
+        sampler, _ = _cohort_sampling_posture(cfg)
+        if sampler not in ("nuts", "hmc"):
+            raise ValueError(
+                "sparse cohort sampling supports whitened adaptive HMC only "
+                "(cohort_sampler='auto', or 'config' with sampler='hmc'); "
+                f"got {sampler!r}")
+        c = max(1, cfg.n_chains)
+        k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                      int(idxs[0]))
+        reps = lambda a: jnp.repeat(jnp.asarray(a), c, axis=0)
+        x_t, y_t = reps(x), reps(y)
+        mask_t = jnp.repeat(jnp.asarray(mask, bool), c, axis=0)
+        ops_t = jax.tree_util.tree_map(reps, ops)
+        wl_t, wu_t = reps(wl), reps(wu)
+        vec_t = reps(res.vecs)
+        if c > 1:
+            noise = 0.5 * jax.random.normal(
+                jax.random.fold_in(k_bucket, 1), vec_t.shape, vec_t.dtype
+            )
+            primary = (jnp.arange(vec_t.shape[0]) % c) == 0
+            vec_j = jnp.where(primary[:, None], vec_t, vec_t + noise)
+            res_d = fsp.fit_fleet_map_sparse(
+                x_t, y_t, vec_j, ops=ops_t, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, n_iters=min(300, cfg.n_opt),
+                lr=cfg.lr, mesh=mesh, masks=mask_t,
+            )
+            vec_t = res_d.vecs
+        n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+        samples = fsp.hmc_fleet_sparse(
+            x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
+            ops=ops_t, whiten_chols=(wl_t, wu_t),
+            n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+            n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
+            approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
+            adapt_step_size=True, whiten=True, masks=mask_t,
+        )
+        out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+    return out
+
+
 def run_cohort(
     subjects: dict,
     cfg: PipelineConfig | None = None,
@@ -1597,6 +1684,12 @@ def run_cohort(
     (``parallel.sharded_obj`` — the (MN × MN) Gram row-banded over the same
     mesh), so one year-long subject cannot cap the whole cohort's memory.
     LMC/SNMGP scale through their Kronecker structure and never need this.
+
+    ``cfg.model="gnmgp_sparse"`` routes every bucket through the sparse
+    inducing-point fleet instead (``parallel.fleet_sparse`` — many subjects
+    × large N each at O(N·M·(m_z·M)²) per subject): MAP, whitened adaptive
+    HMC chains at Z, Woodbury PSIS-LOO, and sparse test prediction land in
+    the same artifacts and reduction as the dense models'.
     """
     from .parallel import buckets as buckets_mod
     from .postprocess import summary as summary_mod
@@ -1632,6 +1725,10 @@ def run_cohort(
     tests = [prep[sid][2] for sid in ids]
 
     def fit_bucket(x, y, idxs, mask):
+        if cfg.model == "gnmgp_sparse":
+            # the large-N tier, subject-parallel: stacked SparseOps fleet
+            # (m_z-layout parameters at Z — no latent-slot pad/crop)
+            return _fit_bucket_sparse(x, y, idxs, mask, cfg, mesh)
         s, n = x.shape
         m = y.shape[-1]
         inits = []
@@ -1910,14 +2007,28 @@ def run_cohort(
             if hist.shape[0] > cfg.loo_draws:
                 sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[sel]
-            n_fit = _vec_input_count(cfg.model, hist.shape[1], m_tasks, n_bucket)
-            if n_fit != n_bucket and cfg.model != "lmc":
-                hist = np.asarray(jax.vmap(
-                    lambda v: _crop_vec(cfg.model, v, n_fit, n_bucket, m_tasks)
-                )(jnp.asarray(hist)))
-            cond_ll = evaluate.chain_conditional_loglik(
-                cfg.model, hist, x_used, y_used
-            )
+            if cfg.model == "gnmgp_sparse":
+                # m_z-layout draws need no cropping; LOO conditionals come
+                # from the sparse Woodbury factors (evaluate.py)
+                ops_used = gnmgp_sparse.make_ops(
+                    x_used, jnp.asarray(entry["z"]), cfg.hyper
+                )
+                cond_ll = evaluate.chain_conditional_loglik_sparse(
+                    hist,
+                    FullData(jnp.asarray(x_used, settings.dtype),
+                             jnp.asarray(y_used, settings.dtype)),
+                    ops_used, approx=cfg.sparse_approx, hyper=cfg.hyper,
+                )
+            else:
+                n_fit = _vec_input_count(cfg.model, hist.shape[1], m_tasks,
+                                         n_bucket)
+                if n_fit != n_bucket and cfg.model != "lmc":
+                    hist = np.asarray(jax.vmap(
+                        lambda v: _crop_vec(cfg.model, v, n_fit, n_bucket, m_tasks)
+                    )(jnp.asarray(hist)))
+                cond_ll = evaluate.chain_conditional_loglik(
+                    cfg.model, hist, x_used, y_used
+                )
             loo = evaluate.psis_loo(cond_ll)
             wa = evaluate.waic(cond_ll)
             rec["loo"] = {
@@ -1941,13 +2052,28 @@ def run_cohort(
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
             m_tasks = y_used.shape[1]
-            n_pad_fit = _vec_input_count(
-                cfg.model, int(vec.shape[0]), m_tasks, n_bucket
-            )
-            vec = _crop_vec(cfg.model, vec, n_pad_fit, n_bucket, m_tasks)
-            if cfg.model == "lmc":
+            if cfg.model == "gnmgp_sparse":
+                # m_z-layout vec; conditioning ops rebuilt at the subject's
+                # real inputs with the bucket-chosen Z (prefix quantiles,
+                # identical to the fit's)
+                ops_used = gnmgp_sparse.make_ops(
+                    np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
+                )
+                tp = pred_mod.predict_map(
+                    vec, data, ops_used, jnp.asarray(x_te, settings.dtype),
+                    hyper=cfg.hyper, approx=cfg.sparse_approx,
+                )
+            elif cfg.model == "lmc":
+                n_pad_fit = _vec_input_count(
+                    cfg.model, int(vec.shape[0]), m_tasks, n_bucket
+                )
+                vec = _crop_vec(cfg.model, vec, n_pad_fit, n_bucket, m_tasks)
                 tp = pred_mod.predict_map(vec, data, jnp.asarray(x_te, settings.dtype))
             else:
+                n_pad_fit = _vec_input_count(
+                    cfg.model, int(vec.shape[0]), m_tasks, n_bucket
+                )
+                vec = _crop_vec(cfg.model, vec, n_pad_fit, n_bucket, m_tasks)
                 tp = pred_mod.predict_map(
                     vec, data, jnp.asarray(x_te, settings.dtype), hyper=cfg.hyper
                 )
@@ -1959,8 +2085,12 @@ def run_cohort(
                     rmse=rec["test_rmse"], lpd=rec["test_lpd"],
                 )
         if store is not None:
+            extra = ({"z": np.asarray(entry["z"]),
+                      "approx": np.asarray(cfg.sparse_approx)}
+                     if cfg.model == "gnmgp_sparse" else {})
             store.save(
-                ArtifactStore.key(cfg.model, dataset, sid, "map"), vec=entry["vec"]
+                ArtifactStore.key(cfg.model, dataset, sid, "map"),
+                vec=entry["vec"], **extra
             )
         results[sid] = rec
 

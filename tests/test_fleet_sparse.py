@@ -120,3 +120,53 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="approx"):
         fs.fit_fleet_map_sparse(xs, ys, vecs, n_inducing=MZ,
                                 approx="nope", n_iters=1)
+
+
+def test_run_cohort_sparse(tmp_path):
+    """run_cohort(model="gnmgp_sparse"): the large-N tier reaches the cohort
+    driver — MAP + whitened chains + Woodbury LOO + test scores + reduction
+    land in the same artifact shapes as the dense models'."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore,
+    )
+
+    rng = np.random.default_rng(0)
+    subjects = {}
+    for i, n in enumerate([28, 32, 36]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = 0.5 * rng.normal(size=(n, 2)) + np.sin(4 * x)[:, None]
+        subjects[f"s{i}"] = (x, y)
+
+    cfg = wf.PipelineConfig(
+        model="gnmgp_sparse", n_inducing=8, n_opt=30, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = wf.run_cohort(subjects, cfg, store=store, dataset="sim",
+                        n_buckets=2, extrapolation_size=4)
+    assert out["reduction"]["n_valid"] == 3
+    p = sp.n_params(8, 2)
+    for sid, rec in out["subjects"].items():
+        assert np.isfinite(rec["final_nlp"])
+        assert rec["hmc_samples"].shape == (12, p)  # 2 chains x 6, m_z layout
+        assert {"min_ess", "max_rhat"} <= rec["sampling"].keys()
+        assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        saved = store.load(ArtifactStore.key("gnmgp_sparse", "sim", sid, "map"))
+        assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
+
+
+def test_run_cohort_sparse_rejects_other_samplers():
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0.0, 1.0, 24))
+    y = rng.normal(size=(24, 2))
+    cfg = wf.PipelineConfig(
+        model="gnmgp_sparse", n_inducing=8, n_opt=5, do_hmc=True,
+        cohort_sampler="config", sampler="smc",
+    )
+    with pytest.raises(ValueError, match="whitened adaptive HMC"):
+        wf.run_cohort({"a": (x, y)}, cfg, n_buckets=1)
