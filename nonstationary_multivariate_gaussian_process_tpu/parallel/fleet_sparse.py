@@ -325,3 +325,280 @@ def hmc_fleet_sparse(
     )
     samples = jax.jit(sharded)(map_vecs, xs, ys, ops, keys, masks, wl, wu)
     return samples[:s_real]
+
+
+# ---------------------------------------------------------------------------
+# Hadamard layout: one observation per (input, task) pair.
+# ---------------------------------------------------------------------------
+
+
+def make_fleet_sparse_ops_hadamard(xs, masks=None, n_inducing: int = 64,
+                                   hyper: dict | None = None):
+    """:func:`make_fleet_sparse_ops` under the Hadamard hyper defaults
+    (``gnmgp_sparse.HADAMARD_DEFAULT_HYPERS`` — the exact Hadamard SVC's,
+    reference logpos.py:566-585)."""
+    hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    xs_np = np.asarray(xs, np.float64)
+    s = xs_np.shape[0]
+    if masks is None:
+        n_reals = [xs_np.shape[1]] * s
+    else:
+        masks_np = np.asarray(masks, bool)
+        n_reals = [int(masks_np[i].sum()) for i in range(s)]
+    m_z = int(min(n_inducing, min(n_reals)))
+
+    ops_list, wl_list, wu_list = [], [], []
+    for i in range(s):
+        x_real = xs_np[i, : n_reals[i]]
+        z = gnmgp_sparse.choose_inducing(x_real, m_z)
+        if z.shape[0] != m_z:
+            raise ValueError(
+                f"subject {i}: only {z.shape[0]} distinct inducing inputs "
+                f"among its {n_reals[i]} real observations (need m_z={m_z})"
+            )
+        ops_list.append(gnmgp_sparse.make_ops_hadamard(xs_np[i], z, hp))
+        wl_list.append(chol_ops.prior_rbf_cholesky(
+            z, hp["alpha_tilde_l"], hp["beta_tilde_l"]))
+        wu_list.append(chol_ops.prior_rbf_cholesky(
+            z, hp["alpha_L"], hp["beta_L"]))
+
+    ops = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ops_list)
+    return ops, jnp.stack(wl_list), jnp.stack(wu_list), m_z
+
+
+def _subject_nlp_sparse_hadamard(m_z: int, m: int, hp: dict, approx: str):
+    """Per-subject sparse Hadamard objective
+    fn(vec, x, indx, y, ops, mask) → scalar."""
+
+    def nlp(vec, x, indx, y, ops, mask):
+        p = gnmgp_sparse.unpack(vec, m_z, m)
+        res, _ = gnmgp_sparse.log_posterior_hadamard(
+            p, (x, indx, y), ops, m, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def fit_fleet_map_sparse_hadamard(
+    xs: jnp.ndarray,  # (S, N)
+    indxs: jnp.ndarray,  # (S, N) int task indices
+    ys: jnp.ndarray,  # (S, N)
+    m: int,
+    init_vecs: jnp.ndarray,  # (S, m_z(1+T)+1)
+    ops=None,
+    n_inducing: int = 64,
+    hyper: dict | None = None,
+    approx: str = "fitc",
+    n_iters: int = 1000,
+    lr: float = 2e-1,
+    mesh: Mesh | None = None,
+    masks: jnp.ndarray | None = None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of sparse Hadamard-layout subjects over the mesh.
+
+    The sparse analog of ``fleet.fit_fleet_map_hadamard``: large ragged
+    clinical subjects (one observation per (input, task) pair) fit at
+    O(N (m_z M)^2) each, stacked SparseOps sharded with the subjects.
+    """
+    hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    if ops is None:
+        ops, _, _, m_z = make_fleet_sparse_ops_hadamard(
+            xs, masks, n_inducing, hyper)
+    else:
+        m_z = int(ops.z.shape[1])
+    xs_shape = np.shape(xs)
+    want_p = gnmgp_sparse.n_params(m_z, m)
+    if np.shape(init_vecs) != (xs_shape[0], want_p):
+        raise ValueError(
+            f"parameter stack must be (S={xs_shape[0]}, P={want_p}) for "
+            f"m_z={m_z}, M={m}, got {np.shape(init_vecs)}"
+        )
+    if np.shape(ys) != xs_shape or np.shape(indxs) != xs_shape:
+        raise ValueError(
+            f"hadamard fleet wants xs/indxs/ys all (S, N); got "
+            f"{xs_shape}/{np.shape(indxs)}/{np.shape(ys)}"
+        )
+    if masks is not None and np.shape(masks) != xs_shape:
+        raise ValueError(
+            f"masks must match xs {xs_shape}, got {np.shape(masks)}"
+        )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    init_vecs = jnp.asarray(init_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    ops = _pad_tree(ops, n_dev)
+
+    nlp = _subject_nlp_sparse_hadamard(m_z, m, hp, approx)
+    if method == "lbfgs":
+        optimizer = optax.lbfgs()
+        step_builder = map_mod.guarded_lbfgs_step
+    elif method == "adam":
+        optimizer = optax.adam(lr)
+        step_builder = map_mod.guarded_adam_step
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
+
+    def fit_one(vec0, x, indx, y, op, mask):
+        obj = lambda v: nlp(v, x, indx, y, op, mask)
+        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
+        (v, _, bv, bval), hist = jax.lax.scan(
+            step_builder(obj, optimizer),
+            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
+        )
+        v_fin = obj(v)
+        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
+        bv = jnp.where(take_final, v, bv)
+        return bv, jnp.where(take_final, v_fin, bval), hist
+
+    def shard_fn(vec0, x, indx, y, op, mask):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, indx, y, op, mask)
+        total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
+        lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
+        hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
+        return vecs, finals, hists, total, lo, hi
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS),
+                   P(), P(), P()),
+        check_vma=(method == "adam"),
+    )
+    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
+        init_vecs, xs, indxs, ys, ops, masks
+    )
+    s_total = xs.shape[0]
+    return FleetResult(
+        vecs=vecs[:s_real],
+        final_nlp=finals[:s_real],
+        target_hist=hists[:s_real],
+        fleet_metrics={
+            "mean_final_nlp": float(total) / s_total,
+            "min_final_nlp": float(lo),
+            "max_final_nlp": float(hi),
+        },
+    )
+
+
+def hmc_fleet_sparse_hadamard(
+    xs: jnp.ndarray,
+    indxs: jnp.ndarray,
+    ys: jnp.ndarray,
+    m: int,
+    map_vecs: jnp.ndarray,
+    key,
+    ops=None,
+    whiten_chols=None,
+    n_inducing: int = 64,
+    n_samples: int = 100,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 20,
+    hyper: dict | None = None,
+    approx: str = "fitc",
+    mesh: Mesh | None = None,
+    n_warmup: int = 0,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.75,
+    whiten: bool = False,
+    masks: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """HMC chains for a sparse Hadamard fleet — (S, n_samples, P) draws.
+
+    ``whiten=True`` uses the dense fleet's gnmgp block table at N=m_z with
+    the Hadamard-prior Cholesky factors at Z (the Hadamard layout's L_vecs
+    are raw, but the prior map is the same linear structure —
+    ``fleet.hmc_fleet_hadamard`` precedent).
+    """
+    from ..inference import hmc as hmc_mod
+
+    hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    if ops is None:
+        ops, wl, wu, m_z = make_fleet_sparse_ops_hadamard(
+            xs, masks, n_inducing, hyper)
+    else:
+        m_z = int(ops.z.shape[1])
+        if whiten:
+            if whiten_chols is None:
+                raise ValueError("whiten=True with prebuilt ops needs "
+                                 "whiten_chols=(wl, wu)")
+            wl, wu = whiten_chols
+    wfns = _fleet_whiten_fns("gnmgp", m_z, m, hp) if whiten else None
+
+    xs = jnp.asarray(xs, settings.dtype)
+    indxs = jnp.asarray(indxs, jnp.int32)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    indxs, _ = pad_to_multiple(indxs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    ops = _pad_tree(ops, n_dev)
+    if whiten:
+        wl, _ = pad_to_multiple(jnp.asarray(wl, settings.dtype), n_dev)
+        wu, _ = pad_to_multiple(jnp.asarray(wu, settings.dtype), n_dev)
+    else:
+        wl = jnp.zeros((xs.shape[0], 0, 0), settings.dtype)
+        wu = wl
+
+    nlp = _subject_nlp_sparse_hadamard(m_z, m, hp, approx)
+    empty = jnp.zeros((0,), settings.dtype)
+
+    def chain_one(vec0, x, indx, y, op, k, mask, l1, l2):
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, l1, l2, empty), x, indx, y, op, mask)
+            vec0 = tw(vec0, l1, l2, empty)
+        else:
+            pot = lambda v: nlp(v, x, indx, y, op, mask)
+        res = hmc_mod.hmc_sample(
+            pot, vec0, n_samples, k, step_size=step_size,
+            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+            adapt_step_size=adapt_step_size, target_accept=target_accept,
+        )
+        if wfns is not None:
+            return jax.vmap(lambda u: wfns[0](u, l1, l2, empty))(res.samples)
+        return res.samples
+
+    def shard_fn(vec0, x, indx, y, op, k, mask, l1, l2):
+        return jax.vmap(chain_one)(vec0, x, indx, y, op, k, mask, l1, l2)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 9),
+        out_specs=P(SUBJECT_AXIS),
+    )
+    samples = jax.jit(sharded)(map_vecs, xs, indxs, ys, ops, keys, masks,
+                               wl, wu)
+    return samples[:s_real]

@@ -170,3 +170,60 @@ def test_run_cohort_sparse_rejects_other_samplers():
     )
     with pytest.raises(ValueError, match="whitened adaptive HMC"):
         wf.run_cohort({"a": (x, y)}, cfg, n_buckets=1)
+
+
+def _hadamard_fleet_data(seed=5):
+    rng = np.random.default_rng(seed)
+    n = 40
+    xs = np.sort(rng.uniform(0.0, 1.0, (S, n)), axis=1)
+    indxs = rng.integers(0, M, (S, n))
+    ys = rng.normal(size=(S, n))
+    masks = np.ones((S, n), bool)
+    masks[0, 30:] = False
+    vecs = 0.1 * rng.normal(size=(S, sp.n_params(MZ, M)))
+    return xs, indxs, ys, masks, vecs
+
+
+def test_hadamard_fleet_map_matches_single_subject():
+    from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+        HadamardData,
+    )
+
+    xs, indxs, ys, masks, vecs = _hadamard_fleet_data()
+    res = fs.fit_fleet_map_sparse_hadamard(
+        xs, indxs, ys, M, vecs, n_inducing=MZ, masks=masks,
+        n_iters=25, lr=0.05)
+    for i in range(S):
+        n_real = int(masks[i].sum())
+        z = sp.choose_inducing(xs[i][:n_real], MZ)
+        nlp, _ = sp.make_objective_hadamard(
+            HadamardData(jnp.asarray(xs[i]), jnp.asarray(indxs[i]),
+                         jnp.asarray(ys[i])),
+            M, z=z, mask=jnp.asarray(masks[i]),
+        )
+        np.testing.assert_allclose(
+            float(nlp(res.vecs[i])), float(res.final_nlp[i]), rtol=1e-6)
+
+
+def test_hadamard_fleet_pad_exact_and_chains():
+    xs, indxs, ys, masks, vecs = _hadamard_fleet_data(seed=6)
+    n_real = int(masks[0].sum())
+    res_pad = fs.fit_fleet_map_sparse_hadamard(
+        xs, indxs, ys, M, vecs, n_inducing=MZ, masks=masks,
+        n_iters=20, lr=0.05)
+    res_exact = fs.fit_fleet_map_sparse_hadamard(
+        xs[:1, :n_real], indxs[:1, :n_real], ys[:1, :n_real], M, vecs[:1],
+        n_inducing=MZ, n_iters=20, lr=0.05)
+    np.testing.assert_allclose(
+        float(res_pad.final_nlp[0]), float(res_exact.final_nlp[0]),
+        rtol=1e-8)
+    key = jax.random.PRNGKey(9)
+    samp = fs.hmc_fleet_sparse_hadamard(
+        xs, indxs, ys, M, res_pad.vecs, key, n_inducing=MZ, n_samples=5,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    assert samp.shape == (S, 5, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(samp)).all()
+    samp2 = fs.hmc_fleet_sparse_hadamard(
+        xs, indxs, ys, M, res_pad.vecs, key, n_inducing=MZ, n_samples=5,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
