@@ -1163,6 +1163,10 @@ def run_cohort_hadamard(
         # bucket stager; unstack here
         indx = y_pair[..., 0].astype(np.int64)
         y = y_pair[..., 1]
+        if cfg.model == "gnmgp_sparse":
+            # the large-N Hadamard tier: stacked-SparseOps fleet at Z
+            return _fit_bucket_sparse_hadamard(x, indx, y, m, idxs, mask,
+                                               cfg, mesh)
         s, n = x.shape
         rng_init = np.random.default_rng(0)
         dims = {"lmc": 2 + t + 1, "snmgp": 2 * n + t + 1, "gnmgp": n + n * t + 1}
@@ -1319,22 +1323,40 @@ def run_cohort_hadamard(
         i_u = indxs[pos][:n_real]
         y_u = ys[pos][:n_real]
         vec = jnp.asarray(entry["vec"], settings.dtype)
-        n_fit = _vec_input_count(cfg.model, int(vec.shape[0]), m, n_real)
-        vec = _crop_vec(cfg.model, vec, n_fit, n_real, m)
+        h_sparse = cfg.model == "gnmgp_sparse"
+        if h_sparse:
+            # m_z layout: no latent-slot crop; rebuild the conditioning ops
+            # at the subject's real inputs with the bucket-chosen Z
+            n_fit = n_real
+            sp_ops_u = gnmgp_sparse.make_ops_hadamard(
+                np.asarray(x_u), jnp.asarray(entry["z"]), cfg.hyper
+            )
+        else:
+            n_fit = _vec_input_count(cfg.model, int(vec.shape[0]), m, n_real)
+            vec = _crop_vec(cfg.model, vec, n_fit, n_real, m)
         rec["map_vec"] = np.asarray(vec)
         if cfg.do_loo and "hmc_samples" in rec:
             hist = np.asarray(rec["hmc_samples"])
             if hist.shape[0] > cfg.loo_draws:
                 sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[sel]
-            if n_fit != n_real and cfg.model != "lmc":
-                hist = np.asarray(jax.vmap(
-                    lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
-                )(jnp.asarray(hist)))
-            cond_ll = evaluate.chain_conditional_loglik_hadamard(
-                cfg.model, hist, np.asarray(x_u), np.asarray(i_u),
-                np.asarray(y_u), m,
-            )
+            if h_sparse:
+                cond_ll = evaluate.chain_conditional_loglik_sparse_hadamard(
+                    hist,
+                    HadamardData(jnp.asarray(x_u, settings.dtype),
+                                 jnp.asarray(i_u, jnp.int32),
+                                 jnp.asarray(y_u, settings.dtype)),
+                    sp_ops_u, m, approx=cfg.sparse_approx, hyper=cfg.hyper,
+                )
+            else:
+                if n_fit != n_real and cfg.model != "lmc":
+                    hist = np.asarray(jax.vmap(
+                        lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
+                    )(jnp.asarray(hist)))
+                cond_ll = evaluate.chain_conditional_loglik_hadamard(
+                    cfg.model, hist, np.asarray(x_u), np.asarray(i_u),
+                    np.asarray(y_u), m,
+                )
             loo = evaluate.psis_loo(cond_ll)
             wa = evaluate.waic(cond_ll)
             rec["loo"] = {
@@ -1354,7 +1376,12 @@ def run_cohort_hadamard(
             )
             xt = jnp.asarray(x_te, settings.dtype)
             it = jnp.asarray(i_te, jnp.int32)
-            if cfg.model == "lmc":
+            if h_sparse:
+                mean, var = pred_gnmgp_sparse.predict_test_hadamard(
+                    vec, data, sp_ops_u, m, xt, it, hyper=cfg.hyper,
+                    approx=cfg.sparse_approx)
+                std = jnp.sqrt(var)
+            elif cfg.model == "lmc":
                 mean, std = pred_h.lmc_predict_test(vec, data, xt, it, m)
             elif cfg.model == "snmgp":
                 mean, std = pred_h.snmgp_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
@@ -1362,7 +1389,10 @@ def run_cohort_hadamard(
                 mean, std = pred_h.svc_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
             rec["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
             rec["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
-            if "hmc_samples" in rec:
+            # sample-based indexed scoring: dense models only (the sparse
+            # tier has no chain-sample Hadamard predictor yet —
+            # run_subject_hadamard applies the same gate)
+            if "hmc_samples" in rec and not h_sparse:
                 # sample-based indexed scoring over the cohort chain — the
                 # KAISER path (reference test_predsample_hadamard,
                 # prediction.py:678-708), previously only reachable from
@@ -1394,7 +1424,11 @@ def run_cohort_hadamard(
                     rmse=rec["test_rmse"], lpd=rec["test_lpd"],
                 )
         if store is not None:
-            store.save(ArtifactStore.key(cfg.model, dataset, sid, "map"), vec=rec["map_vec"])
+            extra = ({"z": np.asarray(entry["z"]),
+                      "approx": np.asarray(cfg.sparse_approx)}
+                     if h_sparse else {})
+            store.save(ArtifactStore.key(cfg.model, dataset, sid, "map"),
+                       vec=rec["map_vec"], **extra)
         results[sid] = rec
 
     out = {"subjects": results, "ids": ids}
@@ -1647,6 +1681,78 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
         samples = fsp.hmc_fleet_sparse(
             x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
+            ops=ops_t, whiten_chols=(wl_t, wu_t),
+            n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+            n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
+            approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
+            adapt_step_size=True, whiten=True, masks=mask_t,
+        )
+        out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+    return out
+
+
+def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
+                                cfg: PipelineConfig, mesh) -> dict:
+    """Hadamard-layout analogue of :func:`_fit_bucket_sparse` (one
+    observation per (input, task) pair; random inits, the dense Hadamard
+    cohort's convention)."""
+    from .parallel import fleet_sparse as fsp
+
+    s = x.shape[0]
+    ops, wl, wu, m_z = fsp.make_fleet_sparse_ops_hadamard(
+        x, mask, cfg.n_inducing, cfg.hyper
+    )
+    rng_init = np.random.default_rng(0)
+    inits = 0.1 * rng_init.standard_normal((s, gnmgp_sparse.n_params(m_z, m)))
+    inits[:, -1] = -2.0
+    res = fsp.fit_fleet_map_sparse_hadamard(
+        jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y), m,
+        jnp.asarray(inits), ops=ops, hyper=cfg.hyper,
+        approx=cfg.sparse_approx, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
+        masks=jnp.asarray(mask), method=cfg.map_method,
+    )
+    out = {
+        "vec": np.asarray(res.vecs),
+        "final_nlp": np.asarray(res.final_nlp),
+        "n_train": np.asarray(mask).sum(axis=1).astype(int),
+        "z": np.asarray(ops.z),
+        "m_z": np.full(s, m_z, dtype=int),
+    }
+    if cfg.do_hmc:
+        if cfg.whiten == "pncp":
+            raise ValueError("run_cohort_hadamard supports whiten=True/"
+                             "'prior' only (pncp is single-subject)")
+        sampler, _ = _cohort_sampling_posture(cfg)
+        if sampler not in ("nuts", "hmc"):
+            raise ValueError(
+                "sparse cohort sampling supports whitened adaptive HMC only "
+                "(cohort_sampler='auto', or 'config' with sampler='hmc'); "
+                f"got {sampler!r}")
+        c = max(1, cfg.n_chains)
+        k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                      int(idxs[0]))
+        reps = lambda a: jnp.repeat(jnp.asarray(a), c, axis=0)
+        x_t, y_t = reps(x), reps(y)
+        indx_t = jnp.repeat(jnp.asarray(indx, jnp.int32), c, axis=0)
+        mask_t = jnp.repeat(jnp.asarray(mask, bool), c, axis=0)
+        ops_t = jax.tree_util.tree_map(reps, ops)
+        wl_t, wu_t = reps(wl), reps(wu)
+        vec_t = reps(res.vecs)
+        if c > 1:
+            noise = 0.5 * jax.random.normal(
+                jax.random.fold_in(k_bucket, 1), vec_t.shape, vec_t.dtype
+            )
+            primary = (jnp.arange(vec_t.shape[0]) % c) == 0
+            vec_j = jnp.where(primary[:, None], vec_t, vec_t + noise)
+            res_d = fsp.fit_fleet_map_sparse_hadamard(
+                x_t, indx_t, y_t, m, vec_j, ops=ops_t, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, n_iters=min(300, cfg.n_opt),
+                lr=cfg.lr, mesh=mesh, masks=mask_t,
+            )
+            vec_t = res_d.vecs
+        n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
+        samples = fsp.hmc_fleet_sparse_hadamard(
+            x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
             ops=ops_t, whiten_chols=(wl_t, wu_t),
             n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
             n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,

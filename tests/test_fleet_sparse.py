@@ -227,3 +227,41 @@ def test_hadamard_fleet_pad_exact_and_chains():
         xs, indxs, ys, M, res_pad.vecs, key, n_inducing=MZ, n_samples=5,
         step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
     np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
+
+
+def test_run_cohort_hadamard_sparse(tmp_path):
+    """run_cohort_hadamard(model="gnmgp_sparse"): sparse fleet MAP +
+    whitened chains + sparse-Hadamard LOO + indexed test scores."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore,
+    )
+
+    rng = np.random.default_rng(0)
+    subjects = {}
+    for i, n in enumerate([32, 40, 48]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        indx = rng.integers(0, M, n)
+        y = 0.5 * rng.normal(size=n) + np.sin(4 * x)
+        subjects[f"s{i}"] = (x, indx, y)
+
+    cfg = wf.PipelineConfig(
+        model="gnmgp_sparse", n_inducing=8, n_opt=30, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = wf.run_cohort_hadamard(subjects, M, cfg, store=store,
+                                 dataset="simh", n_buckets=2,
+                                 split="random", test_size=0.25)
+    assert out["reduction"]["n_valid"] == 3
+    p = sp.n_params(8, M)
+    for sid, rec in out["subjects"].items():
+        assert np.isfinite(rec["final_nlp"])
+        assert rec["map_vec"].shape == (p,)
+        assert rec["hmc_samples"].shape == (12, p)
+        assert {"min_ess", "max_rhat"} <= rec["sampling"].keys()
+        assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        saved = store.load(ArtifactStore.key("gnmgp_sparse", "simh", sid, "map"))
+        assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
