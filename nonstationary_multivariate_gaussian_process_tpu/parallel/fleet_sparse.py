@@ -602,3 +602,268 @@ def hmc_fleet_sparse_hadamard(
     samples = jax.jit(sharded)(map_vecs, xs, indxs, ys, ops, keys, masks,
                                wl, wu)
     return samples[:s_real]
+
+
+# ---------------------------------------------------------------------------
+# Heteroscedastic variant: per-(input, task) noise GP, also at Z.
+# ---------------------------------------------------------------------------
+
+
+def make_fleet_sparse_ops_hetero(xs, masks=None, n_inducing: int = 64,
+                                 hyper: dict | None = None):
+    """Stacked :class:`~..models.gnmgp_sparse.SparseHeteroOps` for the fleet:
+    ``(ops_h, wl, wu, werr, m_z)`` — the homoscedastic factors plus the
+    noise GP's prior Cholesky at Z (the third whitening block)."""
+    hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    xs_np = np.asarray(xs, np.float64)
+    s = xs_np.shape[0]
+    if masks is None:
+        n_reals = [xs_np.shape[1]] * s
+    else:
+        masks_np = np.asarray(masks, bool)
+        n_reals = [int(masks_np[i].sum()) for i in range(s)]
+    m_z = int(min(n_inducing, min(n_reals)))
+
+    ops_list, wl_list, wu_list, we_list = [], [], [], []
+    for i in range(s):
+        x_real = xs_np[i, : n_reals[i]]
+        z = gnmgp_sparse.choose_inducing(x_real, m_z)
+        if z.shape[0] != m_z:
+            raise ValueError(
+                f"subject {i}: only {z.shape[0]} distinct inducing inputs "
+                f"among its {n_reals[i]} real observations (need m_z={m_z})"
+            )
+        ops_list.append(gnmgp_sparse.make_ops_hetero(xs_np[i], z, hp))
+        wl_list.append(chol_ops.prior_rbf_cholesky(
+            z, hp["alpha_tilde_l"], hp["beta_tilde_l"]))
+        wu_list.append(chol_ops.prior_rbf_cholesky(
+            z, hp["alpha_L"], hp["beta_L"]))
+        we_list.append(chol_ops.prior_rbf_cholesky(
+            z, hp["alpha_err"], hp["beta_err"]))
+
+    ops = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ops_list)
+    return (ops, jnp.stack(wl_list), jnp.stack(wu_list),
+            jnp.stack(we_list), m_z)
+
+
+def _subject_nlp_sparse_hetero(m_z: int, hp: dict, approx: str):
+    """Per-subject sparse hetero objective fn(vec, x, y, ops_h, mask)."""
+
+    def nlp(vec, x, y, ops_h, mask):
+        p = gnmgp_sparse.unpack_hetero(vec, m_z, y.shape[1])
+        res, _ = gnmgp_sparse.log_posterior_hetero(
+            p, FullData(x, y), ops_h, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def fit_fleet_map_sparse_hetero(
+    xs: jnp.ndarray,  # (S, N)
+    ys: jnp.ndarray,  # (S, N, M)
+    init_vecs: jnp.ndarray,  # (S, m_z(1+T+M))
+    ops=None,
+    n_inducing: int = 64,
+    hyper: dict | None = None,
+    approx: str = "fitc",
+    n_iters: int = 1000,
+    lr: float = 2e-1,
+    mesh: Mesh | None = None,
+    masks: jnp.ndarray | None = None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of heteroscedastic sparse-GNMGP subjects.
+
+    The per-(input, task) noise GP lives at Z and is kriged to a per-slot
+    Lambda (``gnmgp_sparse.log_lik_hetero``); everything else follows
+    :func:`fit_fleet_map_sparse`."""
+    hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    if ops is None:
+        ops, _, _, _, m_z = make_fleet_sparse_ops_hetero(
+            xs, masks, n_inducing, hyper)
+    else:
+        m_z = int(ops.base.z.shape[1])
+    m = np.shape(ys)[-1]
+    want_p = gnmgp_sparse.n_params_hetero(m_z, m)
+    if np.shape(init_vecs) != (np.shape(xs)[0], want_p):
+        raise ValueError(
+            f"parameter stack must be (S={np.shape(xs)[0]}, P={want_p}) for "
+            f"m_z={m_z}, M={m}, got {np.shape(init_vecs)}"
+        )
+    if masks is not None and np.shape(masks) != np.shape(xs):
+        raise ValueError(
+            f"masks must match xs {np.shape(xs)}, got {np.shape(masks)}"
+        )
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    init_vecs = jnp.asarray(init_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    ops = _pad_tree(ops, n_dev)
+
+    nlp = _subject_nlp_sparse_hetero(m_z, hp, approx)
+    if method == "lbfgs":
+        optimizer = optax.lbfgs()
+        step_builder = map_mod.guarded_lbfgs_step
+    elif method == "adam":
+        optimizer = optax.adam(lr)
+        step_builder = map_mod.guarded_adam_step
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
+
+    def fit_one(vec0, x, y, op, mask):
+        obj = lambda v: nlp(v, x, y, op, mask)
+        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
+        (v, _, bv, bval), hist = jax.lax.scan(
+            step_builder(obj, optimizer),
+            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
+        )
+        v_fin = obj(v)
+        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
+        bv = jnp.where(take_final, v, bv)
+        return bv, jnp.where(take_final, v_fin, bval), hist
+
+    def shard_fn(vec0, x, y, op, mask):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, op, mask)
+        total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
+        lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
+        hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
+        return vecs, finals, hists, total, lo, hi
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 5),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS),
+                   P(), P(), P()),
+        check_vma=(method == "adam"),
+    )
+    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
+        init_vecs, xs, ys, ops, masks
+    )
+    s_total = xs.shape[0]
+    return FleetResult(
+        vecs=vecs[:s_real],
+        final_nlp=finals[:s_real],
+        target_hist=hists[:s_real],
+        fleet_metrics={
+            "mean_final_nlp": float(total) / s_total,
+            "min_final_nlp": float(lo),
+            "max_final_nlp": float(hi),
+        },
+    )
+
+
+def hmc_fleet_sparse_hetero(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    map_vecs: jnp.ndarray,
+    key,
+    ops=None,
+    whiten_chols=None,  # (wl, wu, werr) when whiten=True with prebuilt ops
+    n_inducing: int = 64,
+    n_samples: int = 100,
+    step_size: float = 1e-4,
+    n_leapfrog: int = 20,
+    hyper: dict | None = None,
+    approx: str = "fitc",
+    mesh: Mesh | None = None,
+    n_warmup: int = 0,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.75,
+    whiten: bool = False,
+    masks: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """HMC chains for a hetero sparse fleet — (S, n_samples, P) draws.
+
+    ``whiten=True`` uses the dense fleet's gnmgp_hetero block table at
+    N=m_z (three blocks: tilde_l, L-entries, the task-major noise rows)
+    with the prior factors at Z."""
+    from ..inference import hmc as hmc_mod
+
+    hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    if ops is None:
+        ops, wl, wu, werr, m_z = make_fleet_sparse_ops_hetero(
+            xs, masks, n_inducing, hyper)
+    else:
+        m_z = int(ops.base.z.shape[1])
+        if whiten:
+            if whiten_chols is None:
+                raise ValueError("whiten=True with prebuilt ops needs "
+                                 "whiten_chols=(wl, wu, werr)")
+            wl, wu, werr = whiten_chols
+    m = np.asarray(ys).shape[-1]
+    wfns = _fleet_whiten_fns("gnmgp_hetero", m_z, m, hp) if whiten else None
+
+    xs = jnp.asarray(xs, settings.dtype)
+    ys = jnp.asarray(ys, settings.dtype)
+    map_vecs = jnp.asarray(map_vecs, settings.dtype)
+    s_real = xs.shape[0]
+    xs, _ = pad_to_multiple(xs, n_dev)
+    ys, _ = pad_to_multiple(ys, n_dev)
+    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
+    keys = jax.random.split(key, xs.shape[0])
+    if masks is not None:
+        masks = jnp.asarray(masks, bool)
+        masks, _ = pad_to_multiple(masks, n_dev)
+    else:
+        masks = jnp.ones(xs.shape, bool)
+    ops = _pad_tree(ops, n_dev)
+    if whiten:
+        wl, _ = pad_to_multiple(jnp.asarray(wl, settings.dtype), n_dev)
+        wu, _ = pad_to_multiple(jnp.asarray(wu, settings.dtype), n_dev)
+        werr, _ = pad_to_multiple(jnp.asarray(werr, settings.dtype), n_dev)
+    else:
+        wl = jnp.zeros((xs.shape[0], 0, 0), settings.dtype)
+        wu = wl
+        werr = wl
+
+    nlp = _subject_nlp_sparse_hetero(m_z, hp, approx)
+
+    def chain_one(vec0, x, y, op, k, mask, l1, l2, l3):
+        if wfns is not None:
+            fw, tw = wfns
+            pot = lambda u: nlp(fw(u, l1, l2, l3), x, y, op, mask)
+            vec0 = tw(vec0, l1, l2, l3)
+        else:
+            pot = lambda v: nlp(v, x, y, op, mask)
+        res = hmc_mod.hmc_sample(
+            pot, vec0, n_samples, k, step_size=step_size,
+            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+            adapt_step_size=adapt_step_size, target_accept=target_accept,
+        )
+        if wfns is not None:
+            return jax.vmap(lambda u: wfns[0](u, l1, l2, l3))(res.samples)
+        return res.samples
+
+    def shard_fn(vec0, x, y, op, k, mask, l1, l2, l3):
+        return jax.vmap(chain_one)(vec0, x, y, op, k, mask, l1, l2, l3)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * 9),
+        out_specs=P(SUBJECT_AXIS),
+    )
+    samples = jax.jit(sharded)(map_vecs, xs, ys, ops, keys, masks,
+                               wl, wu, werr)
+    return samples[:s_real]

@@ -265,3 +265,41 @@ def test_run_cohort_hadamard_sparse(tmp_path):
         assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
         saved = store.load(ArtifactStore.key("gnmgp_sparse", "simh", sid, "map"))
         assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
+
+
+def test_hetero_fleet_map_matches_single_subject():
+    xs, ys, masks, _ = _fleet_data(seed=7)
+    rng = np.random.default_rng(7)
+    p = sp.n_params_hetero(MZ, M)
+    vecs = 0.1 * rng.normal(size=(S, p))
+    vecs[:, -MZ * M:] -= 2.0
+    res = fs.fit_fleet_map_sparse_hetero(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=20, lr=0.05)
+    for i in range(S):
+        n_real = int(masks[i].sum())
+        z = sp.choose_inducing(xs[i][:n_real], MZ)
+        nlp, _ = sp.make_objective_hetero(
+            FullData(jnp.asarray(xs[i]), jnp.asarray(ys[i])),
+            z=z, mask=jnp.asarray(masks[i]))
+        np.testing.assert_allclose(
+            float(nlp(res.vecs[i])), float(res.final_nlp[i]), rtol=1e-6)
+
+
+def test_hetero_fleet_whitened_chains():
+    xs, ys, masks, _ = _fleet_data(seed=8)
+    rng = np.random.default_rng(8)
+    p = sp.n_params_hetero(MZ, M)
+    vecs = 0.1 * rng.normal(size=(S, p))
+    vecs[:, -MZ * M:] -= 2.0
+    res = fs.fit_fleet_map_sparse_hetero(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=15, lr=0.05)
+    key = jax.random.PRNGKey(3)
+    samp = fs.hmc_fleet_sparse_hetero(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=5,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    assert samp.shape == (S, 5, p)
+    assert np.isfinite(np.asarray(samp)).all()
+    samp2 = fs.hmc_fleet_sparse_hetero(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=5,
+        step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
+    np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
