@@ -1620,9 +1620,22 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
 
     s = x.shape[0]
     m = y.shape[-1]
-    ops, wl, wu, m_z = fsp.make_fleet_sparse_ops(
-        x, mask, cfg.n_inducing, cfg.hyper
-    )
+    hetero = cfg.model == "gnmgp_hetero_sparse"
+    if hetero:
+        ops, wl, wu, werr, m_z = fsp.make_fleet_sparse_ops_hetero(
+            x, mask, cfg.n_inducing, cfg.hyper
+        )
+        z_stack = ops.base.z
+        fit_fn, hmc_fn = (fsp.fit_fleet_map_sparse_hetero,
+                          fsp.hmc_fleet_sparse_hetero)
+        wchols = (wl, wu, werr)
+    else:
+        ops, wl, wu, m_z = fsp.make_fleet_sparse_ops(
+            x, mask, cfg.n_inducing, cfg.hyper
+        )
+        z_stack = ops.z
+        fit_fn, hmc_fn = fsp.fit_fleet_map_sparse, fsp.hmc_fleet_sparse
+        wchols = (wl, wu)
     inits = []
     for j in range(s):
         n_real = int(mask[j].sum())
@@ -1631,10 +1644,17 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             window_size=min(cfg.window_size, max(2, n_real // 3)),
         )
         dense_init = init_mod.gnmgp_from_empirical(emp, n_real, m)
-        inits.append(gnmgp_sparse.init_from_empirical(
-            dense_init, n_real, m_z, m, x[j][:n_real], ops.z[j]
-        ))
-    res = fsp.fit_fleet_map_sparse(
+        init_j = gnmgp_sparse.init_from_empirical(
+            dense_init, n_real, m_z, m, x[j][:n_real], z_stack[j]
+        )
+        if hetero:
+            # broadcast the homoscedastic noise over the (Z x task) process
+            # (run_subject's _build_inits recipe)
+            init_j = jnp.concatenate(
+                [init_j[:-1], jnp.full((m_z * m,), init_j[-1], init_j.dtype)]
+            )
+        inits.append(init_j)
+    res = fit_fn(
         jnp.asarray(x), jnp.asarray(y), jnp.stack(inits), ops=ops,
         hyper=cfg.hyper, approx=cfg.sparse_approx, n_iters=cfg.n_opt,
         lr=cfg.lr, mesh=mesh, masks=jnp.asarray(mask),
@@ -1644,7 +1664,7 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
         "vec": np.asarray(res.vecs),
         "final_nlp": np.asarray(res.final_nlp),
         "n_train": np.asarray(mask).sum(axis=1).astype(int),
-        "z": np.asarray(ops.z),
+        "z": np.asarray(z_stack),
         "m_z": np.full(s, m_z, dtype=int),
     }
     if cfg.do_hmc:
@@ -1664,7 +1684,7 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
         x_t, y_t = reps(x), reps(y)
         mask_t = jnp.repeat(jnp.asarray(mask, bool), c, axis=0)
         ops_t = jax.tree_util.tree_map(reps, ops)
-        wl_t, wu_t = reps(wl), reps(wu)
+        wchols_t = tuple(reps(w) for w in wchols)
         vec_t = reps(res.vecs)
         if c > 1:
             noise = 0.5 * jax.random.normal(
@@ -1672,16 +1692,16 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             )
             primary = (jnp.arange(vec_t.shape[0]) % c) == 0
             vec_j = jnp.where(primary[:, None], vec_t, vec_t + noise)
-            res_d = fsp.fit_fleet_map_sparse(
+            res_d = fit_fn(
                 x_t, y_t, vec_j, ops=ops_t, hyper=cfg.hyper,
                 approx=cfg.sparse_approx, n_iters=min(300, cfg.n_opt),
                 lr=cfg.lr, mesh=mesh, masks=mask_t,
             )
             vec_t = res_d.vecs
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
-        samples = fsp.hmc_fleet_sparse(
+        samples = hmc_fn(
             x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
-            ops=ops_t, whiten_chols=(wl_t, wu_t),
+            ops=ops_t, whiten_chols=wchols_t,
             n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
             n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
             approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
@@ -1831,7 +1851,7 @@ def run_cohort(
     tests = [prep[sid][2] for sid in ids]
 
     def fit_bucket(x, y, idxs, mask):
-        if cfg.model == "gnmgp_sparse":
+        if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
             # the large-N tier, subject-parallel: stacked SparseOps fleet
             # (m_z-layout parameters at Z — no latent-slot pad/crop)
             return _fit_bucket_sparse(x, y, idxs, mask, cfg, mesh)
@@ -2113,17 +2133,23 @@ def run_cohort(
             if hist.shape[0] > cfg.loo_draws:
                 sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[sel]
-            if cfg.model == "gnmgp_sparse":
+            if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
                 # m_z-layout draws need no cropping; LOO conditionals come
                 # from the sparse Woodbury factors (evaluate.py)
-                ops_used = gnmgp_sparse.make_ops(
-                    x_used, jnp.asarray(entry["z"]), cfg.hyper
+                hetero_sp = cfg.model == "gnmgp_hetero_sparse"
+                ops_used = (
+                    gnmgp_sparse.make_ops_hetero(
+                        x_used, jnp.asarray(entry["z"]), cfg.hyper)
+                    if hetero_sp else
+                    gnmgp_sparse.make_ops(
+                        x_used, jnp.asarray(entry["z"]), cfg.hyper)
                 )
                 cond_ll = evaluate.chain_conditional_loglik_sparse(
                     hist,
                     FullData(jnp.asarray(x_used, settings.dtype),
                              jnp.asarray(y_used, settings.dtype)),
                     ops_used, approx=cfg.sparse_approx, hyper=cfg.hyper,
+                    hetero=hetero_sp,
                 )
             else:
                 n_fit = _vec_input_count(cfg.model, hist.shape[1], m_tasks,
@@ -2158,17 +2184,28 @@ def run_cohort(
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
             m_tasks = y_used.shape[1]
-            if cfg.model == "gnmgp_sparse":
+            if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
                 # m_z-layout vec; conditioning ops rebuilt at the subject's
                 # real inputs with the bucket-chosen Z (prefix quantiles,
                 # identical to the fit's)
-                ops_used = gnmgp_sparse.make_ops(
-                    np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
-                )
-                tp = pred_mod.predict_map(
-                    vec, data, ops_used, jnp.asarray(x_te, settings.dtype),
-                    hyper=cfg.hyper, approx=cfg.sparse_approx,
-                )
+                if cfg.model == "gnmgp_hetero_sparse":
+                    ops_used = gnmgp_sparse.make_ops_hetero(
+                        np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
+                    )
+                    tp = pred_mod.predict_map_hetero(
+                        vec, data, ops_used,
+                        jnp.asarray(x_te, settings.dtype),
+                        hyper=cfg.hyper, approx=cfg.sparse_approx,
+                    )
+                else:
+                    ops_used = gnmgp_sparse.make_ops(
+                        np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
+                    )
+                    tp = pred_mod.predict_map(
+                        vec, data, ops_used,
+                        jnp.asarray(x_te, settings.dtype),
+                        hyper=cfg.hyper, approx=cfg.sparse_approx,
+                    )
             elif cfg.model == "lmc":
                 n_pad_fit = _vec_input_count(
                     cfg.model, int(vec.shape[0]), m_tasks, n_bucket
@@ -2193,7 +2230,8 @@ def run_cohort(
         if store is not None:
             extra = ({"z": np.asarray(entry["z"]),
                       "approx": np.asarray(cfg.sparse_approx)}
-                     if cfg.model == "gnmgp_sparse" else {})
+                     if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse")
+                     else {})
             store.save(
                 ArtifactStore.key(cfg.model, dataset, sid, "map"),
                 vec=entry["vec"], **extra

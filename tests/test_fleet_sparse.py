@@ -303,3 +303,39 @@ def test_hetero_fleet_whitened_chains():
         xs, ys, res.vecs, key, n_inducing=MZ, n_samples=5,
         step_size=1e-3, n_leapfrog=3, whiten=True, masks=masks)
     np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
+
+
+def test_run_cohort_hetero_sparse(tmp_path):
+    """run_cohort(model="gnmgp_hetero_sparse"): the heteroscedastic sparse
+    tier reaches the cohort driver — hetero fleet MAP, whitened 3-block
+    chains, hetero Woodbury LOO, kriged-noise test prediction."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore,
+    )
+
+    rng = np.random.default_rng(0)
+    subjects = {}
+    for i, n in enumerate([28, 32, 36]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = (0.3 + 0.5 * x)[:, None] * rng.normal(size=(n, 2))
+        subjects[f"s{i}"] = (x, y)
+
+    cfg = wf.PipelineConfig(
+        model="gnmgp_hetero_sparse", n_inducing=8, n_opt=30, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = wf.run_cohort(subjects, cfg, store=store, dataset="sim",
+                        n_buckets=2, extrapolation_size=4)
+    assert out["reduction"]["n_valid"] == 3
+    p = sp.n_params_hetero(8, 2)
+    for sid, rec in out["subjects"].items():
+        assert np.isfinite(rec["final_nlp"])
+        assert rec["hmc_samples"].shape == (12, p)
+        assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        saved = store.load(
+            ArtifactStore.key("gnmgp_hetero_sparse", "sim", sid, "map"))
+        assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
