@@ -329,6 +329,131 @@ def make_objective(data: FullData, z=None, n_inducing: int = 64,
     return nlp, ops
 
 
+def make_ops_traced(x, z, hyper: dict | None = None) -> SparseOps:
+    """Differentiable-in-Z :class:`SparseOps` for inducing refinement.
+
+    :func:`make_ops` hoists host-f64 islands (projections, prior factors)
+    that break the gradient path through Z; this builds the same pieces
+    in-graph with the robust traced factorization, so
+    ``jax.grad(objective)(z)`` flows through the kriging projections
+    K_zz^{-1} K_zx, the f-process cross-Gram, AND the latent priors at Z.
+    The prior factors come back as plain Cholesky factors (not ``TriInv``);
+    ``dists.mvn_logpdf_chol`` accepts either.  Use only inside
+    :func:`refine_inducing`'s Z-steps — rebuild with :func:`make_ops` at
+    the refined Z for everything downstream.
+    """
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    x = jnp.asarray(x, settings.dtype)
+    z = jnp.asarray(z, settings.dtype)
+
+    def pieces(alpha, beta):
+        sigma = kernels.rbf_cov(z, alpha=alpha, beta=beta)
+        k_cross = kernels.rbf_cov(z, x, alpha=alpha, beta=beta)
+        c = chol.safe_cholesky(sigma, force_robust=True)
+        return chol.chol_solve(c, k_cross), c
+
+    proj_l, c_l = pieces(hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    proj_ul, c_ul = pieces(hp["alpha_L"], hp["beta_L"])
+    return SparseOps(z, proj_l, proj_ul, c_l, c_ul)
+
+
+def refine_inducing(data: FullData, z0, vec0, n_rounds: int = 2,
+                    z_iters: int = 40, vec_iters: int = 200,
+                    lr_z: float = 5e-3, lr_vec: float = 2e-1,
+                    hyper: dict | None = None, approx: str = "fitc",
+                    prior: bool = True, mask=None, method: str = "adam",
+                    hypers_base: dict | None = None, m: int | None = None):
+    """Alternating inducing-input refinement: move Z down the objective.
+
+    The FITC/VFE objective is differentiable in Z (the kriging projections
+    and prior factors at Z are closed-form in Z — :func:`make_ops_traced`),
+    so at small m the fidelity lost to a fixed quantile grid can be bought
+    back by *moving* the inducing inputs instead of growing them (the
+    measured m=32 underfit at N=200, ROADMAP "Inducing-point refinement").
+    Alternates (a) ``z_iters`` Adam steps on Z at fixed latents, Z clamped
+    to the data range, and (b) a fresh MAP refit of the latents at the
+    re-sorted Z through the standard host-f64 ops.  Returns
+    ``(z, vec, ops, final_nlp)`` with ``ops = make_ops(x, z_final)``.
+
+    ``hypers_base`` overrides the default-hyper table the traced objective
+    merges ``hyper`` into; the refit path is taken from ``data``'s type —
+    :class:`FullData` → :func:`make_objective`, 3-tuple (Hadamard, which
+    must pass ``m`` explicitly) → :func:`make_objective_hadamard`.
+    """
+    import numpy as np
+    import optax
+
+    from ..inference import map as map_mod
+
+    hadamard = not isinstance(data, FullData) and len(data) == 3
+    base_hp = (hypers_base if hypers_base is not None
+               else (HADAMARD_DEFAULT_HYPERS if hadamard else DEFAULT_HYPERS))
+    hp = {**base_hp, **(hyper or {})}
+    x = jnp.asarray(data[0] if hadamard else data.x, settings.dtype)
+    if hadamard:
+        if m is None:
+            raise ValueError("refine_inducing on Hadamard data needs the "
+                             "task count m")
+        m = int(m)
+    else:
+        m = int(data.y.shape[1])
+    lo, hi = float(jnp.min(x)), float(jnp.max(x))
+    z = jnp.asarray(z0, settings.dtype)
+    vec = jnp.asarray(vec0, settings.dtype)
+    m_z = int(z.shape[0])
+
+    def nlp_z(z_, vec_):
+        ops_t = make_ops_traced(x, z_, hp)
+        p = unpack(vec_, m_z, m)
+        if hadamard:
+            res, _ = log_posterior_hadamard(
+                p, data, ops_t, m, approx=approx, hyper=hp, prior=prior,
+                mask=mask)
+        else:
+            res, _ = log_posterior(p, data, ops_t, approx=approx, hyper=hp,
+                                   prior=prior, mask=mask)
+        return -res
+
+    opt_z = optax.adam(lr_z)
+
+    @jax.jit
+    def z_descent(z_, vec_):
+        def body(carry, _):
+            zc, state = carry
+            val, g = jax.value_and_grad(nlp_z)(zc, vec_)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            upd, state = opt_z.update(g, state)
+            zc = jnp.clip(zc + upd, lo, hi)
+            return (zc, state), val
+        (z_new, _), vals = jax.lax.scan(
+            body, (z_, opt_z.init(z_)), None, length=z_iters)
+        return z_new, vals
+
+    final_nlp = None
+    ops = None
+    for _ in range(max(1, int(n_rounds))):
+        z_new, _ = z_descent(z, vec)
+        # re-sort and de-collide: the kriging Gram at Z degenerates when two
+        # inducing inputs coincide
+        z_np = np.sort(np.asarray(z_new, np.float64))
+        min_gap = 1e-6 * max(hi - lo, 1e-12)
+        for i in range(1, m_z):
+            if z_np[i] - z_np[i - 1] < min_gap:
+                z_np[i] = z_np[i - 1] + min_gap
+        z = jnp.asarray(np.clip(z_np, lo, hi + m_z * min_gap), settings.dtype)
+        if hadamard:
+            nlp, ops = make_objective_hadamard(
+                data, m, z=z, hyper=hyper, approx=approx, prior=prior,
+                mask=mask)
+        else:
+            nlp, ops = make_objective(data, z=z, hyper=hyper, approx=approx,
+                                      prior=prior, mask=mask)
+        res = map_mod.fit_map(nlp, vec, n_iters=vec_iters, lr=lr_vec,
+                              method=method)
+        vec, final_nlp = res.vec, float(nlp(res.vec))
+    return z, vec, ops, final_nlp
+
+
 def init_from_empirical(emp_vec, n: int, m_z: int, m: int, x, z) -> jnp.ndarray:
     """Subsample an exact-model empirical init (N-layout) onto the Z-layout.
 

@@ -35,7 +35,8 @@ from ..inference import map as map_mod
 from ..models import gnmgp_sparse
 from ..models.base import FullData
 from ..ops import chol as chol_ops
-from .fleet import FleetResult, _fleet_whiten_fns
+from .fleet import (FleetResult, SMCFleetResult, _fleet_whiten_fns,
+                    _fleet_whiten_logdet)
 from .mesh import SUBJECT_AXIS, make_mesh, pad_to_multiple
 
 
@@ -253,78 +254,15 @@ def hmc_fleet_sparse(
     whitening block table applies with the prior Cholesky factors *at Z*
     (``make_fleet_sparse_ops``'s ``wl``/``wu``).
     """
-    from ..inference import hmc as hmc_mod
-    from ..models.gnmgp import DEFAULT_HYPERS
-
-    hp = {**DEFAULT_HYPERS, **(hyper or {})}
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    if ops is None:
-        ops, wl, wu, m_z = make_fleet_sparse_ops(xs, masks, n_inducing, hp)
-    else:
-        m_z = int(ops.z.shape[1])
-        if whiten:
-            if whiten_chols is None:
-                raise ValueError("whiten=True with prebuilt ops needs "
-                                 "whiten_chols=(wl, wu)")
-            wl, wu = whiten_chols
-    _validate_sparse_fleet(xs, ys, map_vecs, m_z, masks)
-    m = np.asarray(ys).shape[-1]
-    wfns = _fleet_whiten_fns("gnmgp", m_z, m, hp) if whiten else None
-
-    xs = jnp.asarray(xs, settings.dtype)
-    ys = jnp.asarray(ys, settings.dtype)
-    map_vecs = jnp.asarray(map_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
-    keys = jax.random.split(key, xs.shape[0])
-    if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
-    else:
-        masks = jnp.ones(xs.shape, bool)
-    ops = _pad_tree(ops, n_dev)
-    if whiten:
-        wl, _ = pad_to_multiple(jnp.asarray(wl, settings.dtype), n_dev)
-        wu, _ = pad_to_multiple(jnp.asarray(wu, settings.dtype), n_dev)
-    else:
-        wl = jnp.zeros((xs.shape[0], 0, 0), settings.dtype)
-        wu = wl
-
-    nlp = _subject_nlp_sparse(m_z, hp, approx)
-    empty = jnp.zeros((0,), settings.dtype)
-
-    def chain_one(vec0, x, y, op, k, mask, l1, l2):
-        if wfns is not None:
-            fw, tw = wfns
-            pot = lambda u: nlp(fw(u, l1, l2, empty), x, y, op, mask)
-            vec0 = tw(vec0, l1, l2, empty)
-        else:
-            pot = lambda v: nlp(v, x, y, op, mask)
-        res = hmc_mod.hmc_sample(
-            pot, vec0, n_samples, k, step_size=step_size,
-            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
-            adapt_step_size=adapt_step_size, target_accept=target_accept,
-        )
-        if wfns is not None:
-            return jax.vmap(lambda u: wfns[0](u, l1, l2, empty))(res.samples)
-        return res.samples
-
-    def shard_fn(vec0, x, y, op, k, mask, l1, l2):
-        return jax.vmap(chain_one)(vec0, x, y, op, k, mask, l1, l2)
-
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 8),
-        out_specs=P(SUBJECT_AXIS),
+    samples, _ = _chain_fleet_sparse(
+        "full", (xs, ys), map_vecs, key, kind="hmc",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+        adapt_step_size=adapt_step_size, target_accept=target_accept,
     )
-    samples = jax.jit(sharded)(map_vecs, xs, ys, ops, keys, masks, wl, wu)
-    return samples[:s_real]
+    return samples
 
 
 # ---------------------------------------------------------------------------
@@ -529,79 +467,15 @@ def hmc_fleet_sparse_hadamard(
     are raw, but the prior map is the same linear structure —
     ``fleet.hmc_fleet_hadamard`` precedent).
     """
-    from ..inference import hmc as hmc_mod
-
-    hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    if ops is None:
-        ops, wl, wu, m_z = make_fleet_sparse_ops_hadamard(
-            xs, masks, n_inducing, hyper)
-    else:
-        m_z = int(ops.z.shape[1])
-        if whiten:
-            if whiten_chols is None:
-                raise ValueError("whiten=True with prebuilt ops needs "
-                                 "whiten_chols=(wl, wu)")
-            wl, wu = whiten_chols
-    wfns = _fleet_whiten_fns("gnmgp", m_z, m, hp) if whiten else None
-
-    xs = jnp.asarray(xs, settings.dtype)
-    indxs = jnp.asarray(indxs, jnp.int32)
-    ys = jnp.asarray(ys, settings.dtype)
-    map_vecs = jnp.asarray(map_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    indxs, _ = pad_to_multiple(indxs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
-    keys = jax.random.split(key, xs.shape[0])
-    if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
-    else:
-        masks = jnp.ones(xs.shape, bool)
-    ops = _pad_tree(ops, n_dev)
-    if whiten:
-        wl, _ = pad_to_multiple(jnp.asarray(wl, settings.dtype), n_dev)
-        wu, _ = pad_to_multiple(jnp.asarray(wu, settings.dtype), n_dev)
-    else:
-        wl = jnp.zeros((xs.shape[0], 0, 0), settings.dtype)
-        wu = wl
-
-    nlp = _subject_nlp_sparse_hadamard(m_z, m, hp, approx)
-    empty = jnp.zeros((0,), settings.dtype)
-
-    def chain_one(vec0, x, indx, y, op, k, mask, l1, l2):
-        if wfns is not None:
-            fw, tw = wfns
-            pot = lambda u: nlp(fw(u, l1, l2, empty), x, indx, y, op, mask)
-            vec0 = tw(vec0, l1, l2, empty)
-        else:
-            pot = lambda v: nlp(v, x, indx, y, op, mask)
-        res = hmc_mod.hmc_sample(
-            pot, vec0, n_samples, k, step_size=step_size,
-            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
-            adapt_step_size=adapt_step_size, target_accept=target_accept,
-        )
-        if wfns is not None:
-            return jax.vmap(lambda u: wfns[0](u, l1, l2, empty))(res.samples)
-        return res.samples
-
-    def shard_fn(vec0, x, indx, y, op, k, mask, l1, l2):
-        return jax.vmap(chain_one)(vec0, x, indx, y, op, k, mask, l1, l2)
-
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 9),
-        out_specs=P(SUBJECT_AXIS),
+    samples, _ = _chain_fleet_sparse(
+        "hadamard", (xs, indxs, ys), map_vecs, key, kind="hmc", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_leapfrog=n_leapfrog,
+        n_warmup=n_warmup, adapt_step_size=adapt_step_size,
+        target_accept=target_accept,
     )
-    samples = jax.jit(sharded)(map_vecs, xs, indxs, ys, ops, keys, masks,
-                               wl, wu)
-    return samples[:s_real]
+    return samples
 
 
 # ---------------------------------------------------------------------------
@@ -794,76 +668,387 @@ def hmc_fleet_sparse_hetero(
     ``whiten=True`` uses the dense fleet's gnmgp_hetero block table at
     N=m_z (three blocks: tilde_l, L-entries, the task-major noise rows)
     with the prior factors at Z."""
-    from ..inference import hmc as hmc_mod
+    samples, _ = _chain_fleet_sparse(
+        "hetero", (xs, ys), map_vecs, key, kind="hmc",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+        adapt_step_size=adapt_step_size, target_accept=target_accept,
+    )
+    return samples
 
-    hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
+
+# ---------------------------------------------------------------------------
+# Shared sampler engine + the NUTS / SMC tiers for every sparse layout.
+# ---------------------------------------------------------------------------
+
+
+def _layout(kind: str) -> dict:
+    """Layout descriptor — the only places the three sparse layouts differ.
+
+    ``nlp`` builders all take ``(m_z, m, hp, approx)`` and return a
+    per-subject objective ``fn(vec, *data, ops, mask)``; ``casts`` gives
+    each stacked data array's dtype family ("f" = settings.dtype,
+    "i" = int32 task indices).
+    """
+    from ..models.gnmgp import DEFAULT_HYPERS as _GNMGP_HYPERS
+
+    if kind == "full":
+        return {
+            "hypers": _GNMGP_HYPERS,
+            "make_ops": make_fleet_sparse_ops,
+            "n_chols": 2,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "gnmgp",
+            "n_params": gnmgp_sparse.n_params,
+            "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse(m_z, hp, ap),
+            "casts": ("f", "f"),
+        }
+    if kind == "hadamard":
+        return {
+            "hypers": gnmgp_sparse.HADAMARD_DEFAULT_HYPERS,
+            "make_ops": make_fleet_sparse_ops_hadamard,
+            "n_chols": 2,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "gnmgp",
+            "n_params": gnmgp_sparse.n_params,
+            "nlp": _subject_nlp_sparse_hadamard,
+            "casts": ("f", "i", "f"),
+        }
+    if kind == "hetero":
+        return {
+            "hypers": gnmgp_sparse.HETERO_DEFAULT_HYPERS,
+            "make_ops": make_fleet_sparse_ops_hetero,
+            "n_chols": 3,
+            "z_of": lambda ops: ops.base.z,
+            "wmodel": "gnmgp_hetero",
+            "n_params": gnmgp_sparse.n_params_hetero,
+            "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse_hetero(
+                m_z, hp, ap),
+            "casts": ("f", "f"),
+        }
+    raise ValueError(f"unknown sparse layout {kind!r}")
+
+
+def _prep_sparse_fleet(lk, data, masks, ops, whiten_chols, n_inducing,
+                       hyper, whiten, mesh, m, vecs=None):
+    """Shared prep for the sparse sampler engines: resolve the layout,
+    build/validate ops and prior factors at Z, cast + pad everything to the
+    mesh's subject multiple.  Returns the padded pieces; ``chols`` is always
+    three (S', k, k) stacks — unused slots are (S', 0, 0) placeholders the
+    gnmgp whitening block table never touches."""
+    L = _layout(lk)
+    hp = {**L["hypers"], **(hyper or {})}
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
 
+    chols = None
     if ops is None:
-        ops, wl, wu, werr, m_z = make_fleet_sparse_ops_hetero(
-            xs, masks, n_inducing, hyper)
+        built = L["make_ops"](data[0], masks, n_inducing, hyper)
+        ops, chols, m_z = built[0], list(built[1:-1]), built[-1]
     else:
-        m_z = int(ops.base.z.shape[1])
+        m_z = int(L["z_of"](ops).shape[1])
         if whiten:
-            if whiten_chols is None:
-                raise ValueError("whiten=True with prebuilt ops needs "
-                                 "whiten_chols=(wl, wu, werr)")
-            wl, wu, werr = whiten_chols
-    m = np.asarray(ys).shape[-1]
-    wfns = _fleet_whiten_fns("gnmgp_hetero", m_z, m, hp) if whiten else None
+            if whiten_chols is None or len(whiten_chols) != L["n_chols"]:
+                raise ValueError(
+                    "whiten=True with prebuilt ops needs whiten_chols with "
+                    f"{L['n_chols']} prior Cholesky factors at Z")
+            chols = list(whiten_chols)
 
-    xs = jnp.asarray(xs, settings.dtype)
-    ys = jnp.asarray(ys, settings.dtype)
-    map_vecs = jnp.asarray(map_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    map_vecs, _ = pad_to_multiple(map_vecs, n_dev)
-    keys = jax.random.split(key, xs.shape[0])
+    xs_shape = np.shape(data[0])
+    if len(xs_shape) != 2:
+        raise ValueError(f"stacked subject inputs must be (S, N), "
+                         f"got {xs_shape}")
+    for a in data[1:]:
+        if np.shape(a)[:2] != xs_shape:
+            raise ValueError(
+                f"stacked subject arrays disagree: xs {xs_shape} vs "
+                f"{np.shape(a)}")
+    if vecs is not None:
+        want_p = L["n_params"](m_z, m)
+        if np.shape(vecs) != (xs_shape[0], want_p):
+            raise ValueError(
+                f"parameter stack must be (S={xs_shape[0]}, P={want_p}) for "
+                f"m_z={m_z}, M={m}, got {np.shape(vecs)}")
+    if masks is not None and np.shape(masks) != xs_shape:
+        raise ValueError(
+            f"masks must match xs {xs_shape}, got {np.shape(masks)}")
+
+    wfns = _fleet_whiten_fns(L["wmodel"], m_z, m, hp) if whiten else None
+    arrs = [jnp.asarray(a, settings.dtype if c == "f" else jnp.int32)
+            for a, c in zip(data, L["casts"])]
+    s_real = arrs[0].shape[0]
+    arrs = [pad_to_multiple(a, n_dev)[0] for a in arrs]
     if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
+        masks = pad_to_multiple(jnp.asarray(masks, bool), n_dev)[0]
     else:
-        masks = jnp.ones(xs.shape, bool)
+        masks = jnp.ones(arrs[0].shape, bool)
     ops = _pad_tree(ops, n_dev)
     if whiten:
-        wl, _ = pad_to_multiple(jnp.asarray(wl, settings.dtype), n_dev)
-        wu, _ = pad_to_multiple(jnp.asarray(wu, settings.dtype), n_dev)
-        werr, _ = pad_to_multiple(jnp.asarray(werr, settings.dtype), n_dev)
+        chols = [pad_to_multiple(jnp.asarray(c, settings.dtype), n_dev)[0]
+                 for c in chols]
     else:
-        wl = jnp.zeros((xs.shape[0], 0, 0), settings.dtype)
-        wu = wl
-        werr = wl
+        chols = []
+    zero = jnp.zeros((arrs[0].shape[0], 0, 0), settings.dtype)
+    chols = (chols + [zero] * 3)[:3]
+    return L, hp, mesh, n_dev, m_z, wfns, arrs, masks, ops, chols, s_real
 
-    nlp = _subject_nlp_sparse_hetero(m_z, hp, approx)
 
-    def chain_one(vec0, x, y, op, k, mask, l1, l2, l3):
+def _chain_fleet_sparse(lk, data, map_vecs, key, *, kind, m, ops=None,
+                        whiten_chols=None, n_inducing=64, hyper=None,
+                        approx="fitc", mesh=None, whiten=False, masks=None,
+                        **samp):
+    """One chain per subject (HMC or NUTS) for any sparse layout, vmapped
+    within a device and sharded over the mesh.  Returns
+    ``(samples (S, T, P), stat (S,))`` — ``stat`` is the post-warmup mean
+    NUTS acceptance statistic (zeros for fixed-trajectory HMC)."""
+    from ..inference import hmc as hmc_mod
+    from ..inference import nuts as nuts_mod
+
+    (L, hp, mesh, n_dev, m_z, wfns, arrs, masks, ops, chols,
+     s_real) = _prep_sparse_fleet(lk, data, masks, ops, whiten_chols,
+                                  n_inducing, hyper, whiten, mesh, m,
+                                  vecs=map_vecs)
+    map_vecs = pad_to_multiple(
+        jnp.asarray(map_vecs, settings.dtype), n_dev)[0]
+    keys = jax.random.split(key, arrs[0].shape[0])
+    nlp = L["nlp"](m_z, m, hp, approx)
+    n_warmup = samp.get("n_warmup", 0)
+
+    def chain_one(vec0, k, mask, l1, l2, l3, *dargs_op):
+        *dargs, op = dargs_op
         if wfns is not None:
             fw, tw = wfns
-            pot = lambda u: nlp(fw(u, l1, l2, l3), x, y, op, mask)
+            pot = lambda u: nlp(fw(u, l1, l2, l3), *dargs, op, mask)
             vec0 = tw(vec0, l1, l2, l3)
         else:
-            pot = lambda v: nlp(v, x, y, op, mask)
-        res = hmc_mod.hmc_sample(
-            pot, vec0, n_samples, k, step_size=step_size,
-            n_leapfrog=n_leapfrog, n_warmup=n_warmup,
-            adapt_step_size=adapt_step_size, target_accept=target_accept,
-        )
+            pot = lambda v: nlp(v, *dargs, op, mask)
+        if kind == "nuts":
+            res = nuts_mod.nuts_sample(
+                pot, vec0, samp["n_samples"], k,
+                step_size=samp.get("step_size", 0.1),
+                n_warmup=n_warmup, max_depth=samp.get("max_depth", 8),
+            )
+            stat = jnp.mean(res.accept_stat[n_warmup:])
+        else:
+            res = hmc_mod.hmc_sample(
+                pot, vec0, samp["n_samples"], k,
+                step_size=samp.get("step_size", 1e-4),
+                n_leapfrog=samp.get("n_leapfrog", 20),
+                n_warmup=n_warmup,
+                adapt_step_size=samp.get("adapt_step_size", False),
+                target_accept=samp.get("target_accept", 0.75),
+            )
+            stat = jnp.zeros((), settings.dtype)
+        samples = res.samples
         if wfns is not None:
-            return jax.vmap(lambda u: wfns[0](u, l1, l2, l3))(res.samples)
-        return res.samples
+            samples = jax.vmap(lambda u: wfns[0](u, l1, l2, l3))(samples)
+        return samples, stat
 
-    def shard_fn(vec0, x, y, op, k, mask, l1, l2, l3):
-        return jax.vmap(chain_one)(vec0, x, y, op, k, mask, l1, l2, l3)
+    def shard_fn(vec0, k, mask, l1, l2, l3, *rest):
+        return jax.vmap(chain_one)(vec0, k, mask, l1, l2, l3, *rest)
 
+    n_in = 6 + len(arrs) + 1
+    # check_vma=False for NUTS: its U-turn while_loop mixes replicated
+    # literals into the carry (nuts_fleet precedent); chains are
+    # subject-local either way, no collectives inside.
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 9),
-        out_specs=P(SUBJECT_AXIS),
+        in_specs=tuple([P(SUBJECT_AXIS)] * n_in),
+        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS)),
+        check_vma=(kind != "nuts"),
     )
-    samples = jax.jit(sharded)(map_vecs, xs, ys, ops, keys, masks,
-                               wl, wu, werr)
-    return samples[:s_real]
+    samples, stat = jax.jit(sharded)(map_vecs, keys, masks, *chols,
+                                     *arrs, ops)
+    return samples[:s_real], stat[:s_real]
+
+
+def nuts_fleet_sparse(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 0.1, n_warmup: int = 200,
+    max_depth: int = 8, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = False, masks=None,
+):
+    """Adaptive NUTS chains for a sparse-GNMGP fleet, sharded over the mesh.
+
+    The zero-tuning counterpart of :func:`hmc_fleet_sparse` (windowed
+    warmup, per-subject step size + diagonal metric — inference/nuts.py);
+    returns ``(samples (S, T, P), accept_stat (S,))`` like
+    ``fleet.nuts_fleet``.
+    """
+    return _chain_fleet_sparse(
+        "full", (xs, ys), map_vecs, key, kind="nuts", m=np.shape(ys)[-1],
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_warmup=n_warmup,
+        max_depth=max_depth,
+    )
+
+
+def nuts_fleet_sparse_hadamard(
+    xs, indxs, ys, m: int, map_vecs, key, ops=None, whiten_chols=None,
+    n_inducing: int = 64, n_samples: int = 100, step_size: float = 0.1,
+    n_warmup: int = 200, max_depth: int = 8, hyper: dict | None = None,
+    approx: str = "fitc", mesh: Mesh | None = None, whiten: bool = False,
+    masks=None,
+):
+    """Adaptive NUTS chains for a sparse Hadamard fleet —
+    ``(samples (S, T, P), accept_stat (S,))``."""
+    return _chain_fleet_sparse(
+        "hadamard", (xs, indxs, ys), map_vecs, key, kind="nuts", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_warmup=n_warmup,
+        max_depth=max_depth,
+    )
+
+
+def nuts_fleet_sparse_hetero(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 0.1, n_warmup: int = 200,
+    max_depth: int = 8, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = False, masks=None,
+):
+    """Adaptive NUTS chains for a heteroscedastic sparse fleet —
+    ``(samples (S, T, P), accept_stat (S,))``."""
+    return _chain_fleet_sparse(
+        "hetero", (xs, ys), map_vecs, key, kind="nuts",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_warmup=n_warmup, max_depth=max_depth,
+    )
+
+
+def _smc_fleet_sparse(lk, data, key, *, m, ops=None, whiten_chols=None,
+                      n_inducing=64, hyper=None, approx="fitc", mesh=None,
+                      whiten=True, masks=None, n_particles=256,
+                      **smc_kwargs) -> SMCFleetResult:
+    """Adaptive tempered SMC per subject for any sparse layout (the
+    between-basin tier, inference/smc.py), vmapped + sharded like
+    ``fleet.smc_fleet``.  ``whiten=True`` (default) makes the reference
+    distribution the exact latent-GP prior at Z; ``logz`` comes back in the
+    natural space (whitening Jacobian added per subject)."""
+    from ..inference import smc as smc_mod
+
+    (L, hp, mesh, n_dev, m_z, wfns, arrs, masks, ops, chols,
+     s_real) = _prep_sparse_fleet(lk, data, masks, ops, whiten_chols,
+                                  n_inducing, hyper, whiten, mesh, m)
+    keys = jax.random.split(key, arrs[0].shape[0])
+    nlp = L["nlp"](m_z, m, hp, approx)
+    p_dim = L["n_params"](m_z, m)
+    ld_fn = _fleet_whiten_logdet(L["wmodel"], m_z, m, hp) if whiten else None
+
+    def subject_one(k, mask, l1, l2, l3, *dargs_op):
+        *dargs, op = dargs_op
+        if wfns is not None:
+            fw, _ = wfns
+            pot = lambda u: nlp(fw(u, l1, l2, l3), *dargs, op, mask)
+        else:
+            pot = lambda v: nlp(v, *dargs, op, mask)
+        r = smc_mod.smc_sample(pot, p_dim, k, n_particles,
+                               dtype=settings.dtype, **smc_kwargs)
+        parts, logz = r.particles, r.logz
+        if wfns is not None:
+            parts = jax.vmap(lambda u: wfns[0](u, l1, l2, l3))(parts)
+            logz = logz + ld_fn(l1, l2, l3)
+        ns = jnp.maximum(r.n_stages, 1)
+        acc = jnp.take(r.accept, ns - 1)
+        return parts, logz, r.beta_final, r.n_stages, acc
+
+    def shard_fn(k, mask, l1, l2, l3, *rest):
+        return jax.vmap(subject_one)(k, mask, l1, l2, l3, *rest)
+
+    n_in = 5 + len(arrs) + 1
+    # check_vma=False: the tempering while_loop mixes replicated literals
+    # into a subject-varying carry (smc_fleet precedent)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple([P(SUBJECT_AXIS)] * n_in),
+        out_specs=tuple([P(SUBJECT_AXIS)] * 5),
+        check_vma=False,
+    )
+    parts, logz, bf, ns, acc = jax.jit(sharded)(keys, masks, *chols,
+                                                *arrs, ops)
+    return SMCFleetResult(
+        particles=parts[:s_real],
+        logz=logz[:s_real],
+        beta_final=bf[:s_real],
+        n_stages=ns[:s_real],
+        accept=acc[:s_real],
+    )
+
+
+def smc_fleet_sparse(
+    xs, ys, key, n_particles: int = 256, n_mutations: int = 5,
+    n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse-GNMGP fleet (no MAP warm start
+    needed — populations start at the prior at Z)."""
+    return _smc_fleet_sparse(
+        "full", (xs, ys), key, m=np.shape(ys)[-1], ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
+
+
+def smc_fleet_sparse_hadamard(
+    xs, indxs, ys, m: int, key, n_particles: int = 256,
+    n_mutations: int = 5, n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse Hadamard fleet."""
+    return _smc_fleet_sparse(
+        "hadamard", (xs, indxs, ys), key, m=m, ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
+
+
+def smc_fleet_sparse_hetero(
+    xs, ys, key, n_particles: int = 256, n_mutations: int = 5,
+    n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a heteroscedastic sparse fleet (the noise
+    GP's prior factor at Z is the third whitening block)."""
+    return _smc_fleet_sparse(
+        "hetero", (xs, ys), key, m=np.shape(ys)[-1], ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )

@@ -252,6 +252,79 @@ def predict_test_hadamard(vec, data, ops: model.SparseOps, m: int, x_test,
     return mu, s2
 
 
+def predict_sample_hadamard(key, hist_vecs, data, ops: model.SparseOps,
+                            m: int, grid, hyper=None, approx: str = "fitc",
+                            mask=None, n_sample: int | None = None):
+    """Chain-sample sparse Hadamard prediction — (G, S, M) y-draws.
+
+    The sparse analogue of ``predict.hadamard.svc_predict_sample``
+    (reference predsample path, prediction.py:585-708): per draw the latent
+    fields are *sampled* at the grid from their kriging conditionals
+    (mean + marginal variance under the RBF priors at Z), the Woodbury
+    factors give the f-conditional, and observation noise is added.
+    """
+    hp = {**model.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
+    m_z = ops.z.shape[0]
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+    t = transforms.tri_size(m)
+    proj_l, var_l = krige_proj(ops.z, grid, hp["alpha_tilde_l"],
+                               hp["beta_tilde_l"])
+    proj_ul, var_ul = krige_proj(ops.z, grid, hp["alpha_L"], hp["beta_L"])
+
+    def draw(vec, k):
+        p = model.unpack(vec, m_z, m)
+        k_l, k_ul, k_y = jax.random.split(k, 3)
+        tl = (hp["mu_tilde_l"] + (p.tilde_l_z - hp["mu_tilde_l"]) @ proj_l
+              + jnp.sqrt(var_l) * jax.random.normal(k_l, (g,), grid.dtype))
+        l_mat_z = p.ul_vecs_z.reshape(m_z, t)  # raw L_vecs (Hadamard)
+        lv = (hp["mu_L"] + (l_mat_z.T - hp["mu_L"]) @ proj_ul
+              + jnp.sqrt(var_ul)[None, :]
+              * jax.random.normal(k_ul, (t, g), grid.dtype))  # (T, G)
+        ls_star = transforms.vec_to_tril(lv.T, m)
+
+        w = model._woodbury_hadamard(p, data, ops, m, approx, hp, mask)
+        ell_z = jnp.exp(p.tilde_l_z)
+        lz = transforms.vec_to_tril(l_mat_z, m)
+        k_gz = kernels.nonstationary_rbf_cov(
+            grid, ell1=jnp.exp(tl), x2=ops.z, ell2=ell_z
+        )
+        k_gm = model.cross_gram(k_gz, ls_star, lz)
+        t_star = chol_ops.tri_solve(w.c_mm, k_gm.T)
+        w_star = chol_ops.tri_solve(w.c_in, t_star)
+        v = chol_ops.tri_solve(w.c_in, w.a @ w.d)
+        mu = (w_star.T @ v).reshape(m, g).T
+        k_star_diag = (
+            (1.0 + settings.jitter) * jnp.sum(ls_star * ls_star, axis=-1)
+        ).T.reshape(-1)
+        var = (k_star_diag - jnp.sum(t_star * t_star, axis=0)
+               + jnp.sum(w_star * w_star, axis=0)).reshape(m, g).T
+        sigma2_err = jnp.exp(p.tilde_sigma2_err)
+        s2 = jnp.maximum(var + sigma2_err, sigma2_err)
+        return mu + jnp.sqrt(s2) * jax.random.normal(k_y, mu.shape, mu.dtype)
+
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = jax.vmap(draw)(hist_vecs, keys)  # (S, G, M)
+    return jnp.moveaxis(ys, 0, 1)
+
+
+def predict_test_hadamard_sample(key, hist_vecs, data, ops: model.SparseOps,
+                                 m: int, x_test, indx_test, hyper=None,
+                                 approx: str = "fitc", mask=None,
+                                 n_sample: int | None = None):
+    """(G_test, S) indexed chain-sample draws — the sparse analogue of
+    ``predict.hadamard.svc_predict_test_sample`` (the KAISER sample-based
+    scoring path, reference prediction.py:678-708)."""
+    from .hadamard import _select_indexed
+
+    ys = predict_sample_hadamard(key, hist_vecs, data, ops, m, x_test,
+                                 hyper, approx, mask, n_sample)
+    return _select_indexed(ys, indx_test)
+
+
 # ---------------------------------------------------------------------------
 # Heteroscedastic variant: predictive noise kriged from the Z noise field.
 # ---------------------------------------------------------------------------

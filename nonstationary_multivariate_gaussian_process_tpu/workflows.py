@@ -68,6 +68,13 @@ class PipelineConfig:
     #                       large-N tier, models/gnmgp_sparse.py)
     sparse_approx: str = "fitc"  # gnmgp_sparse: "fitc" (diag-corrected) or
     #                       "vfe" (Titsias bound on the exact likelihood)
+    refine_z: int = 0  # gnmgp_sparse (full + Hadamard): alternating
+    #                       inducing-input refinement rounds after MAP — Z
+    #                       descends the objective through the traced
+    #                       kriging projections, then the latents refit at
+    #                       the moved Z (gnmgp_sparse.refine_inducing; the
+    #                       small-m fidelity lever, ROADMAP)
+    refine_z_iters: int = 40  # Adam steps on Z per refinement round
     do_empirical: bool = True
     do_map: bool = True
     do_map_analysis: bool = True  # latent-process summaries from the MAP/chain
@@ -758,6 +765,24 @@ def run_subject(
                 stored = None
         if stored is not None:
             result["map_vec"] = map_vec = stored
+            if sparse:
+                # a refined-Z run stores its moved inducing set with the MAP;
+                # resuming against the default quantile Z would silently
+                # reinterpret the vector at the wrong locations
+                z_art = store.load(_key("map")).get("z")
+                if z_art is not None and not np.array_equal(
+                        np.asarray(z_art, np.float64),
+                        np.asarray(sp_z, np.float64)):
+                    z_res = jnp.asarray(z_art, settings.dtype)
+                    if hsparse:
+                        nlp, sp_ops = gnmgp_sparse.make_objective_hetero(
+                            data, z=z_res, approx=cfg.sparse_approx,
+                            hyper=cfg.hyper)
+                    else:
+                        nlp, sp_ops = gnmgp_sparse.make_objective(
+                            data, z=z_res, approx=cfg.sparse_approx,
+                            hyper=cfg.hyper)
+                    sp_z = z_res
         else:
             t0 = time.time()
             inits = _build_inits(cfg, emp, xd, yd, key, z=sp_z)
@@ -772,11 +797,28 @@ def run_subject(
             result["map_vec"] = map_vec = res.vec
             result["map_init"] = name
             result["target_hist"] = np.asarray(res.target_hist)
+            if cfg.refine_z > 0 and sparse and not hsparse:
+                # inducing-input refinement: Z descends the objective, the
+                # latents refit at the moved Z; downstream stages (sampling,
+                # prediction, LOO) condition on the refined ops
+                t0 = time.time()
+                sp_z, map_vec, sp_ops, _ = gnmgp_sparse.refine_inducing(
+                    data, sp_z, map_vec, n_rounds=cfg.refine_z,
+                    z_iters=cfg.refine_z_iters,
+                    vec_iters=min(max(100, cfg.n_opt // 2), 400),
+                    lr_vec=cfg.lr, hyper=cfg.hyper, approx=cfg.sparse_approx,
+                    method=cfg.map_method,
+                )
+                nlp, _ = gnmgp_sparse.make_objective(
+                    data, z=sp_z, approx=cfg.sparse_approx, hyper=cfg.hyper)
+                result["map_vec"] = map_vec
+                result["refined_z"] = np.asarray(sp_z)
+                result["timings"]["refine_z"] = time.time() - t0
             if store is not None:
                 extra = ({"z": np.asarray(sp_z),
                           "approx": np.asarray(cfg.sparse_approx)}
                          if sparse else {})
-                store.save(_key("map"), vec=np.asarray(res.vec),
+                store.save(_key("map"), vec=np.asarray(map_vec),
                            target_hist=np.asarray(res.target_hist), **extra)
     else:
         map_vec = None
@@ -1006,6 +1048,20 @@ def run_subject_hadamard(
     res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr,
                           err_opt=cfg.err_opt, method=cfg.map_method)
     out = {"map_vec": res.vec, "target_hist": np.asarray(res.target_hist), "n": n, "m": m}
+    if cfg.refine_z > 0 and sparse:
+        # inducing-input refinement through the traced Hadamard objective
+        z_r, vec_r, sp_ops, _ = gnmgp_sparse.refine_inducing(
+            data, sp_ops.z, res.vec, n_rounds=cfg.refine_z,
+            z_iters=cfg.refine_z_iters,
+            vec_iters=min(max(100, cfg.n_opt // 2), 400), lr_vec=cfg.lr,
+            hyper=cfg.hyper, approx=cfg.sparse_approx, method=cfg.map_method,
+            m=m,
+        )
+        nlp, _ = gnmgp_sparse.make_objective_hadamard(
+            data, m, z=z_r, approx=cfg.sparse_approx, hyper=cfg.hyper)
+        res = res._replace(vec=vec_r)
+        out["map_vec"] = vec_r
+        out["refined_z"] = np.asarray(z_r)
 
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
     if cfg.do_pred_grid:
@@ -1075,12 +1131,16 @@ def run_subject_hadamard(
             mean, std = pred_h.svc_predict_test(res.vec, data, xt, it, m, hyper=cfg.hyper)
         out["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
         out["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
-        if "hmc_samples" in out and not sparse:
+        if "hmc_samples" in out:
             # sample-based indexed scoring over the chain — the KAISER path
             # (reference test_predsample_hadamard, prediction.py:678-708)
             hv = jnp.asarray(out["hmc_samples"])
             ks = jax.random.fold_in(key, 9)
-            if cfg.model == "lmc":
+            if sparse:
+                draws = pred_gnmgp_sparse.predict_test_hadamard_sample(
+                    ks, hv, data, sp_ops, m, xt, it, hyper=cfg.hyper,
+                    approx=cfg.sparse_approx)
+            elif cfg.model == "lmc":
                 draws = pred_h.lmc_predict_test_sample(ks, hv, data, xt, it, m)
             elif cfg.model == "snmgp":
                 draws = pred_h.snmgp_predict_test_sample(ks, hv, data, xt, it, m, hyper=cfg.hyper)
@@ -1389,30 +1449,33 @@ def run_cohort_hadamard(
                 mean, std = pred_h.svc_predict_test(vec, data, xt, it, m, hyper=cfg.hyper)
             rec["test_rmse"] = evaluate.rmse(np.asarray(mean), y_te)
             rec["test_lpd"] = evaluate.lpd(np.asarray(mean), np.asarray(std), y_te)
-            # sample-based indexed scoring: dense models only (the sparse
-            # tier has no chain-sample Hadamard predictor yet —
-            # run_subject_hadamard applies the same gate)
-            if "hmc_samples" in rec and not h_sparse:
+            if "hmc_samples" in rec:
                 # sample-based indexed scoring over the cohort chain — the
                 # KAISER path (reference test_predsample_hadamard,
                 # prediction.py:678-708), previously only reachable from
                 # run_subject_hadamard.  Bucket-padded draws crop their
-                # latent slots per draw before prediction.
+                # latent slots per draw before prediction (the sparse tier's
+                # m_z-layout draws need no crop).
                 hv = jnp.asarray(rec["hmc_samples"], settings.dtype)
-                hv = jax.vmap(
-                    lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
-                )(hv)
                 ks = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 17 + pos)
-                if cfg.model == "lmc":
-                    draws = pred_h.lmc_predict_test_sample(ks, hv, data, xt, it, m)
-                elif cfg.model == "snmgp":
-                    draws = pred_h.snmgp_predict_test_sample(
-                        ks, hv, data, xt, it, m, hyper=cfg.hyper
+                if h_sparse:
+                    draws = pred_gnmgp_sparse.predict_test_hadamard_sample(
+                        ks, hv, data, sp_ops_u, m, xt, it, hyper=cfg.hyper,
+                        approx=cfg.sparse_approx
                     )
                 else:
-                    draws = pred_h.svc_predict_test_sample(
-                        ks, hv, data, xt, it, m, hyper=cfg.hyper
-                    )
+                    hv = jax.vmap(
+                        lambda v: _crop_vec(cfg.model, v, n_fit, n_real, m)
+                    )(hv)
+                    if cfg.model == "lmc":
+                        draws = pred_h.lmc_predict_test_sample(
+                            ks, hv, data, xt, it, m)
+                    elif cfg.model == "snmgp":
+                        draws = pred_h.snmgp_predict_test_sample(
+                            ks, hv, data, xt, it, m, hyper=cfg.hyper)
+                    else:
+                        draws = pred_h.svc_predict_test_sample(
+                            ks, hv, data, xt, it, m, hyper=cfg.hyper)
                 d = np.asarray(draws)  # (G_test, S)
                 rec["test_sample_rmse"] = evaluate.rmse(d.mean(axis=1), y_te)
                 rec["test_sample_lpd"] = evaluate.lpd(
@@ -1672,14 +1735,39 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             raise ValueError("run_cohort supports whiten=True/'prior' only "
                              "(pncp is single-subject)")
         sampler, _ = _cohort_sampling_posture(cfg)
-        if sampler not in ("nuts", "hmc"):
-            raise ValueError(
-                "sparse cohort sampling supports whitened adaptive HMC only "
-                "(cohort_sampler='auto', or 'config' with sampler='hmc'); "
-                f"got {sampler!r}")
-        c = max(1, cfg.n_chains)
         k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                       int(idxs[0]))
+        if sampler == "smc":
+            # tempered-SMC tier at Z: per-subject populations follow the
+            # prior→posterior path (no warm start; evidence comes back in
+            # the natural space); particles are exchangeable, chain axis=1
+            smc_fn = (fsp.smc_fleet_sparse_hetero if hetero
+                      else fsp.smc_fleet_sparse)
+            r = smc_fn(
+                jnp.asarray(x), jnp.asarray(y), k_bucket,
+                n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                cfg.n_hmc),
+                n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+                target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                waste_free=cfg.smc_waste_free,
+                resample_ess=cfg.smc_resample_ess, resample=cfg.smc_resample,
+                ops=ops, whiten_chols=wchols, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, whiten=True,
+                masks=jnp.asarray(mask),
+            )
+            out["hmc"] = np.asarray(r.particles[:, : cfg.n_hmc, :])[:, None]
+            out["smc_logz"] = np.asarray(r.logz)
+            out["smc_beta"] = np.asarray(r.beta_final)
+            out["smc_stages"] = np.asarray(r.n_stages)
+            return out
+        if sampler not in ("nuts", "hmc"):
+            raise ValueError(
+                "sparse cohort sampling supports whitened adaptive "
+                "NUTS/HMC chains and tempered SMC (cohort_sampler='auto', "
+                "or 'config' with sampler in hmc/nuts/smc); "
+                f"got {sampler!r}")
+        c = max(1, cfg.n_chains)
         reps = lambda a: jnp.repeat(jnp.asarray(a), c, axis=0)
         x_t, y_t = reps(x), reps(y)
         mask_t = jnp.repeat(jnp.asarray(mask, bool), c, axis=0)
@@ -1699,14 +1787,26 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             )
             vec_t = res_d.vecs
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
-        samples = hmc_fn(
-            x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
-            ops=ops_t, whiten_chols=wchols_t,
-            n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
-            n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
-            approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
-            adapt_step_size=True, whiten=True, masks=mask_t,
-        )
+        if sampler == "nuts":
+            nuts_fn = (fsp.nuts_fleet_sparse_hetero if hetero
+                       else fsp.nuts_fleet_sparse)
+            samples, _ = nuts_fn(
+                x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
+                ops=ops_t, whiten_chols=wchols_t,
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_warmup=n_warm, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, whiten=True,
+                masks=mask_t,
+            )
+        else:
+            samples = hmc_fn(
+                x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
+                ops=ops_t, whiten_chols=wchols_t,
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
+                adapt_step_size=True, whiten=True, masks=mask_t,
+            )
         out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
     return out
 
@@ -1743,14 +1843,35 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
             raise ValueError("run_cohort_hadamard supports whiten=True/"
                              "'prior' only (pncp is single-subject)")
         sampler, _ = _cohort_sampling_posture(cfg)
-        if sampler not in ("nuts", "hmc"):
-            raise ValueError(
-                "sparse cohort sampling supports whitened adaptive HMC only "
-                "(cohort_sampler='auto', or 'config' with sampler='hmc'); "
-                f"got {sampler!r}")
-        c = max(1, cfg.n_chains)
         k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                       int(idxs[0]))
+        if sampler == "smc":
+            r = fsp.smc_fleet_sparse_hadamard(
+                jnp.asarray(x), jnp.asarray(indx, jnp.int32),
+                jnp.asarray(y), m, k_bucket,
+                n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                cfg.n_hmc),
+                n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+                target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                waste_free=cfg.smc_waste_free,
+                resample_ess=cfg.smc_resample_ess, resample=cfg.smc_resample,
+                ops=ops, whiten_chols=(wl, wu), hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, whiten=True,
+                masks=jnp.asarray(mask),
+            )
+            out["hmc"] = np.asarray(r.particles[:, : cfg.n_hmc, :])[:, None]
+            out["smc_logz"] = np.asarray(r.logz)
+            out["smc_beta"] = np.asarray(r.beta_final)
+            out["smc_stages"] = np.asarray(r.n_stages)
+            return out
+        if sampler not in ("nuts", "hmc"):
+            raise ValueError(
+                "sparse cohort sampling supports whitened adaptive "
+                "NUTS/HMC chains and tempered SMC (cohort_sampler='auto', "
+                "or 'config' with sampler in hmc/nuts/smc); "
+                f"got {sampler!r}")
+        c = max(1, cfg.n_chains)
         reps = lambda a: jnp.repeat(jnp.asarray(a), c, axis=0)
         x_t, y_t = reps(x), reps(y)
         indx_t = jnp.repeat(jnp.asarray(indx, jnp.int32), c, axis=0)
@@ -1771,14 +1892,24 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
             )
             vec_t = res_d.vecs
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
-        samples = fsp.hmc_fleet_sparse_hadamard(
-            x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
-            ops=ops_t, whiten_chols=(wl_t, wu_t),
-            n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
-            n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
-            approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
-            adapt_step_size=True, whiten=True, masks=mask_t,
-        )
+        if sampler == "nuts":
+            samples, _ = fsp.nuts_fleet_sparse_hadamard(
+                x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
+                ops=ops_t, whiten_chols=(wl_t, wu_t),
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_warmup=n_warm, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, whiten=True,
+                masks=mask_t,
+            )
+        else:
+            samples = fsp.hmc_fleet_sparse_hadamard(
+                x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
+                ops=ops_t, whiten_chols=(wl_t, wu_t),
+                n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
+                n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
+                approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
+                adapt_step_size=True, whiten=True, masks=mask_t,
+            )
         out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
     return out
 

@@ -166,10 +166,153 @@ def test_run_cohort_sparse_rejects_other_samplers():
     y = rng.normal(size=(24, 2))
     cfg = wf.PipelineConfig(
         model="gnmgp_sparse", n_inducing=8, n_opt=5, do_hmc=True,
-        cohort_sampler="config", sampler="smc",
+        cohort_sampler="config", sampler="pathfinder",
     )
-    with pytest.raises(ValueError, match="whitened adaptive HMC"):
+    with pytest.raises(ValueError, match="hmc/nuts/smc"):
         wf.run_cohort({"a": (x, y)}, cfg, n_buckets=1)
+
+
+def test_nuts_fleet_sparse_all_layouts():
+    """The adaptive sparse fleet tier: per-subject windowed-warmup NUTS at
+    Z for every layout — finite natural draws, key-deterministic, sane
+    acceptance statistics."""
+    xs, ys, masks, vecs = _fleet_data(seed=11)
+    res = fs.fit_fleet_map_sparse(
+        xs, ys, vecs, n_inducing=MZ, masks=masks, n_iters=20, lr=0.05)
+    key = jax.random.PRNGKey(11)
+    samp, acc = fs.nuts_fleet_sparse(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=6, n_warmup=10,
+        whiten=True, masks=masks)
+    assert samp.shape == (S, 6, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(samp)).all()
+    assert acc.shape == (S,) and np.all((np.asarray(acc) >= 0)
+                                        & (np.asarray(acc) <= 1.0))
+    samp2, _ = fs.nuts_fleet_sparse(
+        xs, ys, res.vecs, key, n_inducing=MZ, n_samples=6, n_warmup=10,
+        whiten=True, masks=masks)
+    np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
+
+    xh, ih, yh, mh, vh = _hadamard_fleet_data(seed=11)
+    sh, ah = fs.nuts_fleet_sparse_hadamard(
+        xh, ih, yh, M, vh, key, n_inducing=MZ, n_samples=5, n_warmup=8,
+        whiten=True, masks=mh)
+    assert sh.shape == (S, 5, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(sh)).all()
+
+    rng = np.random.default_rng(12)
+    p = sp.n_params_hetero(MZ, M)
+    vhet = 0.1 * rng.normal(size=(S, p))
+    vhet[:, -MZ * M:] -= 2.0
+    shet, _ = fs.nuts_fleet_sparse_hetero(
+        xs, ys, vhet, key, n_inducing=MZ, n_samples=5, n_warmup=8,
+        whiten=True, masks=masks)
+    assert shet.shape == (S, 5, p)
+    assert np.isfinite(np.asarray(shet)).all()
+
+
+def test_smc_fleet_sparse_all_layouts():
+    """Tempered-SMC sparse fleets: completed tempering paths (beta=1),
+    finite natural-space evidence, exchangeable finite particles, and
+    key-determinism, for every layout."""
+    xs, ys, masks, _ = _fleet_data(seed=13)
+    key = jax.random.PRNGKey(13)
+    r = fs.smc_fleet_sparse(
+        xs, ys, key, n_particles=48, n_mutations=2, n_leapfrog=4,
+        n_inducing=MZ, masks=masks)
+    assert r.particles.shape == (S, 48, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(r.particles)).all()
+    assert np.isfinite(np.asarray(r.logz)).all()
+    np.testing.assert_allclose(np.asarray(r.beta_final), 1.0)
+    r2 = fs.smc_fleet_sparse(
+        xs, ys, key, n_particles=48, n_mutations=2, n_leapfrog=4,
+        n_inducing=MZ, masks=masks)
+    np.testing.assert_array_equal(np.asarray(r.particles),
+                                  np.asarray(r2.particles))
+    np.testing.assert_array_equal(np.asarray(r.logz), np.asarray(r2.logz))
+
+    xh, ih, yh, mh, _ = _hadamard_fleet_data(seed=13)
+    rh = fs.smc_fleet_sparse_hadamard(
+        xh, ih, yh, M, key, n_particles=32, n_mutations=2, n_leapfrog=4,
+        n_inducing=MZ, masks=mh)
+    assert rh.particles.shape == (S, 32, sp.n_params(MZ, M))
+    assert np.isfinite(np.asarray(rh.logz)).all()
+
+    rhet = fs.smc_fleet_sparse_hetero(
+        xs, ys, key, n_particles=32, n_mutations=2, n_leapfrog=4,
+        n_inducing=MZ, masks=masks)
+    assert rhet.particles.shape == (S, 32, sp.n_params_hetero(MZ, M))
+    assert np.isfinite(np.asarray(rhet.logz)).all()
+
+
+def test_smc_fleet_sparse_matches_single_population():
+    """Subject i's fleet SMC population is bit-identical to a standalone
+    ``smc_sample`` run on the same whitened potential with the fleet's own
+    per-subject key — the vmap+shard_map wrapper adds nothing stochastic."""
+    from nonstationary_multivariate_gaussian_process_tpu import settings
+    from nonstationary_multivariate_gaussian_process_tpu.inference import (
+        smc as smc_mod,
+    )
+    from nonstationary_multivariate_gaussian_process_tpu.parallel.fleet import (
+        _fleet_whiten_fns, _fleet_whiten_logdet,
+    )
+
+    xs, ys, masks, _ = _fleet_data(seed=14)
+    hp = dict(DEFAULT_HYPERS)
+    ops, wl, wu, m_z = fs.make_fleet_sparse_ops(xs, masks, MZ, hp)
+    key = jax.random.PRNGKey(14)
+    r = fs.smc_fleet_sparse(
+        xs, ys, key, n_particles=32, n_mutations=2, n_leapfrog=4,
+        ops=ops, whiten_chols=(wl, wu), masks=masks)
+
+    # fleet pads subjects to the mesh multiple BEFORE splitting keys
+    n_dev = jax.device_count()
+    s_pad = -(-S // n_dev) * n_dev
+    keys = jax.random.split(key, s_pad)
+    i = 1
+    nlp = fs._subject_nlp_sparse(m_z, hp, "fitc")
+    fw, _ = _fleet_whiten_fns("gnmgp", m_z, M, hp)
+    op_i = jax.tree_util.tree_map(lambda a: a[i], ops)
+    empty = jnp.zeros((0, 0), settings.dtype)
+    pot = lambda u: nlp(fw(u, wl[i], wu[i], empty), jnp.asarray(xs[i]),
+                        jnp.asarray(ys[i]), op_i,
+                        jnp.asarray(masks[i], bool))
+    single = smc_mod.smc_sample(
+        pot, sp.n_params(m_z, M), keys[i], 32, n_mutations=2, n_leapfrog=4,
+        metric="full", dtype=settings.dtype)
+    nat = jax.vmap(lambda u: fw(u, wl[i], wu[i], empty))(single.particles)
+    ld = _fleet_whiten_logdet("gnmgp", m_z, M, hp)(wl[i], wu[i], empty)
+    np.testing.assert_allclose(np.asarray(r.particles[i]), np.asarray(nat),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(float(r.logz[i]), float(single.logz + ld),
+                               rtol=1e-10)
+
+
+def test_run_cohort_sparse_smc(tmp_path):
+    """run_cohort(model="gnmgp_sparse", sampler="smc"): the population tier
+    reaches the sparse cohort — per-subject natural-space evidence +
+    exchangeable particle draws land in the sampling record."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    rng = np.random.default_rng(4)
+    subjects = {}
+    for i, n in enumerate([28, 32]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = 0.5 * rng.normal(size=(n, 2)) + np.sin(4 * x)[:, None]
+        subjects[f"s{i}"] = (x, y)
+
+    cfg = wf.PipelineConfig(
+        model="gnmgp_sparse", n_inducing=8, n_opt=20, lr=0.05,
+        do_hmc=True, n_hmc=6, cohort_sampler="config", sampler="smc",
+        whiten=True, smc_particles=32, smc_mutations=2, smc_leapfrog=4,
+        do_loo=False,
+    )
+    out = wf.run_cohort(subjects, cfg, n_buckets=1, extrapolation_size=4)
+    p = sp.n_params(8, 2)
+    for sid, rec in out["subjects"].items():
+        assert rec["hmc_samples"].shape == (6, p)
+        assert np.isfinite(rec["sampling"]["log_evidence"])
+        assert rec["sampling"]["sampler"] == "smc"
+        assert rec["sampling"]["beta_final"] == 1.0
 
 
 def _hadamard_fleet_data(seed=5):
@@ -263,6 +406,9 @@ def test_run_cohort_hadamard_sparse(tmp_path):
         assert {"min_ess", "max_rhat"} <= rec["sampling"].keys()
         assert np.isfinite(rec["loo"]["elpd_loo"])
         assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        # sparse chain-sample indexed scoring (KAISER path) in the cohort
+        assert np.isfinite(rec["test_sample_rmse"])
+        assert np.isfinite(rec["test_sample_lpd"])
         saved = store.load(ArtifactStore.key("gnmgp_sparse", "simh", sid, "map"))
         assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
 

@@ -325,6 +325,31 @@ class TestHadamard:
         assert gp.mean.shape == (21, M)
         assert bool(jnp.all(jnp.isfinite(gp.percentiles)))
 
+        # chain-sample indexed prediction (the KAISER scoring path): the
+        # MC draw means track the analytic indexed means, the draw spread
+        # is at least the analytic one (sampled latents only add variance),
+        # and the draws are key-deterministic
+        xt = jnp.asarray(d.x[test_idx])
+        it = jnp.asarray(indx[test_idx])
+        hist = jnp.tile(res.vec[None], (300, 1))
+        k = jax.random.PRNGKey(3)
+        draws = sp_pred.predict_test_hadamard_sample(
+            k, hist, data, ops, M, xt, it)
+        assert draws.shape == (len(test_idx), 300)
+        assert bool(jnp.all(jnp.isfinite(draws)))
+        mu_t, s2_t = sp_pred.predict_test_hadamard(
+            res.vec, data, ops, M, xt, it)
+        dm = np.asarray(draws).mean(axis=1)
+        corr = np.corrcoef(dm, np.asarray(mu_t))[0, 1]
+        assert corr > 0.9, corr
+        ds = np.asarray(draws).std(axis=1)
+        assert np.all(ds > 0.7 * np.sqrt(np.asarray(s2_t))), (
+            ds / np.sqrt(np.asarray(s2_t))
+        )
+        draws2 = sp_pred.predict_test_hadamard_sample(
+            k, hist, data, ops, M, xt, it)
+        np.testing.assert_array_equal(np.asarray(draws), np.asarray(draws2))
+
 
 class TestWorkflowHadamard:
     def test_run_subject_hadamard_sparse(self):
@@ -344,6 +369,9 @@ class TestWorkflowHadamard:
         assert res["hmc_samples"].shape[1] == p_len
         assert res["pred_grid"].mean.shape == (21, M)
         assert np.isfinite(res["test_rmse"]) and np.isfinite(res["test_lpd"])
+        # sample-based indexed scoring now covers the sparse tier too
+        assert np.isfinite(res["test_sample_rmse"])
+        assert np.isfinite(res["test_sample_lpd"])
         assert np.isfinite(res["loo"]["elpd_loo"])
 
 
