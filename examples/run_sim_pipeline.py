@@ -28,7 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gnmgp",
                     choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero",
-                             "gnmgp_sparse", "gnmgp_hetero_sparse"])
+                             "gnmgp_sparse", "gnmgp_hetero_sparse",
+                             "snmgp_sparse", "lmc_sparse"])
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--n-inducing", type=int, default=64,
                     help="gnmgp_sparse: inducing-input count (the large-N "

@@ -243,9 +243,14 @@ def chain_conditional_loglik(
 
 def chain_conditional_loglik_sparse(
     hist_vecs, data, ops, approx: str = "fitc", hyper=None, mask=None,
-    chunk: int = 8, hetero: bool = False,
+    chunk: int = 8, hetero: bool = False, model: str = "gnmgp_sparse",
 ) -> np.ndarray:
-    """(S, MN) exact LOO-conditional log densities under the sparse GNMGP.
+    """(S, MN) exact LOO-conditional log densities under a sparse model.
+
+    ``model`` selects the Woodbury builder: ``"gnmgp_sparse"`` (default;
+    with ``hetero=True`` the per-slot-noise variant), ``"snmgp_sparse"``,
+    or ``"lmc_sparse"`` — all three share the factor layout, so the LOO
+    identity below applies verbatim.
 
     The sparse observation covariance is ``Sigma = diag(Lambda) + B^T B``
     (``models/gnmgp_sparse``), so the LOO identity's two ingredients come
@@ -277,6 +282,16 @@ def chain_conditional_loglik_sparse(
                                          jnp.zeros((), vec.dtype))
             w = sp_model._woodbury_noise(sp_p, data, ops.base, m, approx,
                                          noise, hyper, mask)
+        elif model == "snmgp_sparse":
+            from .models import snmgp_sparse as ssp_model
+
+            p = ssp_model.unpack(vec, m_z, m)
+            w = ssp_model._woodbury(p, data, ops, m, approx, hyper, mask)
+        elif model == "lmc_sparse":
+            from .models import lmc_sparse as lsp_model
+
+            p = lsp_model.unpack(vec, m)
+            w = lsp_model._woodbury(p, data, ops, m, approx, mask)
         else:
             p = sp_model.unpack(vec, m_z, m)
             w = sp_model._woodbury(p, data, ops, m, approx, hyper, mask)

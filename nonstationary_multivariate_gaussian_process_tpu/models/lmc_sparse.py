@@ -1,0 +1,134 @@
+"""Sparse (inducing-point) LMC — the stationary model's large-N tier.
+
+The exact LMC likelihood (``models/lmc.py``; reference
+``Utility/logpos.py:383-462``) rides the rotated Kronecker solver at
+O(N^3 + M^3).  The parameter vector is already N-free (3 + T slots), so the
+sparse tier changes *only* the likelihood cost: the stationary separable
+covariance ``B_f ⊗ K_x`` Nystrom-compresses over m_z inducing inputs exactly
+like the SNMGP tier (``models/snmgp_sparse.py`` — ``K_mm = B_f ⊗ K_x(Z,Z)``,
+``K_nm = B_f ⊗ K_x(X,Z)``), and the likelihood is the shared Woodbury factor
+set (``gnmgp_sparse._woodbury_core``) at O(N M (m_z M)^2): FITC, or the
+Titsias VFE bound on the exact marginal.
+
+The reference has no sparse tier; this one matters for serving stationary
+baselines at N in the thousands (ROADMAP "LMC/SNMGP sparse analogs").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import dists, settings
+from ..ops import kernels, transforms
+from .base import FullData, task_major
+from .gnmgp_sparse import _loglik_from_woodbury, _woodbury_core, choose_inducing
+from .lmc import DEFAULT_HYPERS, Params, n_params, pack, unpack  # noqa: F401
+# The sparse LMC shares the dense packed layout — unpack/pack re-exported so
+# callers treat this module like every other model module.
+
+
+class SparseOps(NamedTuple):
+    """The stationary tier has no latent processes to krige: ops is just Z."""
+
+    z: jnp.ndarray  # (m_z,) inducing inputs
+
+
+def make_ops(x, z, hyper: dict | None = None) -> SparseOps:
+    del x, hyper
+    return SparseOps(jnp.asarray(z, settings.dtype))
+
+
+def _woodbury(p: Params, data: FullData, ops: SparseOps, m: int,
+              approx: str, mask=None):
+    """Stationary separable Woodbury factors: ``K_** = B_f ⊗ K_x(·,·)``."""
+    n = data.y.shape[0]
+    m_z = ops.z.shape[0]
+    l_mat = transforms.vec_to_tril(transforms.ulvec_to_lvec(p.ul_vec, m), m)
+    b_f = l_mat @ l_mat.T
+    # scalars broadcast to pointwise processes, as the dense tier does
+    # (models/lmc.py log_lik; reference logpos.py:424-429)
+    ell_x = jnp.exp(p.tilde_l) * jnp.ones((n,), data.y.dtype)
+    sig_x = jnp.exp(p.tilde_sigma) * jnp.ones((n,), data.y.dtype)
+    ell_z = jnp.exp(p.tilde_l) * jnp.ones((m_z,), data.y.dtype)
+    sig_z = jnp.exp(p.tilde_sigma) * jnp.ones((m_z,), data.y.dtype)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
+    k_mm = jnp.kron(b_f, k_zz)
+    k_xz = kernels.nonstationary_rbf_cov(data.x, sigma1=sig_x, ell1=ell_x,
+                                         x2=ops.z, sigma2=sig_z, ell2=ell_z)
+    k_nm = jnp.kron(b_f, k_xz)  # (NM, m_z M), rows task-major
+    k_x_diag = sig_x * sig_x + settings.jitter
+    k_diag = (jnp.diag(b_f)[:, None] * k_x_diag[None, :]).reshape(-1)
+
+    mv = None
+    if mask is not None:
+        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)
+    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), sigma2_err,
+                          approx, mv)
+
+
+def log_lik(p: Params, data: FullData, ops: SparseOps, approx: str = "fitc",
+            hyper=None, mask=None) -> jnp.ndarray:
+    """Sparse stationary marginal log-likelihood (unnormalized convention);
+    ``approx="vfe"`` lower-bounds the exact ``models.lmc.log_lik``.
+    ``hyper`` is accepted for driver uniformity (no latent processes — the
+    likelihood does not depend on it)."""
+    del hyper
+    w = _woodbury(p, data, ops, data.y.shape[1], approx, mask)
+    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+
+
+def log_posterior(p: Params, data: FullData, ops: SparseOps,
+                  approx: str = "fitc", hyper=None, prior: bool = True,
+                  mask=None):
+    """Sparse log-posterior under the exact LMC priors (logpos.py:405-462):
+    N(mu, sigma) on tilde_l, N(0, c) on the task vector, inverse-gamma on the
+    noise plus the exp Jacobian."""
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    loglik = log_lik(p, data, ops, approx=approx, mask=mask)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    lp_l = dists.normal_logpdf(p.tilde_l, hp["mu_tilde_l"], hp["sigma_tilde_l"])
+    lp_ul = jnp.sum(dists.normal_logpdf(p.ul_vec, 0.0, hp["c"]))
+    lp_s2 = dists.inverse_gamma_logpdf(sigma2_err, alpha=hp["a"], beta=hp["b"])
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_ul + lp_s2 + p.tilde_sigma2_err
+    comps = {
+        "loglik": loglik,
+        "log_prior_tilde_l": lp_l,
+        "log_prior_uL_vec": lp_ul,
+        "log_prior_sigma2_err": lp_s2,
+    }
+    return res, comps
+
+
+def make_objective(data: FullData, z=None, n_inducing: int = 64,
+                   hyper: dict | None = None, approx: str = "fitc",
+                   prior: bool = True, mask=None):
+    """Jit-friendly sparse negative-log-posterior closure: ``(nlp, ops)``.
+
+    The objective runs over the dense LMC packed vector (``3 + T`` slots —
+    the layout is already N-free); only the likelihood cost changes.
+    """
+    from . import base
+
+    base.check_full_data(data, "lmc_sparse")
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    if z is None:
+        x_real = data.x if mask is None else data.x[: int(jnp.sum(mask))]
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops = make_ops(data.x, z, hp)
+    m = data.y.shape[1]
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack(vec, m)
+        res, _ = log_posterior(p, data, ops, approx=approx, hyper=hp,
+                               prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops

@@ -32,7 +32,9 @@ from ..predict import gnmgp as pred_gnmgp
 from ..predict import gnmgp_hetero as pred_hetero
 from ..predict import gnmgp_sparse as pred_sparse
 from ..predict import lmc as pred_lmc
+from ..predict import lmc_sparse as pred_lmc_sparse
 from ..predict import snmgp as pred_snmgp
+from ..predict import snmgp_sparse as pred_snmgp_sparse
 from ..utils.artifacts import ArtifactStore
 
 _PRED = {
@@ -42,9 +44,11 @@ _PRED = {
     "gnmgp_hetero": pred_hetero,
     "gnmgp_sparse": pred_sparse,
     "gnmgp_hetero_sparse": pred_sparse,
+    "snmgp_sparse": pred_snmgp_sparse,
+    "lmc_sparse": pred_lmc_sparse,
 }
 
-_SPARSE = ("gnmgp_sparse", "gnmgp_hetero_sparse")
+_SPARSE = ("gnmgp_sparse", "gnmgp_hetero_sparse", "snmgp_sparse", "lmc_sparse")
 
 GRID_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
@@ -89,12 +93,15 @@ class PredictEngine:
                     ))
                 self._sample_fn = None  # hetero sparse chain prediction: map-only
             else:
+                # gnmgp/snmgp/lmc sparse predictors share the
+                # (vec, data, ops, grid, hyper, approx) contract
+                pred = _PRED[model]
                 self._map_fn = lambda v, x, y, g, ops, approx: (
-                    pred_sparse.predict_map(
+                    pred.predict_map(
                         v, FullData(x, y), ops, g, hyper=hyper, approx=approx
                     ))
                 self._sample_fn = lambda k, hv, x, y, g, ops, approx: (
-                    pred_sparse.predict_sample(
+                    pred.predict_sample(
                         k, hv, FullData(x, y), ops, g, hyper=hyper,
                         approx=approx
                     ))
@@ -144,6 +151,8 @@ class PredictEngine:
             }
             if self.model in _SPARSE:
                 from ..models import gnmgp_sparse as sp_model
+                from ..models import lmc_sparse as lsp_model
+                from ..models import snmgp_sparse as ssp_model
 
                 if "z" not in map_art:
                     raise KeyError(
@@ -152,11 +161,13 @@ class PredictEngine:
                         "current run_subject"
                     )
                 z = jnp.asarray(map_art["z"], settings.dtype)
-                rec["ops"] = (
-                    sp_model.make_ops_hetero(rec["x"], z, self.hyper)
-                    if self.model == "gnmgp_hetero_sparse"
-                    else sp_model.make_ops(rec["x"], z, self.hyper)
-                )
+                make_ops = {
+                    "gnmgp_hetero_sparse": sp_model.make_ops_hetero,
+                    "gnmgp_sparse": sp_model.make_ops,
+                    "snmgp_sparse": ssp_model.make_ops,
+                    "lmc_sparse": lsp_model.make_ops,
+                }[self.model]
+                rec["ops"] = make_ops(rec["x"], z, self.hyper)
                 rec["approx"] = str(map_art.get("approx", "fitc"))
             if self.store.exists(k("hmc")):
                 rec["chain"] = jnp.asarray(

@@ -36,15 +36,19 @@ from .inference import (
     map as map_mod,
 )
 from .models import FullData, gnmgp, gnmgp_hetero, gnmgp_sparse, lmc, snmgp
+from .models import lmc_sparse, snmgp_sparse
 from .parallel import fleet as fleet_mod
 from .parallel.mesh import make_mesh
 from .predict import gnmgp as pred_gnmgp, lmc as pred_lmc, snmgp as pred_snmgp
 from .predict import gnmgp_hetero as pred_gnmgp_hetero
 from .predict import gnmgp_sparse as pred_gnmgp_sparse
+from .predict import lmc_sparse as pred_lmc_sparse
+from .predict import snmgp_sparse as pred_snmgp_sparse
 from .utils.artifacts import ArtifactStore
 
 _MODELS = {"lmc": lmc, "snmgp": snmgp, "gnmgp": gnmgp, "gnmgp_hetero": gnmgp_hetero,
-           "gnmgp_sparse": gnmgp_sparse, "gnmgp_hetero_sparse": gnmgp_sparse}
+           "gnmgp_sparse": gnmgp_sparse, "gnmgp_hetero_sparse": gnmgp_sparse,
+           "snmgp_sparse": snmgp_sparse, "lmc_sparse": lmc_sparse}
 _PREDICT = {
     "lmc": pred_lmc,
     "snmgp": pred_snmgp,
@@ -52,6 +56,8 @@ _PREDICT = {
     "gnmgp_hetero": pred_gnmgp_hetero,
     "gnmgp_sparse": pred_gnmgp_sparse,
     "gnmgp_hetero_sparse": pred_gnmgp_sparse,
+    "snmgp_sparse": pred_snmgp_sparse,
+    "lmc_sparse": pred_lmc_sparse,
 }
 
 
@@ -509,8 +515,9 @@ def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
     # the sparse layouts ARE the dense layouts with (x, N) -> (Z, m_z); the
     # caller passes x=Z, n=m_z, so the dense whiteners apply verbatim
     model_name = {"gnmgp_sparse": "gnmgp",
-                  "gnmgp_hetero_sparse": "gnmgp_hetero"}.get(cfg.model,
-                                                             cfg.model)
+                  "gnmgp_hetero_sparse": "gnmgp_hetero",
+                  "snmgp_sparse": "snmgp",
+                  "lmc_sparse": "lmc"}.get(cfg.model, cfg.model)
     if cfg.whiten == "pncp":
         w = whiten_mod.make_whitener(model_name, x, n, m, cfg.hyper,
                                      hadamard=hadamard, mode="eig")
@@ -644,6 +651,13 @@ def _build_inits(cfg, emp, x, y, key, z=None):
     model = cfg.model
     if model == "lmc":
         return {"empirical": init_mod.lmc_from_empirical(emp, n, m)}
+    if model == "lmc_sparse":
+        # the stationary layout is N-free already
+        return {"empirical": init_mod.lmc_from_empirical(emp, n, m)}
+    if model == "snmgp_sparse":
+        dense = init_mod.snmgp_from_empirical(emp, n, m)
+        return {"empirical": snmgp_sparse.init_from_empirical(
+            dense, n, z.shape[0], m, x, z)}
     if model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
         # subsample the dense empirical init onto the inducing layout — no
         # separable warm-start fit (that costs the O((MN)^3) this tier avoids)
@@ -723,7 +737,7 @@ def run_subject(
     result["timings"]["empirical"] = time.time() - t0
     result["empirical"] = emp
 
-    sparse = cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse")
+    sparse = cfg.model.endswith("_sparse")
     hsparse = cfg.model == "gnmgp_hetero_sparse"
     if hsparse:
         nlp, sp_ops = gnmgp_sparse.make_objective_hetero(
@@ -734,7 +748,9 @@ def run_subject(
         result["n_inducing"] = m_z
         result["sparse_approx"] = cfg.sparse_approx
     elif sparse:
-        nlp, sp_ops = gnmgp_sparse.make_objective(
+        # gnmgp_sparse / snmgp_sparse / lmc_sparse share the (nlp, ops)
+        # make_objective contract
+        nlp, sp_ops = model.make_objective(
             data, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
             hyper=cfg.hyper,
         )
@@ -747,7 +763,7 @@ def run_subject(
         m_z = None
     sp_z = ((sp_ops.base.z if hsparse else sp_ops.z) if sparse else None)
     if cfg.do_map:
-        expected_p = (model.n_params(m) if cfg.model == "lmc"
+        expected_p = (model.n_params(m) if cfg.model in ("lmc", "lmc_sparse")
                       else gnmgp_sparse.n_params_hetero(m_z, m) if hsparse
                       else model.n_params(m_z, m) if sparse
                       else model.n_params(n, m))
@@ -779,7 +795,7 @@ def run_subject(
                             data, z=z_res, approx=cfg.sparse_approx,
                             hyper=cfg.hyper)
                     else:
-                        nlp, sp_ops = gnmgp_sparse.make_objective(
+                        nlp, sp_ops = model.make_objective(
                             data, z=z_res, approx=cfg.sparse_approx,
                             hyper=cfg.hyper)
                     sp_z = z_res
@@ -797,7 +813,13 @@ def run_subject(
             result["map_vec"] = map_vec = res.vec
             result["map_init"] = name
             result["target_hist"] = np.asarray(res.target_hist)
-            if cfg.refine_z > 0 and sparse and not hsparse:
+            if cfg.refine_z > 0 and sparse and cfg.model not in (
+                    "gnmgp_sparse", "gnmgp_hetero_sparse"):
+                raise ValueError(
+                    f"refine_z is implemented for gnmgp_sparse only (got "
+                    f"{cfg.model!r}); the separable sparse tiers use the "
+                    "fixed quantile Z")
+            if cfg.refine_z > 0 and cfg.model == "gnmgp_sparse":
                 # inducing-input refinement: Z descends the objective, the
                 # latents refit at the moved Z; downstream stages (sampling,
                 # prediction, LOO) condition on the refined ops
@@ -936,8 +958,13 @@ def run_subject(
                 data, sp_ops, approx=cfg.sparse_approx, hyper=cfg.hyper,
             )
         elif sparse:
-            dev = lambda v: -2.0 * gnmgp_sparse.log_lik(
-                gnmgp_sparse.unpack(jnp.asarray(v, settings.dtype), m_z, m),
+            # unpack is (vec, m) for the N-free lmc layout, (vec, m_z, m)
+            # for the latent-process layouts
+            _up = ((lambda v: model.unpack(v, m))
+                   if cfg.model == "lmc_sparse"
+                   else (lambda v: model.unpack(v, m_z, m)))
+            dev = lambda v: -2.0 * model.log_lik(
+                _up(jnp.asarray(v, settings.dtype)),
                 data, sp_ops, approx=cfg.sparse_approx, hyper=cfg.hyper,
             )
         else:
@@ -957,7 +984,7 @@ def run_subject(
             if sparse:
                 cond_ll = evaluate.chain_conditional_loglik_sparse(
                     hist, data, sp_ops, approx=cfg.sparse_approx,
-                    hyper=cfg.hyper, hetero=hsparse,
+                    hyper=cfg.hyper, hetero=hsparse, model=cfg.model,
                 )
             else:
                 cond_ll = evaluate.chain_conditional_loglik(
