@@ -319,10 +319,11 @@ def _loo_from_woodbury(w, mask_flat=None) -> jnp.ndarray:
 
 def chain_conditional_loglik_sparse_hadamard(
     hist_vecs, data, ops, m: int, approx: str = "fitc", hyper=None,
-    mask=None, chunk: int = 8,
+    mask=None, chunk: int = 8, model: str = "gnmgp_sparse",
 ) -> np.ndarray:
     """(S, N) sparse-Hadamard LOO conditional log densities (see
-    :func:`chain_conditional_loglik_sparse`)."""
+    :func:`chain_conditional_loglik_sparse`); ``model`` selects the
+    Woodbury builder (gnmgp/snmgp/lmc sparse Hadamard layouts share it)."""
     from .models import gnmgp_sparse as sp_model
 
     hist = jnp.asarray(hist_vecs)
@@ -334,8 +335,21 @@ def chain_conditional_loglik_sparse_hadamard(
     hist_p = jnp.concatenate([hist, jnp.tile(hist[-1:], (pad, 1))]) if pad else hist
 
     def one(vec):
-        p = sp_model.unpack(vec, m_z, m)
-        w = sp_model._woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
+        if model == "snmgp_sparse":
+            from .models import snmgp_sparse as ssp_model
+
+            p = ssp_model.unpack(vec, m_z, m)
+            w = ssp_model._woodbury_hadamard(p, data, ops, m, approx, hyper,
+                                             mask)
+        elif model == "lmc_sparse":
+            from .models import lmc_sparse as lsp_model
+
+            p = lsp_model.unpack(vec, m)
+            w = lsp_model._woodbury_hadamard(p, data, ops, m, approx, mask)
+        else:
+            p = sp_model.unpack(vec, m_z, m)
+            w = sp_model._woodbury_hadamard(p, data, ops, m, approx, hyper,
+                                            mask)
         return _loo_from_woodbury(w, mask_b)
 
     out = jax.lax.map(jax.vmap(one), hist_p.reshape(-1, chunk, hist.shape[1]))

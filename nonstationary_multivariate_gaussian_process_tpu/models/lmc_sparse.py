@@ -105,6 +105,92 @@ def log_posterior(p: Params, data: FullData, ops: SparseOps,
     return res, comps
 
 
+# ---------------------------------------------------------------------------
+# Hadamard variant: one observation per (input, task) pair.
+# ---------------------------------------------------------------------------
+
+
+def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
+                       approx: str, mask=None):
+    """Hadamard-layout Woodbury factors under the reference's stationary
+    conventions (``models.lmc.log_posterior_hadamard``, logpos.py:676-716):
+    raw task-Cholesky vector, stationary ``rbf_cov(alpha=sigma, beta=ell)``.
+    ``K_mm = B_f ⊗ K_x(Z,Z)``; ``K_nm[i,(c,j)] = B_f[indx_i,c] K_x(x_i,z_j)``.
+    """
+    x, indx, y = data
+    n = y.shape[0]
+    m_z = ops.z.shape[0]
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    ell = jnp.exp(p.tilde_l)
+    sig = jnp.exp(p.tilde_sigma)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    k_zz = kernels.rbf_cov(ops.z, alpha=sig, beta=ell)  # self: + jitter I
+    k_mm = jnp.kron(b_f, k_zz)
+    k_xz = kernels.rbf_cov(x, ops.z, alpha=sig, beta=ell)
+    ix = jnp.asarray(indx, jnp.int32)
+    b_rows = b_f[ix]  # (N, M)
+    k_nm = (k_xz[:, None, :] * b_rows[:, :, None]).reshape(n, m * m_z)
+    k_diag = b_f[ix, ix] * (sig * sig + settings.jitter)
+
+    mv = None if mask is None else jnp.asarray(mask, y.dtype)
+    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+
+
+def log_lik_hadamard(p: Params, data, ops: SparseOps, m: int,
+                     approx: str = "fitc", hyper=None,
+                     mask=None) -> jnp.ndarray:
+    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
+    del hyper
+    w = _woodbury_hadamard(p, data, ops, m, approx, mask)
+    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+
+
+def log_posterior_hadamard(p: Params, data, ops: SparseOps, m: int,
+                           approx: str = "fitc", hyper=None,
+                           prior: bool = True, mask=None):
+    """Sparse Hadamard log-posterior under the exact Hadamard LMC priors
+    (raw-L_vec N(0,c), unnormalized inverse-gamma + exp Jacobian)."""
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    loglik = log_lik_hadamard(p, data, ops, m, approx=approx, mask=mask)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    lp_l = dists.normal_logpdf(p.tilde_l, hp["mu_tilde_l"],
+                               hp["sigma_tilde_l"])
+    lp_lvec = jnp.sum(dists.normal_logpdf(p.ul_vec, 0.0, hp["c"]))
+    lp_s2 = dists.inverse_gamma_logpdf_u(sigma2_err, alpha=hp["a"],
+                                         beta=hp["b"])
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_lvec + lp_s2 + p.tilde_sigma2_err
+    comps = {"loglik": loglik, "log_prior_tilde_l": lp_l,
+             "log_prior_L_vec": lp_lvec, "log_prior_sigma2_err": lp_s2}
+    return res, comps
+
+
+def make_objective_hadamard(data, m: int, z=None, n_inducing: int = 64,
+                            hyper: dict | None = None, approx: str = "fitc",
+                            prior: bool = True, mask=None):
+    """Jit-friendly sparse Hadamard negative-log-posterior: ``(nlp, ops)``."""
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    if z is None:
+        import numpy as _np
+
+        x_real = (data.x if mask is None
+                  else data.x[: int(_np.asarray(mask).sum())])
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops = make_ops(data.x, z)
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack(vec, m)
+        res, _ = log_posterior_hadamard(p, data, ops, m, approx=approx,
+                                        hyper=hyper, prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops
+
+
 def make_objective(data: FullData, z=None, n_inducing: int = 64,
                    hyper: dict | None = None, approx: str = "fitc",
                    prior: bool = True, mask=None):

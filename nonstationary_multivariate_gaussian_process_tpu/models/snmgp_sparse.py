@@ -209,6 +209,103 @@ def make_objective(data: FullData, z=None, n_inducing: int = 64,
     return nlp, ops
 
 
+# ---------------------------------------------------------------------------
+# Hadamard variant: one observation per (input, task) pair.
+# ---------------------------------------------------------------------------
+
+
+def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       approx: str, hyper=None, mask=None):
+    """Hadamard-layout Woodbury factors.
+
+    Reference Hadamard conventions apply (``models.snmgp.
+    log_posterior_hadamard``, logpos.py:502-563): the task-Cholesky vector
+    enters *raw* (no exp on diagonal slots).  Inducing latents are the full
+    task set at Z — ``K_mm = B_f ⊗ K_x(Z,Z)`` — while each observation row
+    selects its task: ``K_nm[i,(c,j)] = B_f[indx_i,c] K_x(x_i,z_j)``.
+    """
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    x, indx, y = data
+    n = y.shape[0]
+    m_z = ops.z.shape[0]
+    tl_x, ts_x = latents_at_data(p, ops, hp)
+    ell_x, sig_x = jnp.exp(tl_x), jnp.exp(ts_x)
+    ell_z, sig_z = jnp.exp(p.tilde_l_z), jnp.exp(p.tilde_sigma_z)
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
+    k_mm = jnp.kron(b_f, k_zz)  # cols c-major (c*m_z + j)
+    k_xz = kernels.nonstationary_rbf_cov(x, sigma1=sig_x, ell1=ell_x,
+                                         x2=ops.z, sigma2=sig_z, ell2=ell_z)
+    ix = jnp.asarray(indx, jnp.int32)
+    b_rows = b_f[ix]  # (N, M)
+    k_nm = (k_xz[:, None, :] * b_rows[:, :, None]).reshape(n, m * m_z)
+    k_diag = b_f[ix, ix] * (sig_x * sig_x + settings.jitter)
+
+    mv = None if mask is None else jnp.asarray(mask, y.dtype)
+    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+
+
+def log_lik_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                     approx: str = "fitc", hyper=None,
+                     mask=None) -> jnp.ndarray:
+    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
+    w = _woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
+    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+
+
+def log_posterior_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                           approx: str = "fitc", hyper=None,
+                           prior: bool = True, mask=None):
+    """Sparse Hadamard log-posterior — the exact Hadamard SNMGP's priors
+    over the Z-latents (raw-L_vec N(0,c), unnormalized inverse-gamma + the
+    exp Jacobian; ``models.snmgp.log_posterior_hadamard``)."""
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    loglik = log_lik_hadamard(p, data, ops, m, approx=approx, hyper=hp,
+                              mask=mask)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    lp_l = dists.mvn_logpdf_chol(p.tilde_l_z, hp["mu_tilde_l"], ops.pc_l_z)
+    lp_sigma = dists.mvn_logpdf_chol(p.tilde_sigma_z, hp["mu_tilde_sigma"],
+                                     ops.pc_sigma_z)
+    lp_l_vec = jnp.sum(dists.normal_logpdf(p.ul_vec, 0.0, hp["c"]))
+    lp_s2 = dists.inverse_gamma_logpdf_u(sigma2_err, alpha=hp["a"],
+                                         beta=hp["b"])
+    res = loglik
+    if prior:
+        res = res + lp_l + lp_sigma + lp_l_vec + lp_s2 + p.tilde_sigma2_err
+    comps = {"loglik": loglik, "log_prior_tilde_l": lp_l,
+             "log_prior_tilde_sigma": lp_sigma,
+             "log_prior_L_vec": lp_l_vec, "log_prior_sigma2_err": lp_s2}
+    return res, comps
+
+
+def make_objective_hadamard(data, m: int, z=None, n_inducing: int = 64,
+                            hyper: dict | None = None, approx: str = "fitc",
+                            prior: bool = True, mask=None):
+    """Jit-friendly sparse Hadamard negative-log-posterior: ``(nlp, ops)``."""
+    if approx not in ("fitc", "vfe"):
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    if z is None:
+        import numpy as _np
+
+        x_real = (data.x if mask is None
+                  else data.x[: int(_np.asarray(mask).sum())])
+        z = choose_inducing(x_real, min(n_inducing, x_real.shape[0]))
+    ops = make_ops(data.x, z, hp)
+    m_z = ops.z.shape[0]
+
+    def nlp(vec: jnp.ndarray) -> jnp.ndarray:
+        p = unpack(vec, m_z, m)
+        res, _ = log_posterior_hadamard(p, data, ops, m, approx=approx,
+                                        hyper=hp, prior=prior, mask=mask)
+        return -res
+
+    return nlp, ops
+
+
 def init_from_empirical(emp_vec, n: int, m_z: int, m: int, x, z) -> jnp.ndarray:
     """Subsample an exact-model empirical init (N-layout) onto the Z-layout.
 

@@ -69,6 +69,80 @@ def predict_test(vec, data: FullData, ops: model.SparseOps, x_test,
     return _moments(vec, data, ops, x_test, approx, mask)
 
 
+def _moments_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                      indx_grid=None, approx: str = "fitc", mask=None):
+    """Sparse Hadamard predictive moments (stationary, raw-L_vec)."""
+    m_z = ops.z.shape[0]
+    p = model.unpack(jnp.asarray(vec), m)
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+
+    w = model._woodbury_hadamard(p, data, ops, m, approx, mask)
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    ell = jnp.exp(p.tilde_l)
+    sig = jnp.exp(p.tilde_sigma)
+    k_gz = kernels.rbf_cov(grid, ops.z, alpha=sig, beta=ell)
+    k_self = sig * sig + settings.jitter
+    if indx_grid is None:
+        k_gm = jnp.kron(b_f, k_gz)
+        k_star_diag = jnp.repeat(jnp.diag(b_f) * k_self, g)
+    else:
+        ix = jnp.asarray(indx_grid, jnp.int32)
+        b_rows = b_f[ix]
+        k_gm = (k_gz[:, None, :] * b_rows[:, :, None]).reshape(g, -1)
+        k_star_diag = b_f[ix, ix] * k_self
+
+    mu_flat, var_flat = star_moments(w, k_gm, k_star_diag)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    if indx_grid is None:
+        mu = mu_flat.reshape(m, g).T
+        s2 = var_flat.reshape(m, g).T + sigma2_err
+    else:
+        mu, s2 = mu_flat, var_flat + sigma2_err
+    return mu, jnp.maximum(s2, sigma2_err)
+
+
+def predict_map_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                         hyper=None, approx: str = "fitc", mask=None):
+    """Plug-in MAP grid prediction, all tasks (sparse Hadamard analogue of
+    ``predict.hadamard.lmc_predict_map``)."""
+    del hyper
+    mu, s2 = _moments_hadamard(vec, data, ops, m, grid, None, approx, mask)
+    sd = jnp.sqrt(s2)
+    pct = jnp.stack([mu - 1.96 * sd, mu, mu + 1.96 * sd], axis=1)
+    return GridPrediction(percentiles=pct, mean=mu, std=sd)
+
+
+def predict_test_hadamard(vec, data, ops: model.SparseOps, m: int, x_test,
+                          indx_test, hyper=None, approx: str = "fitc",
+                          mask=None):
+    """Held-out per-observation ``(mean (G,), var (G,))`` for RMSE/LPD."""
+    del hyper
+    return _moments_hadamard(vec, data, ops, m, x_test, indx_test, approx,
+                             mask)
+
+
+def predict_test_hadamard_sample(key, hist_vecs, data, ops: model.SparseOps,
+                                 m: int, x_test, indx_test, hyper=None,
+                                 approx: str = "fitc", mask=None,
+                                 n_sample: int | None = None):
+    """(G_test, S) indexed chain-sample draws for sample-based scoring."""
+    del hyper
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+
+    def draw(vec, k):
+        mu, s2 = _moments_hadamard(vec, data, ops, m, x_test, indx_test,
+                                   approx, mask)
+        return mu + jnp.sqrt(s2) * jax.random.normal(k, mu.shape, mu.dtype)
+
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = jax.vmap(draw)(hist_vecs, keys)  # (S, G)
+    return ys.T  # (G, S)
+
+
 def predict_sample(key, hist_vecs, data: FullData, ops: model.SparseOps,
                    grid, hyper=None, approx: str = "fitc", mask=None,
                    n_sample: int | None = None) -> jnp.ndarray:

@@ -109,6 +109,94 @@ def predict_test(vec, data: FullData, ops: model.SparseOps, x_test,
     return _moments(vec, data, ops, x_test, hyper, approx, mask)
 
 
+def _moments_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                      indx_grid=None, hyper=None, approx: str = "fitc",
+                      mask=None):
+    """Sparse Hadamard predictive moments (raw-L_vec conventions).
+
+    ``indx_grid=None`` → per-task moments at every grid point ((G, M) each);
+    with task indices → per-observation moments ((G,) each) for test scoring.
+    """
+    hp = _hp(hyper)
+    m_z = ops.z.shape[0]
+    p = model.unpack(jnp.asarray(vec), m_z, m)
+    grid = jnp.asarray(grid, data.x.dtype)
+    g = grid.shape[0]
+
+    proj_l, _ = krige_proj(ops.z, grid, hp["alpha_tilde_l"],
+                           hp["beta_tilde_l"])
+    proj_s, _ = krige_proj(ops.z, grid, hp["alpha_tilde_sigma"],
+                           hp["beta_tilde_sigma"])
+    tl_g = hp["mu_tilde_l"] + (p.tilde_l_z - hp["mu_tilde_l"]) @ proj_l
+    ts_g = (hp["mu_tilde_sigma"]
+            + (p.tilde_sigma_z - hp["mu_tilde_sigma"]) @ proj_s)
+
+    w = model._woodbury_hadamard(p, data, ops, m, approx, hp, mask)
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    k_gz = kernels.nonstationary_rbf_cov(
+        grid, sigma1=jnp.exp(ts_g), ell1=jnp.exp(tl_g),
+        x2=ops.z, sigma2=jnp.exp(p.tilde_sigma_z), ell2=jnp.exp(p.tilde_l_z))
+    k_self = jnp.exp(2.0 * ts_g) + settings.jitter
+    if indx_grid is None:
+        k_gm = jnp.kron(b_f, k_gz)  # (GM, m_z M), rows task-major
+        k_star_diag = (jnp.diag(b_f)[:, None] * k_self[None, :]).reshape(-1)
+    else:
+        ix = jnp.asarray(indx_grid, jnp.int32)
+        b_rows = b_f[ix]  # (G, M)
+        k_gm = (k_gz[:, None, :] * b_rows[:, :, None]).reshape(g, -1)
+        k_star_diag = b_f[ix, ix] * k_self
+
+    mu_flat, var_flat = star_moments(w, k_gm, k_star_diag)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    if indx_grid is None:
+        mu = mu_flat.reshape(m, g).T
+        s2 = var_flat.reshape(m, g).T + sigma2_err
+    else:
+        mu, s2 = mu_flat, var_flat + sigma2_err
+    return mu, jnp.maximum(s2, sigma2_err)
+
+
+def predict_map_hadamard(vec, data, ops: model.SparseOps, m: int, grid,
+                         hyper=None, approx: str = "fitc", mask=None):
+    """Plug-in MAP grid prediction, all tasks (sparse Hadamard analogue of
+    ``predict.hadamard.snmgp_predict_map``)."""
+    mu, s2 = _moments_hadamard(vec, data, ops, m, grid, None, hyper, approx,
+                               mask)
+    sd = jnp.sqrt(s2)
+    pct = jnp.stack([mu - 1.96 * sd, mu, mu + 1.96 * sd], axis=1)
+    return GridPrediction(percentiles=pct, mean=mu, std=sd)
+
+
+def predict_test_hadamard(vec, data, ops: model.SparseOps, m: int, x_test,
+                          indx_test, hyper=None, approx: str = "fitc",
+                          mask=None):
+    """Held-out per-observation ``(mean (G,), var (G,))`` for RMSE/LPD."""
+    return _moments_hadamard(vec, data, ops, m, x_test, indx_test, hyper,
+                             approx, mask)
+
+
+def predict_test_hadamard_sample(key, hist_vecs, data, ops: model.SparseOps,
+                                 m: int, x_test, indx_test, hyper=None,
+                                 approx: str = "fitc", mask=None,
+                                 n_sample: int | None = None):
+    """(G_test, S) indexed chain-sample draws — the sample-based scoring
+    path (``predict.hadamard.snmgp_predict_test_sample`` analogue): per
+    posterior draw, one y* draw from the indexed predictive."""
+    hist_vecs = jnp.asarray(hist_vecs)
+    if n_sample is not None:
+        hist_vecs = hist_vecs[-n_sample:]
+
+    def draw(vec, k):
+        mu, s2 = _moments_hadamard(vec, data, ops, m, x_test, indx_test,
+                                   hyper, approx, mask)
+        return mu + jnp.sqrt(s2) * jax.random.normal(k, mu.shape, mu.dtype)
+
+    keys = jax.random.split(key, hist_vecs.shape[0])
+    ys = jax.vmap(draw)(hist_vecs, keys)  # (S, G)
+    return ys.T  # (G, S)
+
+
 def predict_sample(key, hist_vecs, data: FullData, ops: model.SparseOps,
                    grid, hyper=None, approx: str = "fitc", mask=None,
                    n_sample: int | None = None) -> jnp.ndarray:

@@ -1051,15 +1051,21 @@ def run_subject_hadamard(
     )
     model = _MODELS[cfg.model]
 
-    sparse = cfg.model == "gnmgp_sparse"
+    if cfg.model == "gnmgp_hetero_sparse":
+        raise ValueError(
+            "gnmgp_hetero_sparse has no Hadamard objective — use "
+            "model='gnmgp_sparse' (or the full-layout hetero pipeline)")
+    sparse = cfg.model.endswith("_sparse")
     sp_ops = None
     if sparse:
-        nlp, sp_ops = gnmgp_sparse.make_objective_hadamard(
+        # gnmgp/snmgp/lmc sparse share the Hadamard (nlp, ops) contract
+        nlp, sp_ops = model.make_objective_hadamard(
             data, m, n_inducing=cfg.n_inducing, approx=cfg.sparse_approx,
             hyper=cfg.hyper,
         )
         m_z = int(sp_ops.z.shape[0])
-        dim = gnmgp_sparse.n_params(m_z, m)
+        dim = (model.n_params(m) if cfg.model == "lmc_sparse"
+               else model.n_params(m_z, m))
     elif cfg.model == "lmc":
         dim = 2 + t + 1
         nlp = lambda v: model.nlogpos_hadamard(v, data.x, data.indx, data.y, m, **cfg.hyper)
@@ -1075,6 +1081,11 @@ def run_subject_hadamard(
     res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr,
                           err_opt=cfg.err_opt, method=cfg.map_method)
     out = {"map_vec": res.vec, "target_hist": np.asarray(res.target_hist), "n": n, "m": m}
+    if cfg.refine_z > 0 and sparse and cfg.model != "gnmgp_sparse":
+        raise ValueError(
+            f"refine_z is implemented for gnmgp_sparse only (got "
+            f"{cfg.model!r}); the separable sparse tiers use the fixed "
+            "quantile Z")
     if cfg.refine_z > 0 and sparse:
         # inducing-input refinement through the traced Hadamard objective
         z_r, vec_r, sp_ops, _ = gnmgp_sparse.refine_inducing(
@@ -1093,7 +1104,7 @@ def run_subject_hadamard(
     grid = jnp.linspace(float(x.min()), float(x.max()), cfg.n_grid)
     if cfg.do_pred_grid:
         if sparse:
-            gp = pred_gnmgp_sparse.predict_map_hadamard(
+            gp = _PREDICT[cfg.model].predict_map_hadamard(
                 res.vec, data, sp_ops, m, grid, hyper=cfg.hyper,
                 approx=cfg.sparse_approx)
         elif cfg.model == "lmc":
@@ -1125,7 +1136,7 @@ def run_subject_hadamard(
             if sparse:
                 cond_ll = evaluate.chain_conditional_loglik_sparse_hadamard(
                     hist, data, sp_ops, m, approx=cfg.sparse_approx,
-                    hyper=cfg.hyper,
+                    hyper=cfg.hyper, model=cfg.model,
                 )
             else:
                 cond_ll = evaluate.chain_conditional_loglik_hadamard(
@@ -1146,7 +1157,7 @@ def run_subject_hadamard(
         xt = jnp.asarray(x_te, settings.dtype)
         it = jnp.asarray(indx_te, jnp.int32)
         if sparse:
-            mean, var = pred_gnmgp_sparse.predict_test_hadamard(
+            mean, var = _PREDICT[cfg.model].predict_test_hadamard(
                 res.vec, data, sp_ops, m, xt, it, hyper=cfg.hyper,
                 approx=cfg.sparse_approx)
             std = jnp.sqrt(var)
@@ -1164,7 +1175,7 @@ def run_subject_hadamard(
             hv = jnp.asarray(out["hmc_samples"])
             ks = jax.random.fold_in(key, 9)
             if sparse:
-                draws = pred_gnmgp_sparse.predict_test_hadamard_sample(
+                draws = _PREDICT[cfg.model].predict_test_hadamard_sample(
                     ks, hv, data, sp_ops, m, xt, it, hyper=cfg.hyper,
                     approx=cfg.sparse_approx)
             elif cfg.model == "lmc":

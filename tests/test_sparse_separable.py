@@ -261,6 +261,93 @@ class TestLmcSparse:
         assert bool(jnp.all(jnp.isfinite(ys)))
 
 
+def _hadamard_data(n=28, key=0):
+    d = sim.sim_mnts_s(jax.random.PRNGKey(key), n=n, m=M)
+    indx = jax.random.randint(jax.random.PRNGKey(key + 100), (n,), 0, M)
+    y = d.y[jnp.arange(n), indx]
+    from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+        HadamardData,
+    )
+
+    return HadamardData(d.x, indx.astype(jnp.int32), y)
+
+
+class TestHadamardSparseSeparable:
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_snmgp_matches_dense_mvn(self, approx):
+        data = _hadamard_data(n=28)
+        z = ssp.choose_inducing(data.x, 8)
+        ops = ssp.make_ops(data.x, z)
+        m_z = z.shape[0]
+        vec = _snmgp_vec(m_z, key=11)
+        p = ssp.unpack(vec, m_z, M)
+        w = ssp._woodbury_hadamard(p, data, ops, M, approx)
+        cov = _dense_cov_from_woodbury(w)
+        want = dists.mvn_logpdf_dense_unnorm(data.y, 0.0, cov)
+        if approx == "vfe":
+            want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
+        got = ssp.log_lik_hadamard(p, data, ops, M, approx=approx)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_lmc_matches_dense_mvn(self, approx):
+        data = _hadamard_data(n=28, key=1)
+        z = lsp.choose_inducing(data.x, 8)
+        ops = lsp.make_ops(data.x, z)
+        vec = _lmc_vec(key=12)
+        p = lsp.unpack(vec, M)
+        w = lsp._woodbury_hadamard(p, data, ops, M, approx)
+        cov = _dense_cov_from_woodbury(w)
+        want = dists.mvn_logpdf_dense_unnorm(data.y, 0.0, cov)
+        if approx == "vfe":
+            want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
+        got = lsp.log_lik_hadamard(p, data, ops, M, approx=approx)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+    def test_mask_pad_exact(self):
+        from nonstationary_multivariate_gaussian_process_tpu.models.base import (
+            HadamardData,
+        )
+
+        data = _hadamard_data(n=24, key=2)
+        n_pad = 30
+        x_p = jnp.concatenate([data.x, jnp.full((n_pad - 24,), data.x[-1])])
+        i_p = jnp.concatenate([data.indx, jnp.zeros((n_pad - 24,), jnp.int32)])
+        y_p = jnp.concatenate([data.y, jnp.zeros((n_pad - 24,), data.y.dtype)])
+        mask = jnp.arange(n_pad) < 24
+        z = ssp.choose_inducing(data.x, 7)
+        for mod, vec in ((ssp, _snmgp_vec(z.shape[0], key=13)),
+                         (lsp, _lmc_vec(key=13))):
+            nlp_r, _ = mod.make_objective_hadamard(data, M, z=z)
+            nlp_p, _ = mod.make_objective_hadamard(
+                HadamardData(x_p, i_p, y_p), M, z=z, mask=mask)
+            np.testing.assert_allclose(float(nlp_p(vec)), float(nlp_r(vec)),
+                                       rtol=1e-9)
+
+    @pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
+    def test_run_subject_hadamard_sparse(self, model):
+        """Hadamard pipeline end-to-end: MAP, whitened chain, LOO, indexed
+        test scoring incl. the chain-sample path."""
+        from nonstationary_multivariate_gaussian_process_tpu import workflows
+
+        rng = np.random.default_rng(5)
+        d = sim.sim_mnts_s(jax.random.PRNGKey(5), n=72, m=M)
+        indx = rng.integers(0, M, 72)
+        y = np.asarray(d.y)[np.arange(72), indx]
+        cfg = workflows.PipelineConfig(
+            model=model, n_inducing=12, n_opt=100, map_method="lbfgs",
+            do_hmc=True, n_hmc=6, hmc_warmup=6, whiten=True, test_size=0.25,
+            do_loo=True, loo_draws=4, n_grid=12,
+        )
+        out = workflows.run_subject_hadamard(
+            np.asarray(d.x), indx, y, M, cfg=cfg)
+        assert np.isfinite(out["test_rmse"])
+        assert np.isfinite(out["loo"]["elpd_loo"])
+        assert out["pred_grid"].mean.shape == (12, M)
+        assert np.isfinite(out["test_sample_rmse"])
+        assert np.isfinite(out["test_sample_lpd"])
+
+
 class TestWorkflow:
     @pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
     def test_run_subject_sparse_separable(self, model):
