@@ -266,6 +266,12 @@ def chain_conditional_loglik_sparse(
     """
     from .models import gnmgp_sparse as sp_model
 
+    if hetero and model not in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
+        # hetero=True re-reads the vector with the gnmgp-hetero layout; a
+        # separable model name alongside it would silently mis-slot the draws
+        raise ValueError(
+            f"hetero=True applies to the GNMGP sparse family only (got "
+            f"model={model!r})")
     hist = jnp.asarray(hist_vecs)
     n, m = data.y.shape
     m_z = (ops.base.z if hetero else ops.z).shape[0]

@@ -94,10 +94,13 @@ class PipelineConfig:
     loo_draws: int = 200  # chain draws used for LOO (evenly thinned)
     n_opt: int = 1000
     lr: float = 2e-1
-    map_method: str = "adam"  # "adam" (reference contract) | "lbfgs"
-    #                 (zoom-linesearch quasi-Newton — measured on GNMGP
-    #                 N=200: 300 iters reach nlp -4988 in 34s where Adam's
-    #                 2000 iters reach -4379 in 136s; inference/map.py)
+    map_method: str = "lbfgs"  # "lbfgs" (default: zoom-linesearch
+    #                 quasi-Newton — measured on GNMGP N=200: 300 iters
+    #                 reach nlp -4988 in 34s where Adam's 2000 iters reach
+    #                 -4379 in 136s, predictive G/P/D 5.6x better, latent
+    #                 recovery corr 0.58->0.77; inference/map.py) | "adam"
+    #                 (the reference's optimizer contract,
+    #                 Nonseparable_model.py:161-175 — kept reachable)
     err_opt: float | None = None
     n_hmc: int = 100
     sampler: str = "hmc"  # "hmc" (reference contract) | "nuts" (adaptive
@@ -122,11 +125,16 @@ class PipelineConfig:
     smc_leapfrog: int = 10  # smc leapfrog steps per mutation sweep
     smc_cess: float = 0.5  # smc conditional-ESS target for the beta schedule
     smc_dr: float = 0.0  # smc >0: delayed-rejection sweeps at eps/this
-    escalate_rhat: float = 0.0  # >0: cohort subjects whose multichain max
+    escalate_rhat: float = 1.2  # >0: cohort subjects whose multichain max
     #                  split-R-hat exceeds this are automatically re-sampled
     #                  by tempered SMC inside the bucket (chains where they
     #                  work, the population sampler where diagnostics prove
-    #                  they don't); 0 = off
+    #                  they don't).  ON by default: at the reference scale
+    #                  (N=200) every chain tier's split-R-hat is ~1e3 while
+    #                  SMC metric="full" reproduces log-evidence to ~1 nat
+    #                  (ROADMAP "Adaptive tempered SMC") — a default cohort
+    #                  run should return the measured-trustworthy posture
+    #                  without extra flags.  0 = off (chains kept as-is).
     smc_polish: int = 0  # extra mutation-only stages at beta=1 (cheap
     #                  decorrelation against resampling coalescence)
     smc_resample_ess: float = 1.0  # <1: resample only when the carried-
