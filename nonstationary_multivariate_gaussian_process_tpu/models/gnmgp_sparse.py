@@ -158,9 +158,10 @@ class _Woodbury(NamedTuple):
     mv: jnp.ndarray | None  # (NM,) mask in task-major layout (None = all real)
 
 
-def _woodbury_core(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
-                   mv=None) -> _Woodbury:
-    """Layout-agnostic Woodbury factor set from assembled cross pieces.
+def _half_woodbury(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
+                   mv=None):
+    """Everything up to (but not including) the inner factorization:
+    ``(a, lam, d, corr, c_mm)`` from assembled cross pieces.
 
     ``k_nm`` rows / ``k_diag`` / ``y_flat`` / ``mv`` share one flat
     observation axis (task-major NM for the full layout, N for Hadamard).
@@ -200,14 +201,23 @@ def _woodbury_core(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
 
     rsqrt_lam = jax.lax.rsqrt(lam)
     a = b * rsqrt_lam[None, :]
+    d = y_flat * rsqrt_lam
+    return a, lam, d, corr, c_mm
+
+
+def _woodbury_core(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
+                   mv=None) -> _Woodbury:
+    """Layout-agnostic Woodbury factor set (see :func:`_half_woodbury`)."""
+    a, lam, d, corr, c_mm = _half_woodbury(k_mm, k_nm, k_diag, y_flat,
+                                           sigma2_err, approx, mv)
     inner = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
     c_in = chol.safe_cholesky(inner)
-    d = y_flat * rsqrt_lam
     return _Woodbury(c_mm, a, c_in, lam, d, corr, mv)
 
 
-def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
-              approx: str, hyper=None, mask=None) -> _Woodbury:
+def _assemble_full(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+                   hyper=None, mask=None):
+    """Cross pieces ``(k_mm, k_nm, k_diag, y_flat, mv)`` for the full layout."""
     m_z = ops.z.shape[0]
     tl_x, ul_x = latents_at_data(p, ops, m, hyper)
     lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)  # (N,M,M)
@@ -216,7 +226,6 @@ def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
     )  # (m_z, M, M)
     ell_x = jnp.exp(tl_x)
     ell_z = jnp.exp(p.tilde_l_z)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     from .gnmgp import gram
 
@@ -230,8 +239,14 @@ def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
     mv = None
     if mask is not None:
         mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)  # task-major (NM,)
-    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), sigma2_err,
-                          approx, mv)
+    return k_mm, k_nm, k_diag, task_major(data.y), mv
+
+
+def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              approx: str, hyper=None, mask=None) -> _Woodbury:
+    k_mm, k_nm, k_diag, y_flat, mv = _assemble_full(p, data, ops, m, hyper, mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y_flat,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def _loglik_from_woodbury(w: _Woodbury, sigma2_err, approx: str) -> jnp.ndarray:
@@ -246,6 +261,61 @@ def _loglik_from_woodbury(w: _Woodbury, sigma2_err, approx: str) -> jnp.ndarray:
     return res
 
 
+def _loglik_mixed_inner(k_mm, k_nm, k_diag, y_flat, noise, approx: str,
+                        mv=None) -> jnp.ndarray:
+    """f64-accurate sparse log-likelihood with the inner system served by
+    the mixed-precision kernel (NMGP_PRECISION=mixed, ``ops/mixed.py``).
+
+    What routes through f32-preconditioned corrections and what stays f64
+    is dictated by *measured* conditioning, not symmetry:
+
+    * ``K_mm`` (inducing Gram, no noise floor) keeps the f64 robust factor —
+      at generic (HMC-visited) hyperparameters cond(K_mm) ~ 1e8 and Jacobi
+      scaling barely moves it (measured 3.7e8 → 1.1e8 at N=2000/m=64), so
+      every eps32-preconditioned scheme diverges (contraction eps32·cond ≈
+      24); the collapsed alternative ``K_mm + K_mn Λ^{-1} K_nm`` is worse
+      still (measured cond 2.7e13).  The matrix is only (mM x mM) — the f64
+      factor is a latency cost, not a FLOP cost.
+    * the inner matrix ``I + A Aᵀ`` has eigenvalues in [1, 1+||A||²]
+      (measured cond 7.4e4 in the same configuration) — squarely inside the
+      mixed kernel's range, so its logdet and quadratic form come from
+      ``mixed_logdet_quad`` at ~1e-9 accuracy with all O((mM)³) work in f32.
+
+    ``noise`` broadcasts: scalar for the homoscedastic models, per-slot for
+    the hetero tier (whose VFE penalty is pointwise).
+    """
+    from ..ops import mixed
+
+    a, lam, d, corr, _ = _half_woodbury(k_mm, k_nm, k_diag, y_flat, noise,
+                                        approx, mv)
+    inner = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
+    u = a @ d
+    ld_in, quad_in = mixed.mixed_logdet_quad(inner, u)
+    logdet = jnp.sum(jnp.log(lam)) + ld_in
+    quad = jnp.sum(d * d) - quad_in
+    res = -0.5 * logdet - 0.5 * quad
+    if approx == "vfe":
+        c = corr if mv is None else corr * mv
+        res = res - 0.5 * jnp.sum(c / noise)
+    return res
+
+
+def _loglik_pieces(pieces, noise, approx: str) -> jnp.ndarray:
+    """Dispatch assembled cross pieces to the factor path or, under
+    NMGP_PRECISION=mixed with f64 inputs, the mixed-inner kernel."""
+    k_mm, k_nm, k_diag, y_flat, mv = pieces
+    if settings.mixed_solves and k_mm.dtype == jnp.float64:
+        return _loglik_mixed_inner(k_mm, k_nm, k_diag, y_flat, noise,
+                                   approx, mv)
+    w = _woodbury_core(k_mm, k_nm, k_diag, y_flat, noise, approx, mv)
+    if approx == "vfe" and jnp.ndim(noise) > 0:
+        # per-slot noise: the Titsias penalty is pointwise (hetero tier)
+        res = _loglik_from_woodbury(w, 1.0, approx="fitc")
+        c = w.corr if w.mv is None else w.corr * w.mv
+        return res - 0.5 * jnp.sum(c / noise)
+    return _loglik_from_woodbury(w, noise, approx)
+
+
 def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
             approx: str = "fitc", hyper=None, mask=None) -> jnp.ndarray:
     """Sparse marginal log-likelihood (unnormalized, reference convention).
@@ -256,9 +326,11 @@ def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
     same latent fields (Q is a Nystrom compression, K - Q is PSD).
     ``mask`` (N,) excludes padded observations exactly (rows of K_nm zeroed,
     unit Lambda, zero observation — nothing reaches logdet or the quadratic).
+    Under ``NMGP_PRECISION=mixed`` the evaluation routes through the
+    collapsed mixed-precision kernel (:func:`_loglik_collapsed_mixed`).
     """
-    w = _woodbury(p, data, ops, data.y.shape[1], approx, hyper, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble_full(p, data, ops, data.y.shape[1], hyper, mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior(p: SparseParams, data: FullData, ops: SparseOps,
@@ -495,9 +567,9 @@ def make_ops_hadamard(x, z, hyper: dict | None = None) -> SparseOps:
     return make_ops(x, z, {**HADAMARD_DEFAULT_HYPERS, **(hyper or {})})
 
 
-def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
-                       approx: str, hyper=None, mask=None) -> _Woodbury:
-    """Hadamard-layout Woodbury factors.
+def _assemble_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       hyper=None, mask=None):
+    """Hadamard-layout cross pieces ``(k_mm, k_nm, k_diag, y, mv)``.
 
     Reference Hadamard-SVC conventions apply (``models.gnmgp.
     log_posterior_hadamard``): the per-input Cholesky vectors are used
@@ -515,7 +587,6 @@ def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
     rows = lx[jnp.arange(n), indx, :]  # (N, M) observed task rows
     ell_x = jnp.exp(tl_x)
     ell_z = jnp.exp(p.tilde_l_z)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     from .gnmgp import gram
 
@@ -528,14 +599,22 @@ def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
     k_diag = (1.0 + settings.jitter) * jnp.sum(rows * rows, axis=-1)
 
     mv = None if mask is None else jnp.asarray(mask, y.dtype)
-    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+    return k_mm, k_nm, k_diag, y, mv
+
+
+def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       approx: str, hyper=None, mask=None) -> _Woodbury:
+    """Hadamard-layout Woodbury factors (see :func:`_assemble_hadamard`)."""
+    k_mm, k_nm, k_diag, y, mv = _assemble_hadamard(p, data, ops, m, hyper, mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def log_lik_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
                      approx: str = "fitc", hyper=None, mask=None) -> jnp.ndarray:
     """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
-    w = _woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble_hadamard(p, data, ops, m, hyper, mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
@@ -666,40 +745,17 @@ def log_lik_hetero(p, data: FullData, ops_h: SparseHeteroOps,
     sp_p = SparseParams(p.tilde_l, p.ul_vecs,
                         jnp.zeros((), data.y.dtype))  # sigma2 unused below
     noise = jnp.exp(noise_at_data(p, ops_h, m, hyper))  # (N*M,)
-    w = _woodbury_noise(sp_p, data, ops_h.base, m, approx, noise, hyper, mask)
-    res = _loglik_from_woodbury(w, 1.0, approx="fitc")  # telescope only;
-    # the hetero VFE penalty is per-slot and added below
-    if approx == "vfe":
-        corr = w.corr if w.mv is None else w.corr * w.mv
-        res = res - 0.5 * jnp.sum(corr / noise)
-    return res
+    pieces = _assemble_full(sp_p, data, ops_h.base, m, hyper, mask)
+    return _loglik_pieces(pieces, noise, approx)
 
 
 def _woodbury_noise(sp_p: SparseParams, data: FullData, ops: SparseOps,
                     m: int, approx: str, noise: jnp.ndarray, hyper=None,
                     mask=None) -> _Woodbury:
     """:func:`_woodbury` with an explicit per-slot noise diagonal."""
-    m_z = ops.z.shape[0]
-    tl_x, ul_x = latents_at_data(sp_p, ops, m, hyper)
-    lx = transforms.vec_to_tril(transforms.ulvec_to_lvec(ul_x, m), m)
-    lz = transforms.vec_to_tril(
-        transforms.ulvec_to_lvec(sp_p.ul_vecs_z.reshape(m_z, -1), m), m
-    )
-    ell_x = jnp.exp(tl_x)
-    ell_z = jnp.exp(sp_p.tilde_l_z)
-
-    from .gnmgp import gram
-
-    k_zz = kernels.nonstationary_rbf_cov(ops.z, ell1=ell_z)
-    k_mm = gram(k_zz, lz)
-    k_xz = kernels.nonstationary_rbf_cov(data.x, ell1=ell_x, x2=ops.z, ell2=ell_z)
-    k_nm = cross_gram(k_xz, lx, lz)
-    k_diag = ((1.0 + settings.jitter) * jnp.sum(lx * lx, axis=-1)).T.reshape(-1)
-    mv = None
-    if mask is not None:
-        mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)
-    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), noise,
-                          approx, mv)
+    k_mm, k_nm, k_diag, y_flat, mv = _assemble_full(sp_p, data, ops, m, hyper,
+                                                    mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y_flat, noise, approx, mv)
 
 
 def log_posterior_hetero(p, data: FullData, ops_h: SparseHeteroOps,

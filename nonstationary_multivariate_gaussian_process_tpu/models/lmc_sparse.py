@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from .. import dists, settings
 from ..ops import kernels, transforms
 from .base import FullData, task_major
-from .gnmgp_sparse import _loglik_from_woodbury, _woodbury_core, choose_inducing
+from .gnmgp_sparse import (_loglik_from_woodbury, _loglik_pieces,
+                           _woodbury_core, choose_inducing)
 from .lmc import DEFAULT_HYPERS, Params, n_params, pack, unpack  # noqa: F401
 # The sparse LMC shares the dense packed layout — unpack/pack re-exported so
 # callers treat this module like every other model module.
@@ -40,9 +41,8 @@ def make_ops(x, z, hyper: dict | None = None) -> SparseOps:
     return SparseOps(jnp.asarray(z, settings.dtype))
 
 
-def _woodbury(p: Params, data: FullData, ops: SparseOps, m: int,
-              approx: str, mask=None):
-    """Stationary separable Woodbury factors: ``K_** = B_f ⊗ K_x(·,·)``."""
+def _assemble(p: Params, data: FullData, ops: SparseOps, m: int, mask=None):
+    """Stationary separable cross pieces: ``K_** = B_f ⊗ K_x(·,·)``."""
     n = data.y.shape[0]
     m_z = ops.z.shape[0]
     l_mat = transforms.vec_to_tril(transforms.ulvec_to_lvec(p.ul_vec, m), m)
@@ -53,7 +53,6 @@ def _woodbury(p: Params, data: FullData, ops: SparseOps, m: int,
     sig_x = jnp.exp(p.tilde_sigma) * jnp.ones((n,), data.y.dtype)
     ell_z = jnp.exp(p.tilde_l) * jnp.ones((m_z,), data.y.dtype)
     sig_z = jnp.exp(p.tilde_sigma) * jnp.ones((m_z,), data.y.dtype)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
     k_mm = jnp.kron(b_f, k_zz)
@@ -66,8 +65,14 @@ def _woodbury(p: Params, data: FullData, ops: SparseOps, m: int,
     mv = None
     if mask is not None:
         mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)
-    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), sigma2_err,
-                          approx, mv)
+    return k_mm, k_nm, k_diag, task_major(data.y), mv
+
+
+def _woodbury(p: Params, data: FullData, ops: SparseOps, m: int,
+              approx: str, mask=None):
+    k_mm, k_nm, k_diag, y_flat, mv = _assemble(p, data, ops, m, mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y_flat,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def log_lik(p: Params, data: FullData, ops: SparseOps, approx: str = "fitc",
@@ -75,10 +80,11 @@ def log_lik(p: Params, data: FullData, ops: SparseOps, approx: str = "fitc",
     """Sparse stationary marginal log-likelihood (unnormalized convention);
     ``approx="vfe"`` lower-bounds the exact ``models.lmc.log_lik``.
     ``hyper`` is accepted for driver uniformity (no latent processes — the
-    likelihood does not depend on it)."""
+    likelihood does not depend on it).  Under ``NMGP_PRECISION=mixed`` the
+    evaluation routes through the collapsed mixed kernel."""
     del hyper
-    w = _woodbury(p, data, ops, data.y.shape[1], approx, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble(p, data, ops, data.y.shape[1], mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior(p: Params, data: FullData, ops: SparseOps,
@@ -110,9 +116,8 @@ def log_posterior(p: Params, data: FullData, ops: SparseOps,
 # ---------------------------------------------------------------------------
 
 
-def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
-                       approx: str, mask=None):
-    """Hadamard-layout Woodbury factors under the reference's stationary
+def _assemble_hadamard(p: Params, data, ops: SparseOps, m: int, mask=None):
+    """Hadamard-layout cross pieces under the reference's stationary
     conventions (``models.lmc.log_posterior_hadamard``, logpos.py:676-716):
     raw task-Cholesky vector, stationary ``rbf_cov(alpha=sigma, beta=ell)``.
     ``K_mm = B_f ⊗ K_x(Z,Z)``; ``K_nm[i,(c,j)] = B_f[indx_i,c] K_x(x_i,z_j)``.
@@ -124,7 +129,6 @@ def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
     b_f = l_mat @ l_mat.T
     ell = jnp.exp(p.tilde_l)
     sig = jnp.exp(p.tilde_sigma)
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     k_zz = kernels.rbf_cov(ops.z, alpha=sig, beta=ell)  # self: + jitter I
     k_mm = jnp.kron(b_f, k_zz)
@@ -135,7 +139,15 @@ def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
     k_diag = b_f[ix, ix] * (sig * sig + settings.jitter)
 
     mv = None if mask is None else jnp.asarray(mask, y.dtype)
-    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+    return k_mm, k_nm, k_diag, y, mv
+
+
+def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
+                       approx: str, mask=None):
+    """Hadamard-layout Woodbury factors (see :func:`_assemble_hadamard`)."""
+    k_mm, k_nm, k_diag, y, mv = _assemble_hadamard(p, data, ops, m, mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def log_lik_hadamard(p: Params, data, ops: SparseOps, m: int,
@@ -143,8 +155,8 @@ def log_lik_hadamard(p: Params, data, ops: SparseOps, m: int,
                      mask=None) -> jnp.ndarray:
     """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
     del hyper
-    w = _woodbury_hadamard(p, data, ops, m, approx, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble_hadamard(p, data, ops, m, mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior_hadamard(p: Params, data, ops: SparseOps, m: int,

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from .. import dists, settings
 from ..ops import chol, kernels, transforms
 from .base import FullData, task_major
-from .gnmgp_sparse import _loglik_from_woodbury, _woodbury_core, choose_inducing
+from .gnmgp_sparse import (_loglik_from_woodbury, _loglik_pieces,
+                           _woodbury_core, choose_inducing)
 from .snmgp import DEFAULT_HYPERS
 
 
@@ -107,15 +108,14 @@ def latents_at_data(p: SparseParams, ops: SparseOps, hyper=None):
     return tl_x, ts_x
 
 
-def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
-              approx: str, hyper=None, mask=None):
-    """Separable-layout Woodbury factors: ``K_** = B_f ⊗ K_x(·,·)``."""
+def _assemble(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              hyper=None, mask=None):
+    """Separable-layout cross pieces: ``K_** = B_f ⊗ K_x(·,·)``."""
     tl_x, ts_x = latents_at_data(p, ops, hyper)
     ell_x, sig_x = jnp.exp(tl_x), jnp.exp(ts_x)
     ell_z, sig_z = jnp.exp(p.tilde_l_z), jnp.exp(p.tilde_sigma_z)
     l_mat = transforms.vec_to_tril(transforms.ulvec_to_lvec(p.ul_vec, m), m)
     b_f = l_mat @ l_mat.T
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
     k_mm = jnp.kron(b_f, k_zz)  # (m_z M, m_z M), cols c-major (c*m_z + j)
@@ -129,8 +129,14 @@ def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
     mv = None
     if mask is not None:
         mv = jnp.tile(jnp.asarray(mask, data.y.dtype), m)
-    return _woodbury_core(k_mm, k_nm, k_diag, task_major(data.y), sigma2_err,
-                          approx, mv)
+    return k_mm, k_nm, k_diag, task_major(data.y), mv
+
+
+def _woodbury(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              approx: str, hyper=None, mask=None):
+    k_mm, k_nm, k_diag, y_flat, mv = _assemble(p, data, ops, m, hyper, mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y_flat,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
@@ -140,10 +146,12 @@ def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
     ``approx="fitc"``: log N(y; 0, Q + diag(K-Q) + sigma^2 I).
     ``approx="vfe"``:  Titsias' collapsed bound ``<=`` the exact SNMGP
     log-likelihood (``models.snmgp.log_lik``) at the same kriged fields.
-    ``mask`` (N,) excludes padded observations exactly.
+    ``mask`` (N,) excludes padded observations exactly.  Under
+    ``NMGP_PRECISION=mixed`` the evaluation routes through the collapsed
+    mixed kernel (``gnmgp_sparse._loglik_collapsed_mixed``).
     """
-    w = _woodbury(p, data, ops, data.y.shape[1], approx, hyper, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble(p, data, ops, data.y.shape[1], hyper, mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior(p: SparseParams, data: FullData, ops: SparseOps,
@@ -214,9 +222,9 @@ def make_objective(data: FullData, z=None, n_inducing: int = 64,
 # ---------------------------------------------------------------------------
 
 
-def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
-                       approx: str, hyper=None, mask=None):
-    """Hadamard-layout Woodbury factors.
+def _assemble_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       hyper=None, mask=None):
+    """Hadamard-layout cross pieces.
 
     Reference Hadamard conventions apply (``models.snmgp.
     log_posterior_hadamard``, logpos.py:502-563): the task-Cholesky vector
@@ -233,7 +241,6 @@ def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
     ell_z, sig_z = jnp.exp(p.tilde_l_z), jnp.exp(p.tilde_sigma_z)
     l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
     b_f = l_mat @ l_mat.T
-    sigma2_err = jnp.exp(p.tilde_sigma2_err)
 
     k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
     k_mm = jnp.kron(b_f, k_zz)  # cols c-major (c*m_z + j)
@@ -245,15 +252,24 @@ def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
     k_diag = b_f[ix, ix] * (sig_x * sig_x + settings.jitter)
 
     mv = None if mask is None else jnp.asarray(mask, y.dtype)
-    return _woodbury_core(k_mm, k_nm, k_diag, y, sigma2_err, approx, mv)
+    return k_mm, k_nm, k_diag, y, mv
+
+
+def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
+                       approx: str, hyper=None, mask=None):
+    """Hadamard-layout Woodbury factors (see :func:`_assemble_hadamard`)."""
+    k_mm, k_nm, k_diag, y, mv = _assemble_hadamard(p, data, ops, m, hyper,
+                                                   mask)
+    return _woodbury_core(k_mm, k_nm, k_diag, y,
+                          jnp.exp(p.tilde_sigma2_err), approx, mv)
 
 
 def log_lik_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
                      approx: str = "fitc", hyper=None,
                      mask=None) -> jnp.ndarray:
     """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
-    w = _woodbury_hadamard(p, data, ops, m, approx, hyper, mask)
-    return _loglik_from_woodbury(w, jnp.exp(p.tilde_sigma2_err), approx)
+    pieces = _assemble_hadamard(p, data, ops, m, hyper, mask)
+    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
 
 
 def log_posterior_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
