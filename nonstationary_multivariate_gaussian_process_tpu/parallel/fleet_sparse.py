@@ -46,42 +46,36 @@ def _pad_tree(tree, multiple: int):
     )
 
 
-def _validate_sparse_fleet(xs, ys, vecs, m_z: int, masks=None):
-    xs_shape, ys_shape, vecs_shape = np.shape(xs), np.shape(ys), np.shape(vecs)
-    if len(xs_shape) != 2 or len(ys_shape) != 3:
-        raise ValueError(
-            f"sparse fleet inputs must be stacked per subject: xs (S, N), "
-            f"ys (S, N, M), got {xs_shape}/{ys_shape}"
-        )
-    if xs_shape[0] != ys_shape[0] or xs_shape[1] != ys_shape[1]:
-        raise ValueError(f"xs and ys disagree: {xs_shape} vs {ys_shape}")
-    m = ys_shape[2]
-    want_p = gnmgp_sparse.n_params(m_z, m)
-    if len(vecs_shape) != 2 or vecs_shape != (xs_shape[0], want_p):
-        raise ValueError(
-            f"parameter stack must be (S={xs_shape[0]}, P={want_p}) for "
-            f"m_z={m_z}, M={m}, got {vecs_shape}"
-        )
-    if masks is not None and np.shape(masks) != xs_shape:
-        raise ValueError(
-            f"masks must match xs {xs_shape}, got {np.shape(masks)}"
-        )
+class InducingCountWarning(UserWarning):
+    """The fleet-wide inducing count was pulled below the requested
+    ``n_inducing`` by the bucket's shortest subject.
 
-
-def make_fleet_sparse_ops(xs, masks=None, n_inducing: int = 64,
-                          hyper: dict | None = None):
-    """Per-subject sparse ops, stacked for the fleet: ``(ops, wl, wu, m_z)``.
-
-    Host-side (concrete xs; the projections and prior factors are f64
-    islands, see ``gnmgp_sparse.make_ops``).  Each subject's Z is the
-    quantile subset of its *real* (unpadded prefix) inputs; the fleet-wide
-    inducing count is ``min(n_inducing, min real N)`` so every subject's
-    ops stack at one shape.  ``wl``/``wu`` are the prior Cholesky factors
-    at Z, (S, m_z, m_z) — the whitening maps for sampling.
+    ``make_fleet_sparse_ops*`` set ``m_z = min(n_inducing, min real N)`` so
+    every subject's ops stack at one shape — which means one short subject
+    silently degrades every *other* subject's approximation fidelity (the
+    measured small-m underfit: m=32 at N=200 reaches rmse 1.05 where m=64
+    recovers the dense tier's quality — ROADMAP "Sparse inducing tiers").
+    Re-bucket by length (``parallel/buckets.py`` does this by default) or
+    drop/route the short subject through the exact tier.
     """
-    from ..models.gnmgp import DEFAULT_HYPERS
 
-    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+
+def _stack_subject_ops(xs, masks, n_inducing: int, hp: dict, build_one,
+                       chol_hypers):
+    """Shared ops-stacking loop for every sparse fleet layout.
+
+    Host-side (concrete xs; projections and prior factors are f64 islands).
+    Each subject's Z is the quantile subset of its *real* (unpadded prefix)
+    inputs; the fleet-wide inducing count is ``min(n_inducing, min real N)``
+    so every subject's ops stack at one shape (an
+    :class:`InducingCountWarning` fires when that pulls m_z below the
+    request).  ``build_one(x_row, z)`` makes one subject's ops pytree;
+    ``chol_hypers`` is a list of ``(alpha_key, beta_key)`` pairs — one prior
+    Cholesky factor stack at Z per whitening block.  Returns
+    ``(ops, [chol stacks...], m_z)``.
+    """
+    import warnings
+
     xs_np = np.asarray(xs, np.float64)
     s = xs_np.shape[0]
     if masks is None:
@@ -90,8 +84,17 @@ def make_fleet_sparse_ops(xs, masks=None, n_inducing: int = 64,
         masks_np = np.asarray(masks, bool)
         n_reals = [int(masks_np[i].sum()) for i in range(s)]
     m_z = int(min(n_inducing, min(n_reals)))
+    if m_z < n_inducing:
+        short = int(np.argmin(n_reals))
+        warnings.warn(
+            f"fleet inducing count reduced to m_z={m_z} (< requested "
+            f"n_inducing={n_inducing}) by subject {short} with only "
+            f"{n_reals[short]} real observations — every subject in this "
+            "bucket now runs at the lower fidelity",
+            InducingCountWarning, stacklevel=3)
 
-    ops_list, wl_list, wu_list = [], [], []
+    ops_list = []
+    chol_lists = [[] for _ in chol_hypers]
     for i in range(s):
         x_real = xs_np[i, : n_reals[i]]
         z = gnmgp_sparse.choose_inducing(x_real, m_z)
@@ -101,14 +104,31 @@ def make_fleet_sparse_ops(xs, masks=None, n_inducing: int = 64,
                 f"among its {n_reals[i]} real observations (need m_z={m_z}; "
                 f"duplicate input locations collapse the quantile set)"
             )
-        ops_list.append(gnmgp_sparse.make_ops(xs_np[i], z, hp))
-        wl_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_tilde_l"], hp["beta_tilde_l"]))
-        wu_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_L"], hp["beta_L"]))
+        ops_list.append(build_one(xs_np[i], z))
+        for lst, (ak, bk) in zip(chol_lists, chol_hypers):
+            lst.append(chol_ops.prior_rbf_cholesky(z, hp[ak], hp[bk]))
 
     ops = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ops_list)
-    return ops, jnp.stack(wl_list), jnp.stack(wu_list), m_z
+    return ops, [jnp.stack(lst) for lst in chol_lists], m_z
+
+
+def make_fleet_sparse_ops(xs, masks=None, n_inducing: int = 64,
+                          hyper: dict | None = None):
+    """Per-subject sparse ops, stacked for the fleet: ``(ops, wl, wu, m_z)``.
+
+    ``wl``/``wu`` are the prior Cholesky factors at Z, (S, m_z, m_z) — the
+    whitening maps for sampling.  See :func:`_stack_subject_ops` for the
+    shared Z-selection semantics.
+    """
+    from ..models.gnmgp import DEFAULT_HYPERS
+
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    ops, (wl, wu), m_z = _stack_subject_ops(
+        xs, masks, n_inducing, hp,
+        lambda x, z: gnmgp_sparse.make_ops(x, z, hp),
+        [("alpha_tilde_l", "beta_tilde_l"), ("alpha_L", "beta_L")],
+    )
+    return ops, wl, wu, m_z
 
 
 def _subject_nlp_sparse(m_z: int, hp: dict, approx: str):
@@ -145,36 +165,34 @@ def fit_fleet_map_sparse(
     metrics on one psum) with the dense prior factors replaced by each
     subject's stacked :class:`~..models.gnmgp_sparse.SparseOps`.
     """
-    from ..models.gnmgp import DEFAULT_HYPERS
+    return _fit_fleet_map_sparse(
+        "full", (xs, ys), init_vecs, m=np.shape(ys)[-1], ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
+    )
 
-    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+
+def _fit_fleet_map_sparse(lk, data, init_vecs, *, m, ops=None,
+                          n_inducing: int = 64, hyper: dict | None = None,
+                          approx: str = "fitc", n_iters: int = 1000,
+                          lr: float = 2e-1, mesh: Mesh | None = None,
+                          masks=None, method: str = "adam") -> FleetResult:
+    """Layout-generic sparse fleet MAP engine (every sparse model rides it).
+
+    One chunkless guarded Adam/L-BFGS scan per subject under vmap, subject
+    axis sharded over the mesh with shard_map, fleet metrics on one psum —
+    the dense fleet's engine (``fleet.fit_fleet_map``) with each layout's
+    stacked sparse ops carried through the same subject axis
+    (:func:`_layout` supplies the objective and ops builders).
+    """
     if approx not in ("fitc", "vfe"):
         raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    if ops is None:
-        ops, _, _, m_z = make_fleet_sparse_ops(xs, masks, n_inducing, hp)
-    else:
-        m_z = int(ops.z.shape[1])
-    _validate_sparse_fleet(xs, ys, init_vecs, m_z, masks)
-
-    xs = jnp.asarray(xs, settings.dtype)
-    ys = jnp.asarray(ys, settings.dtype)
-    init_vecs = jnp.asarray(init_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
-    if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
-    else:
-        masks = jnp.ones(xs.shape, bool)
-    ops = _pad_tree(ops, n_dev)
-
-    nlp = _subject_nlp_sparse(m_z, hp, approx)
+    (L, hp, mesh, n_dev, m_z, _, arrs, masks_p, ops, _, s_real) = (
+        _prep_sparse_fleet(lk, data, masks, ops, None, n_inducing, hyper,
+                           False, mesh, m, vecs=init_vecs))
+    init_vecs = pad_to_multiple(
+        jnp.asarray(init_vecs, settings.dtype), n_dev)[0]
+    nlp = L["nlp"](m_z, m, hp, approx)
     if method == "lbfgs":
         optimizer = optax.lbfgs()
         step_builder = map_mod.guarded_lbfgs_step
@@ -184,8 +202,9 @@ def fit_fleet_map_sparse(
     else:
         raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
 
-    def fit_one(vec0, x, y, op, mask):
-        obj = lambda v: nlp(v, x, y, op, mask)
+    def fit_one(vec0, mask, *dargs_op):
+        *dargs, op = dargs_op
+        obj = lambda v: nlp(v, *dargs, op, mask)
         big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
         (v, _, bv, bval), hist = jax.lax.scan(
             step_builder(obj, optimizer),
@@ -196,25 +215,26 @@ def fit_fleet_map_sparse(
         bv = jnp.where(take_final, v, bv)
         return bv, jnp.where(take_final, v_fin, bval), hist
 
-    def shard_fn(vec0, x, y, op, mask):
-        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, op, mask)
+    def shard_fn(vec0, mask, *rest):
+        vecs, finals, hists = jax.vmap(fit_one)(vec0, mask, *rest)
         total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
         lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
         hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
         return vecs, finals, hists, total, lo, hi
 
+    n_in = 2 + len(arrs) + 1
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 5),
+        in_specs=tuple([P(SUBJECT_AXIS)] * n_in),
         out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS),
                    P(), P(), P()),
         check_vma=(method == "adam"),
     )
     vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
-        init_vecs, xs, ys, ops, masks
+        init_vecs, masks_p, *arrs, ops
     )
-    s_total = xs.shape[0]
+    s_total = arrs[0].shape[0]
     return FleetResult(
         vecs=vecs[:s_real],
         final_nlp=finals[:s_real],
@@ -276,32 +296,12 @@ def make_fleet_sparse_ops_hadamard(xs, masks=None, n_inducing: int = 64,
     (``gnmgp_sparse.HADAMARD_DEFAULT_HYPERS`` — the exact Hadamard SVC's,
     reference logpos.py:566-585)."""
     hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
-    xs_np = np.asarray(xs, np.float64)
-    s = xs_np.shape[0]
-    if masks is None:
-        n_reals = [xs_np.shape[1]] * s
-    else:
-        masks_np = np.asarray(masks, bool)
-        n_reals = [int(masks_np[i].sum()) for i in range(s)]
-    m_z = int(min(n_inducing, min(n_reals)))
-
-    ops_list, wl_list, wu_list = [], [], []
-    for i in range(s):
-        x_real = xs_np[i, : n_reals[i]]
-        z = gnmgp_sparse.choose_inducing(x_real, m_z)
-        if z.shape[0] != m_z:
-            raise ValueError(
-                f"subject {i}: only {z.shape[0]} distinct inducing inputs "
-                f"among its {n_reals[i]} real observations (need m_z={m_z})"
-            )
-        ops_list.append(gnmgp_sparse.make_ops_hadamard(xs_np[i], z, hp))
-        wl_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_tilde_l"], hp["beta_tilde_l"]))
-        wu_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_L"], hp["beta_L"]))
-
-    ops = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ops_list)
-    return ops, jnp.stack(wl_list), jnp.stack(wu_list), m_z
+    ops, (wl, wu), m_z = _stack_subject_ops(
+        xs, masks, n_inducing, hp,
+        lambda x, z: gnmgp_sparse.make_ops_hadamard(x, z, hp),
+        [("alpha_tilde_l", "beta_tilde_l"), ("alpha_L", "beta_L")],
+    )
+    return ops, wl, wu, m_z
 
 
 def _subject_nlp_sparse_hadamard(m_z: int, m: int, hp: dict, approx: str):
@@ -340,101 +340,10 @@ def fit_fleet_map_sparse_hadamard(
     clinical subjects (one observation per (input, task) pair) fit at
     O(N (m_z M)^2) each, stacked SparseOps sharded with the subjects.
     """
-    hp = {**gnmgp_sparse.HADAMARD_DEFAULT_HYPERS, **(hyper or {})}
-    if approx not in ("fitc", "vfe"):
-        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    if ops is None:
-        ops, _, _, m_z = make_fleet_sparse_ops_hadamard(
-            xs, masks, n_inducing, hyper)
-    else:
-        m_z = int(ops.z.shape[1])
-    xs_shape = np.shape(xs)
-    want_p = gnmgp_sparse.n_params(m_z, m)
-    if np.shape(init_vecs) != (xs_shape[0], want_p):
-        raise ValueError(
-            f"parameter stack must be (S={xs_shape[0]}, P={want_p}) for "
-            f"m_z={m_z}, M={m}, got {np.shape(init_vecs)}"
-        )
-    if np.shape(ys) != xs_shape or np.shape(indxs) != xs_shape:
-        raise ValueError(
-            f"hadamard fleet wants xs/indxs/ys all (S, N); got "
-            f"{xs_shape}/{np.shape(indxs)}/{np.shape(ys)}"
-        )
-    if masks is not None and np.shape(masks) != xs_shape:
-        raise ValueError(
-            f"masks must match xs {xs_shape}, got {np.shape(masks)}"
-        )
-
-    xs = jnp.asarray(xs, settings.dtype)
-    indxs = jnp.asarray(indxs, jnp.int32)
-    ys = jnp.asarray(ys, settings.dtype)
-    init_vecs = jnp.asarray(init_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    indxs, _ = pad_to_multiple(indxs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
-    if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
-    else:
-        masks = jnp.ones(xs.shape, bool)
-    ops = _pad_tree(ops, n_dev)
-
-    nlp = _subject_nlp_sparse_hadamard(m_z, m, hp, approx)
-    if method == "lbfgs":
-        optimizer = optax.lbfgs()
-        step_builder = map_mod.guarded_lbfgs_step
-    elif method == "adam":
-        optimizer = optax.adam(lr)
-        step_builder = map_mod.guarded_adam_step
-    else:
-        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
-
-    def fit_one(vec0, x, indx, y, op, mask):
-        obj = lambda v: nlp(v, x, indx, y, op, mask)
-        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
-        (v, _, bv, bval), hist = jax.lax.scan(
-            step_builder(obj, optimizer),
-            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
-        )
-        v_fin = obj(v)
-        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
-        bv = jnp.where(take_final, v, bv)
-        return bv, jnp.where(take_final, v_fin, bval), hist
-
-    def shard_fn(vec0, x, indx, y, op, mask):
-        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, indx, y, op, mask)
-        total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
-        lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
-        hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
-        return vecs, finals, hists, total, lo, hi
-
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 6),
-        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS),
-                   P(), P(), P()),
-        check_vma=(method == "adam"),
-    )
-    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
-        init_vecs, xs, indxs, ys, ops, masks
-    )
-    s_total = xs.shape[0]
-    return FleetResult(
-        vecs=vecs[:s_real],
-        final_nlp=finals[:s_real],
-        target_hist=hists[:s_real],
-        fleet_metrics={
-            "mean_final_nlp": float(total) / s_total,
-            "min_final_nlp": float(lo),
-            "max_final_nlp": float(hi),
-        },
+    return _fit_fleet_map_sparse(
+        "hadamard", (xs, indxs, ys), init_vecs, m=m, ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
     )
 
 
@@ -489,35 +398,13 @@ def make_fleet_sparse_ops_hetero(xs, masks=None, n_inducing: int = 64,
     ``(ops_h, wl, wu, werr, m_z)`` — the homoscedastic factors plus the
     noise GP's prior Cholesky at Z (the third whitening block)."""
     hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
-    xs_np = np.asarray(xs, np.float64)
-    s = xs_np.shape[0]
-    if masks is None:
-        n_reals = [xs_np.shape[1]] * s
-    else:
-        masks_np = np.asarray(masks, bool)
-        n_reals = [int(masks_np[i].sum()) for i in range(s)]
-    m_z = int(min(n_inducing, min(n_reals)))
-
-    ops_list, wl_list, wu_list, we_list = [], [], [], []
-    for i in range(s):
-        x_real = xs_np[i, : n_reals[i]]
-        z = gnmgp_sparse.choose_inducing(x_real, m_z)
-        if z.shape[0] != m_z:
-            raise ValueError(
-                f"subject {i}: only {z.shape[0]} distinct inducing inputs "
-                f"among its {n_reals[i]} real observations (need m_z={m_z})"
-            )
-        ops_list.append(gnmgp_sparse.make_ops_hetero(xs_np[i], z, hp))
-        wl_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_tilde_l"], hp["beta_tilde_l"]))
-        wu_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_L"], hp["beta_L"]))
-        we_list.append(chol_ops.prior_rbf_cholesky(
-            z, hp["alpha_err"], hp["beta_err"]))
-
-    ops = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ops_list)
-    return (ops, jnp.stack(wl_list), jnp.stack(wu_list),
-            jnp.stack(we_list), m_z)
+    ops, (wl, wu, we), m_z = _stack_subject_ops(
+        xs, masks, n_inducing, hp,
+        lambda x, z: gnmgp_sparse.make_ops_hetero(x, z, hp),
+        [("alpha_tilde_l", "beta_tilde_l"), ("alpha_L", "beta_L"),
+         ("alpha_err", "beta_err")],
+    )
+    return ops, wl, wu, we, m_z
 
 
 def _subject_nlp_sparse_hetero(m_z: int, hp: dict, approx: str):
@@ -552,94 +439,10 @@ def fit_fleet_map_sparse_hetero(
     The per-(input, task) noise GP lives at Z and is kriged to a per-slot
     Lambda (``gnmgp_sparse.log_lik_hetero``); everything else follows
     :func:`fit_fleet_map_sparse`."""
-    hp = {**gnmgp_sparse.HETERO_DEFAULT_HYPERS, **(hyper or {})}
-    if approx not in ("fitc", "vfe"):
-        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    if ops is None:
-        ops, _, _, _, m_z = make_fleet_sparse_ops_hetero(
-            xs, masks, n_inducing, hyper)
-    else:
-        m_z = int(ops.base.z.shape[1])
-    m = np.shape(ys)[-1]
-    want_p = gnmgp_sparse.n_params_hetero(m_z, m)
-    if np.shape(init_vecs) != (np.shape(xs)[0], want_p):
-        raise ValueError(
-            f"parameter stack must be (S={np.shape(xs)[0]}, P={want_p}) for "
-            f"m_z={m_z}, M={m}, got {np.shape(init_vecs)}"
-        )
-    if masks is not None and np.shape(masks) != np.shape(xs):
-        raise ValueError(
-            f"masks must match xs {np.shape(xs)}, got {np.shape(masks)}"
-        )
-
-    xs = jnp.asarray(xs, settings.dtype)
-    ys = jnp.asarray(ys, settings.dtype)
-    init_vecs = jnp.asarray(init_vecs, settings.dtype)
-    s_real = xs.shape[0]
-    xs, _ = pad_to_multiple(xs, n_dev)
-    ys, _ = pad_to_multiple(ys, n_dev)
-    init_vecs, _ = pad_to_multiple(init_vecs, n_dev)
-    if masks is not None:
-        masks = jnp.asarray(masks, bool)
-        masks, _ = pad_to_multiple(masks, n_dev)
-    else:
-        masks = jnp.ones(xs.shape, bool)
-    ops = _pad_tree(ops, n_dev)
-
-    nlp = _subject_nlp_sparse_hetero(m_z, hp, approx)
-    if method == "lbfgs":
-        optimizer = optax.lbfgs()
-        step_builder = map_mod.guarded_lbfgs_step
-    elif method == "adam":
-        optimizer = optax.adam(lr)
-        step_builder = map_mod.guarded_adam_step
-    else:
-        raise ValueError(f"unknown method {method!r} (want 'adam' or 'lbfgs')")
-
-    def fit_one(vec0, x, y, op, mask):
-        obj = lambda v: nlp(v, x, y, op, mask)
-        big = jnp.asarray(jnp.inf, vec0.dtype) + 0.0 * vec0[0]
-        (v, _, bv, bval), hist = jax.lax.scan(
-            step_builder(obj, optimizer),
-            (vec0, optimizer.init(vec0), vec0, big), None, length=n_iters
-        )
-        v_fin = obj(v)
-        take_final = jnp.isfinite(v_fin) & (v_fin < bval)
-        bv = jnp.where(take_final, v, bv)
-        return bv, jnp.where(take_final, v_fin, bval), hist
-
-    def shard_fn(vec0, x, y, op, mask):
-        vecs, finals, hists = jax.vmap(fit_one)(vec0, x, y, op, mask)
-        total = jax.lax.psum(jnp.sum(finals), SUBJECT_AXIS)
-        lo = jax.lax.pmin(jnp.min(finals), SUBJECT_AXIS)
-        hi = jax.lax.pmax(jnp.max(finals), SUBJECT_AXIS)
-        return vecs, finals, hists, total, lo, hi
-
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=tuple([P(SUBJECT_AXIS)] * 5),
-        out_specs=(P(SUBJECT_AXIS), P(SUBJECT_AXIS), P(SUBJECT_AXIS),
-                   P(), P(), P()),
-        check_vma=(method == "adam"),
-    )
-    vecs, finals, hists, total, lo, hi = jax.jit(sharded)(
-        init_vecs, xs, ys, ops, masks
-    )
-    s_total = xs.shape[0]
-    return FleetResult(
-        vecs=vecs[:s_real],
-        final_nlp=finals[:s_real],
-        target_hist=hists[:s_real],
-        fleet_metrics={
-            "mean_final_nlp": float(total) / s_total,
-            "min_final_nlp": float(lo),
-            "max_final_nlp": float(hi),
-        },
+    return _fit_fleet_map_sparse(
+        "hetero", (xs, ys), init_vecs, m=np.shape(ys)[-1], ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
     )
 
 
@@ -677,6 +480,236 @@ def hmc_fleet_sparse_hetero(
         adapt_step_size=adapt_step_size, target_accept=target_accept,
     )
     return samples
+
+
+# ---------------------------------------------------------------------------
+# Separable layouts: SNMGP (nonstationary separable) and LMC (stationary).
+# ---------------------------------------------------------------------------
+
+
+def make_fleet_sparse_ops_snmgp(xs, masks=None, n_inducing: int = 64,
+                                hyper: dict | None = None):
+    """Stacked :class:`~..models.snmgp_sparse.SparseOps` for the fleet:
+    ``(ops, wl, wsigma, m_z)`` — the two latent processes' kriging pieces
+    plus their prior Cholesky factors at Z (the whitening blocks).
+
+    The separable analog of :func:`make_fleet_sparse_ops`; reference
+    counterpart: the separable model as a fleet driver,
+    ``/root/reference/Separable_Model/Separable_model_mpisim.py`` (one MPI
+    rank per replicate — here one vmap lane per subject on the mesh).
+    """
+    from ..models import snmgp_sparse
+    from ..models.snmgp import DEFAULT_HYPERS
+
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    ops, (wl, ws), m_z = _stack_subject_ops(
+        xs, masks, n_inducing, hp,
+        lambda x, z: snmgp_sparse.make_ops(x, z, hp),
+        [("alpha_tilde_l", "beta_tilde_l"),
+         ("alpha_tilde_sigma", "beta_tilde_sigma")],
+    )
+    return ops, wl, ws, m_z
+
+
+def make_fleet_sparse_ops_lmc(xs, masks=None, n_inducing: int = 64,
+                              hyper: dict | None = None):
+    """Stacked :class:`~..models.lmc_sparse.SparseOps` for the fleet:
+    ``(ops, m_z)``.  The stationary tier has no latent processes — ops is
+    just each subject's inducing set Z, and there are no whitening factors
+    (the LMC parameter vector has no latent-GP blocks).
+
+    Reference counterpart: the stationary model as a fleet driver,
+    ``/root/reference/Stationary_Model/Stationary_model_mpisim.py:265``.
+    """
+    from ..models import lmc_sparse
+    from ..models.lmc import DEFAULT_HYPERS
+
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    ops, _, m_z = _stack_subject_ops(
+        xs, masks, n_inducing, hp,
+        lambda x, z: lmc_sparse.make_ops(x, z, hp), [],
+    )
+    return ops, m_z
+
+
+def _subject_nlp_sparse_snmgp(m_z: int, hp: dict, approx: str):
+    """Per-subject sparse SNMGP objective fn(vec, x, y, ops, mask)."""
+    from ..models import snmgp_sparse
+
+    def nlp(vec, x, y, ops, mask):
+        p = snmgp_sparse.unpack(vec, m_z, y.shape[1])
+        res, _ = snmgp_sparse.log_posterior(
+            p, FullData(x, y), ops, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def _subject_nlp_sparse_lmc(m: int, hp: dict, approx: str):
+    """Per-subject sparse LMC objective fn(vec, x, y, ops, mask)."""
+    from ..models import lmc_sparse
+
+    def nlp(vec, x, y, ops, mask):
+        p = lmc_sparse.unpack(vec, m)
+        res, _ = lmc_sparse.log_posterior(
+            p, FullData(x, y), ops, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def fit_fleet_map_sparse_snmgp(
+    xs, ys, init_vecs, ops=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc", n_iters: int = 1000,
+    lr: float = 2e-1, mesh: Mesh | None = None, masks=None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of sparse-SNMGP subjects (separable large-N tier)."""
+    return _fit_fleet_map_sparse(
+        "snmgp", (xs, ys), init_vecs, m=np.shape(ys)[-1], ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
+    )
+
+
+def fit_fleet_map_sparse_lmc(
+    xs, ys, init_vecs, ops=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc", n_iters: int = 1000,
+    lr: float = 2e-1, mesh: Mesh | None = None, masks=None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of sparse-LMC subjects (stationary large-N tier)."""
+    return _fit_fleet_map_sparse(
+        "lmc", (xs, ys), init_vecs, m=np.shape(ys)[-1], ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
+    )
+
+
+def hmc_fleet_sparse_snmgp(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 1e-4, n_leapfrog: int = 20,
+    hyper: dict | None = None, approx: str = "fitc", mesh: Mesh | None = None,
+    n_warmup: int = 0, adapt_step_size: bool = False,
+    target_accept: float = 0.75, whiten: bool = False, masks=None,
+):
+    """HMC chains for a sparse-SNMGP fleet — (S, n_samples, P) draws.
+    ``whiten=True`` whitens the two latent-GP blocks at Z (the dense
+    fleet's snmgp block table at N=m_z)."""
+    samples, _ = _chain_fleet_sparse(
+        "snmgp", (xs, ys), map_vecs, key, kind="hmc",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+        adapt_step_size=adapt_step_size, target_accept=target_accept,
+    )
+    return samples
+
+
+def hmc_fleet_sparse_lmc(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 1e-4, n_leapfrog: int = 20,
+    hyper: dict | None = None, approx: str = "fitc", mesh: Mesh | None = None,
+    n_warmup: int = 0, adapt_step_size: bool = False,
+    target_accept: float = 0.75, whiten: bool = False, masks=None,
+):
+    """HMC chains for a sparse-LMC fleet — (S, n_samples, P) draws.
+    The LMC vector has no latent-GP blocks, so ``whiten`` is accepted for
+    interface uniformity and ignored (the natural space is already the
+    sampling space)."""
+    samples, _ = _chain_fleet_sparse(
+        "lmc", (xs, ys), map_vecs, key, kind="hmc",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_leapfrog=n_leapfrog, n_warmup=n_warmup,
+        adapt_step_size=adapt_step_size, target_accept=target_accept,
+    )
+    return samples
+
+
+def nuts_fleet_sparse_snmgp(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 0.1, n_warmup: int = 200,
+    max_depth: int = 8, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = False, masks=None,
+):
+    """Adaptive NUTS chains for a sparse-SNMGP fleet —
+    ``(samples (S, T, P), accept_stat (S,))``."""
+    return _chain_fleet_sparse(
+        "snmgp", (xs, ys), map_vecs, key, kind="nuts",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_warmup=n_warmup, max_depth=max_depth,
+    )
+
+
+def nuts_fleet_sparse_lmc(
+    xs, ys, map_vecs, key, ops=None, whiten_chols=None, n_inducing: int = 64,
+    n_samples: int = 100, step_size: float = 0.1, n_warmup: int = 200,
+    max_depth: int = 8, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = False, masks=None,
+):
+    """Adaptive NUTS chains for a sparse-LMC fleet —
+    ``(samples (S, T, P), accept_stat (S,))``."""
+    return _chain_fleet_sparse(
+        "lmc", (xs, ys), map_vecs, key, kind="nuts",
+        m=np.shape(ys)[-1], ops=ops, whiten_chols=whiten_chols,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, mesh=mesh,
+        whiten=whiten, masks=masks, n_samples=n_samples,
+        step_size=step_size, n_warmup=n_warmup, max_depth=max_depth,
+    )
+
+
+def smc_fleet_sparse_snmgp(
+    xs, ys, key, n_particles: int = 256, n_mutations: int = 5,
+    n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse-SNMGP fleet."""
+    return _smc_fleet_sparse(
+        "snmgp", (xs, ys), key, m=np.shape(ys)[-1], ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
+
+
+def smc_fleet_sparse_lmc(
+    xs, ys, key, n_particles: int = 256, n_mutations: int = 5,
+    n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse-LMC fleet (populations start at
+    the natural-space prior — no latent-GP blocks to whiten)."""
+    return _smc_fleet_sparse(
+        "lmc", (xs, ys), key, m=np.shape(ys)[-1], ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -728,6 +761,35 @@ def _layout(kind: str) -> dict:
                 m_z, hp, ap),
             "casts": ("f", "f"),
         }
+    if kind == "snmgp":
+        from ..models import snmgp_sparse
+        from ..models.snmgp import DEFAULT_HYPERS as _SNMGP_HYPERS
+
+        return {
+            "hypers": _SNMGP_HYPERS,
+            "make_ops": make_fleet_sparse_ops_snmgp,
+            "n_chols": 2,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "snmgp",
+            "n_params": snmgp_sparse.n_params,
+            "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse_snmgp(
+                m_z, hp, ap),
+            "casts": ("f", "f"),
+        }
+    if kind == "lmc":
+        from ..models import lmc_sparse
+        from ..models.lmc import DEFAULT_HYPERS as _LMC_HYPERS
+
+        return {
+            "hypers": _LMC_HYPERS,
+            "make_ops": make_fleet_sparse_ops_lmc,
+            "n_chols": 0,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "lmc",  # _fleet_whiten_fns -> None (no latent blocks)
+            "n_params": lambda m_z, m: lmc_sparse.n_params(m),
+            "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse_lmc(m, hp, ap),
+            "casts": ("f", "f"),
+        }
     raise ValueError(f"unknown sparse layout {kind!r}")
 
 
@@ -750,7 +812,7 @@ def _prep_sparse_fleet(lk, data, masks, ops, whiten_chols, n_inducing,
         ops, chols, m_z = built[0], list(built[1:-1]), built[-1]
     else:
         m_z = int(L["z_of"](ops).shape[1])
-        if whiten:
+        if whiten and L["n_chols"]:
             if whiten_chols is None or len(whiten_chols) != L["n_chols"]:
                 raise ValueError(
                     "whiten=True with prebuilt ops needs whiten_chols with "
@@ -786,7 +848,7 @@ def _prep_sparse_fleet(lk, data, masks, ops, whiten_chols, n_inducing,
     else:
         masks = jnp.ones(arrs[0].shape, bool)
     ops = _pad_tree(ops, n_dev)
-    if whiten:
+    if whiten and chols:
         chols = [pad_to_multiple(jnp.asarray(c, settings.dtype), n_dev)[0]
                  for c in chols]
     else:
