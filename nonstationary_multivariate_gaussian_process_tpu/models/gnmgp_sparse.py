@@ -429,28 +429,112 @@ def make_ops_traced(x, z, hyper: dict | None = None) -> SparseOps:
     return SparseOps(z, proj_l, proj_ul, c_l, c_ul)
 
 
+def make_ops_traced_hetero(x, z, hyper: dict | None = None) -> SparseHeteroOps:
+    """Differentiable-in-Z :class:`SparseHeteroOps` (see
+    :func:`make_ops_traced`): the base pieces plus the noise GP's kriging
+    projection and prior factor, all built in-graph so ``jax.grad`` flows
+    through Z."""
+    hp = {**HETERO_DEFAULT_HYPERS, **(hyper or {})}
+    base_t = make_ops_traced(x, z, hp)
+    x = jnp.asarray(x, settings.dtype)
+    z = jnp.asarray(z, settings.dtype)
+    sigma = kernels.rbf_cov(z, alpha=hp["alpha_err"], beta=hp["beta_err"])
+    k_cross = kernels.rbf_cov(z, x, alpha=hp["alpha_err"], beta=hp["beta_err"])
+    c = chol.safe_cholesky(sigma, force_robust=True)
+    return SparseHeteroOps(base_t, chol.chol_solve(c, k_cross), c)
+
+
+def _refine_builders(model: str, hadamard: bool):
+    """Per-model pieces for :func:`refine_inducing`:
+    ``(default_hypers, traced_ops(x, z, hp), unpack(vec, m_z, m),
+    logpost(p, data, ops, m, ...), objective(data, m, z, ...))``.
+
+    Every sparse model is differentiable in Z — the GNMGP family through
+    its traced kriging projections, the separable family through its
+    (kernel-only) cross pieces, the stationary LMC directly (its ops ARE
+    just Z).
+    """
+    if model == "gnmgp_sparse":
+        return (
+            HADAMARD_DEFAULT_HYPERS if hadamard else DEFAULT_HYPERS,
+            make_ops_traced,
+            unpack,
+            ((lambda p, d, o, m, **kw: log_posterior_hadamard(p, d, o, m, **kw))
+             if hadamard else
+             (lambda p, d, o, m, **kw: log_posterior(p, d, o, **kw))),
+            ((lambda d, m, **kw: make_objective_hadamard(d, m, **kw))
+             if hadamard else
+             (lambda d, m, **kw: make_objective(d, **kw))),
+        )
+    if model == "gnmgp_hetero_sparse":
+        if hadamard:
+            raise ValueError("gnmgp_hetero_sparse has no Hadamard objective")
+        return (
+            HETERO_DEFAULT_HYPERS,
+            make_ops_traced_hetero,
+            unpack_hetero,
+            lambda p, d, o, m, **kw: log_posterior_hetero(p, d, o, **kw),
+            lambda d, m, **kw: make_objective_hetero(d, **kw),
+        )
+    if model == "snmgp_sparse":
+        from . import snmgp_sparse as ssp
+        from .snmgp import DEFAULT_HYPERS as SNMGP_HYPERS
+
+        return (
+            SNMGP_HYPERS,
+            ssp.make_ops_traced,
+            ssp.unpack,
+            ((lambda p, d, o, m, **kw: ssp.log_posterior_hadamard(p, d, o, m, **kw))
+             if hadamard else
+             (lambda p, d, o, m, **kw: ssp.log_posterior(p, d, o, **kw))),
+            ((lambda d, m, **kw: ssp.make_objective_hadamard(d, m, **kw))
+             if hadamard else
+             (lambda d, m, **kw: ssp.make_objective(d, **kw))),
+        )
+    if model == "lmc_sparse":
+        from . import lmc_sparse as lsp
+        from .lmc import DEFAULT_HYPERS as LMC_HYPERS
+
+        return (
+            LMC_HYPERS,
+            # the stationary tier's ops ARE the inducing set — directly traced
+            lambda x, z, hp: lsp.SparseOps(jnp.asarray(z, settings.dtype)),
+            lambda vec, m_z, m: lsp.unpack(vec, m),
+            ((lambda p, d, o, m, **kw: lsp.log_posterior_hadamard(p, d, o, m, **kw))
+             if hadamard else
+             (lambda p, d, o, m, **kw: lsp.log_posterior(p, d, o, **kw))),
+            ((lambda d, m, **kw: lsp.make_objective_hadamard(d, m, **kw))
+             if hadamard else
+             (lambda d, m, **kw: lsp.make_objective(d, **kw))),
+        )
+    raise ValueError(f"unknown sparse model {model!r}")
+
+
 def refine_inducing(data: FullData, z0, vec0, n_rounds: int = 2,
                     z_iters: int = 40, vec_iters: int = 200,
                     lr_z: float = 5e-3, lr_vec: float = 2e-1,
                     hyper: dict | None = None, approx: str = "fitc",
                     prior: bool = True, mask=None, method: str = "adam",
-                    hypers_base: dict | None = None, m: int | None = None):
+                    hypers_base: dict | None = None, m: int | None = None,
+                    model: str = "gnmgp_sparse"):
     """Alternating inducing-input refinement: move Z down the objective.
 
-    The FITC/VFE objective is differentiable in Z (the kriging projections
-    and prior factors at Z are closed-form in Z — :func:`make_ops_traced`),
-    so at small m the fidelity lost to a fixed quantile grid can be bought
-    back by *moving* the inducing inputs instead of growing them (the
-    measured m=32 underfit at N=200, ROADMAP "Inducing-point refinement").
-    Alternates (a) ``z_iters`` Adam steps on Z at fixed latents, Z clamped
-    to the data range, and (b) a fresh MAP refit of the latents at the
-    re-sorted Z through the standard host-f64 ops.  Returns
-    ``(z, vec, ops, final_nlp)`` with ``ops = make_ops(x, z_final)``.
+    The FITC/VFE objective is differentiable in Z (kriging projections and
+    prior factors at Z are closed-form in Z — :func:`make_ops_traced` and
+    per-model analogs via :func:`_refine_builders`), so at small m the
+    fidelity lost to a fixed quantile grid can be bought back by *moving*
+    the inducing inputs instead of growing them (the measured m=32 underfit
+    at N=200, ROADMAP "Inducing-point refinement").  Alternates (a)
+    ``z_iters`` Adam steps on Z at fixed latents, Z clamped to the data
+    range, and (b) a fresh MAP refit of the latents at the re-sorted Z
+    through the standard host-f64 ops.  Returns ``(z, vec, ops, final_nlp)``
+    with ``ops`` rebuilt at the refined Z.
 
-    ``hypers_base`` overrides the default-hyper table the traced objective
-    merges ``hyper`` into; the refit path is taken from ``data``'s type —
-    :class:`FullData` → :func:`make_objective`, 3-tuple (Hadamard, which
-    must pass ``m`` explicitly) → :func:`make_objective_hadamard`.
+    ``model`` picks the sparse family (``gnmgp_sparse`` /
+    ``gnmgp_hetero_sparse`` / ``snmgp_sparse`` / ``lmc_sparse``);
+    ``hypers_base`` overrides its default-hyper table; the layout is taken
+    from ``data``'s type — :class:`FullData` → full, 3-tuple (Hadamard,
+    which must pass ``m`` explicitly) → Hadamard.
     """
     import numpy as np
     import optax
@@ -458,8 +542,9 @@ def refine_inducing(data: FullData, z0, vec0, n_rounds: int = 2,
     from ..inference import map as map_mod
 
     hadamard = not isinstance(data, FullData) and len(data) == 3
-    base_hp = (hypers_base if hypers_base is not None
-               else (HADAMARD_DEFAULT_HYPERS if hadamard else DEFAULT_HYPERS))
+    base_default, traced_ops, unpack_fn, logpost_fn, objective_fn = (
+        _refine_builders(model, hadamard))
+    base_hp = hypers_base if hypers_base is not None else base_default
     hp = {**base_hp, **(hyper or {})}
     x = jnp.asarray(data[0] if hadamard else data.x, settings.dtype)
     if hadamard:
@@ -475,15 +560,10 @@ def refine_inducing(data: FullData, z0, vec0, n_rounds: int = 2,
     m_z = int(z.shape[0])
 
     def nlp_z(z_, vec_):
-        ops_t = make_ops_traced(x, z_, hp)
-        p = unpack(vec_, m_z, m)
-        if hadamard:
-            res, _ = log_posterior_hadamard(
-                p, data, ops_t, m, approx=approx, hyper=hp, prior=prior,
-                mask=mask)
-        else:
-            res, _ = log_posterior(p, data, ops_t, approx=approx, hyper=hp,
-                                   prior=prior, mask=mask)
+        ops_t = traced_ops(x, z_, hp)
+        p = unpack_fn(vec_, m_z, m)
+        res, _ = logpost_fn(p, data, ops_t, m, approx=approx, hyper=hp,
+                            prior=prior, mask=mask)
         return -res
 
     opt_z = optax.adam(lr_z)
@@ -513,13 +593,8 @@ def refine_inducing(data: FullData, z0, vec0, n_rounds: int = 2,
             if z_np[i] - z_np[i - 1] < min_gap:
                 z_np[i] = z_np[i - 1] + min_gap
         z = jnp.asarray(np.clip(z_np, lo, hi + m_z * min_gap), settings.dtype)
-        if hadamard:
-            nlp, ops = make_objective_hadamard(
-                data, m, z=z, hyper=hyper, approx=approx, prior=prior,
-                mask=mask)
-        else:
-            nlp, ops = make_objective(data, z=z, hyper=hyper, approx=approx,
-                                      prior=prior, mask=mask)
+        nlp, ops = objective_fn(data, m, z=z, hyper=hyper, approx=approx,
+                                prior=prior, mask=mask)
         res = map_mod.fit_map(nlp, vec, n_iters=vec_iters, lr=lr_vec,
                               method=method)
         vec, final_nlp = res.vec, float(nlp(res.vec))

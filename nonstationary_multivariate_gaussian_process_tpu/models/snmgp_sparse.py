@@ -99,6 +99,31 @@ def make_ops(x, z, hyper: dict | None = None) -> SparseOps:
                      pc_l_z, pc_sigma_z)
 
 
+def make_ops_traced(x, z, hyper: dict | None = None) -> SparseOps:
+    """Differentiable-in-Z :class:`SparseOps` for inducing refinement.
+
+    The separable analog of ``gnmgp_sparse.make_ops_traced``: both latent
+    processes' kriging projections and prior factors are rebuilt in-graph
+    (robust traced factorization) so ``jax.grad`` flows through Z.  The
+    prior factors come back as plain Cholesky factors; ``dists.
+    mvn_logpdf_chol`` accepts either.  Use only inside
+    ``gnmgp_sparse.refine_inducing``'s Z-steps.
+    """
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    x = jnp.asarray(x, settings.dtype)
+    z = jnp.asarray(z, settings.dtype)
+
+    def pieces(alpha, beta):
+        sigma = kernels.rbf_cov(z, alpha=alpha, beta=beta)
+        k_cross = kernels.rbf_cov(z, x, alpha=alpha, beta=beta)
+        c = chol.safe_cholesky(sigma, force_robust=True)
+        return chol.chol_solve(c, k_cross), c
+
+    proj_l, c_l = pieces(hp["alpha_tilde_l"], hp["beta_tilde_l"])
+    proj_s, c_s = pieces(hp["alpha_tilde_sigma"], hp["beta_tilde_sigma"])
+    return SparseOps(z, proj_l, proj_s, c_l, c_s)
+
+
 def latents_at_data(p: SparseParams, ops: SparseOps, hyper=None):
     """Kriged latent fields at the data: ``(tilde_l_x (N,), tilde_sigma_x (N,))``."""
     hp = {**DEFAULT_HYPERS, **(hyper or {})}

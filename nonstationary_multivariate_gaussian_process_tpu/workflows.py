@@ -821,26 +821,28 @@ def run_subject(
             result["map_vec"] = map_vec = res.vec
             result["map_init"] = name
             result["target_hist"] = np.asarray(res.target_hist)
-            if cfg.refine_z > 0 and sparse and cfg.model not in (
-                    "gnmgp_sparse", "gnmgp_hetero_sparse"):
-                raise ValueError(
-                    f"refine_z is implemented for gnmgp_sparse only (got "
-                    f"{cfg.model!r}); the separable sparse tiers use the "
-                    "fixed quantile Z")
-            if cfg.refine_z > 0 and cfg.model == "gnmgp_sparse":
+            if cfg.refine_z > 0 and sparse:
                 # inducing-input refinement: Z descends the objective, the
                 # latents refit at the moved Z; downstream stages (sampling,
-                # prediction, LOO) condition on the refined ops
+                # prediction, LOO) condition on the refined ops.  Every
+                # sparse model is supported (model= picks the traced
+                # builders — gnmgp_sparse._refine_builders)
                 t0 = time.time()
-                sp_z, map_vec, sp_ops, _ = gnmgp_sparse.refine_inducing(
+                sp_z, map_vec, _, _ = gnmgp_sparse.refine_inducing(
                     data, sp_z, map_vec, n_rounds=cfg.refine_z,
                     z_iters=cfg.refine_z_iters,
                     vec_iters=min(max(100, cfg.n_opt // 2), 400),
                     lr_vec=cfg.lr, hyper=cfg.hyper, approx=cfg.sparse_approx,
-                    method=cfg.map_method,
+                    method=cfg.map_method, model=cfg.model,
                 )
-                nlp, _ = gnmgp_sparse.make_objective(
-                    data, z=sp_z, approx=cfg.sparse_approx, hyper=cfg.hyper)
+                if hsparse:
+                    nlp, sp_ops = gnmgp_sparse.make_objective_hetero(
+                        data, z=sp_z, approx=cfg.sparse_approx,
+                        hyper=cfg.hyper)
+                else:
+                    nlp, sp_ops = model.make_objective(
+                        data, z=sp_z, approx=cfg.sparse_approx,
+                        hyper=cfg.hyper)
                 result["map_vec"] = map_vec
                 result["refined_z"] = np.asarray(sp_z)
                 result["timings"]["refine_z"] = time.time() - t0
@@ -1089,21 +1091,17 @@ def run_subject_hadamard(
     res = map_mod.fit_map(nlp, v0, n_iters=cfg.n_opt, lr=cfg.lr,
                           err_opt=cfg.err_opt, method=cfg.map_method)
     out = {"map_vec": res.vec, "target_hist": np.asarray(res.target_hist), "n": n, "m": m}
-    if cfg.refine_z > 0 and sparse and cfg.model != "gnmgp_sparse":
-        raise ValueError(
-            f"refine_z is implemented for gnmgp_sparse only (got "
-            f"{cfg.model!r}); the separable sparse tiers use the fixed "
-            "quantile Z")
     if cfg.refine_z > 0 and sparse:
         # inducing-input refinement through the traced Hadamard objective
+        # (any sparse model — gnmgp_sparse._refine_builders)
         z_r, vec_r, sp_ops, _ = gnmgp_sparse.refine_inducing(
             data, sp_ops.z, res.vec, n_rounds=cfg.refine_z,
             z_iters=cfg.refine_z_iters,
             vec_iters=min(max(100, cfg.n_opt // 2), 400), lr_vec=cfg.lr,
             hyper=cfg.hyper, approx=cfg.sparse_approx, method=cfg.map_method,
-            m=m,
+            m=m, model=cfg.model,
         )
-        nlp, _ = gnmgp_sparse.make_objective_hadamard(
+        nlp, _ = model.make_objective_hadamard(
             data, m, z=z_r, approx=cfg.sparse_approx, hyper=cfg.hyper)
         res = res._replace(vec=vec_r)
         out["map_vec"] = vec_r
