@@ -1711,6 +1711,22 @@ def run_sim_fleet(
     return out
 
 
+def _sparse_subject_ops(model: str, x_used, z, hyper):
+    """Rebuild one subject's conditioning ops at its real inputs with the
+    bucket-chosen Z (prefix quantiles — identical to the fit's) for
+    post-fit scoring/prediction."""
+    from .models import lmc_sparse, snmgp_sparse
+
+    z = jnp.asarray(z)
+    if model == "gnmgp_hetero_sparse":
+        return gnmgp_sparse.make_ops_hetero(x_used, z, hyper)
+    if model == "snmgp_sparse":
+        return snmgp_sparse.make_ops(x_used, z, hyper)
+    if model == "lmc_sparse":
+        return lmc_sparse.make_ops(x_used, z, hyper)
+    return gnmgp_sparse.make_ops(x_used, z, hyper)
+
+
 def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
     """One bucket of a sparse-GNMGP cohort: a stacked-SparseOps fleet.
 
@@ -1723,6 +1739,7 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
     back by a short fleet descent (the multichain recipe — raw jitter
     strands chains above the typical set, ``inference/init.py``).
     """
+    from .models import lmc_sparse, snmgp_sparse
     from .parallel import fleet_sparse as fsp
 
     s = x.shape[0]
@@ -1733,15 +1750,36 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             x, mask, cfg.n_inducing, cfg.hyper
         )
         z_stack = ops.base.z
-        fit_fn, hmc_fn = (fsp.fit_fleet_map_sparse_hetero,
-                          fsp.hmc_fleet_sparse_hetero)
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_hetero, fsp.hmc_fleet_sparse_hetero,
+            fsp.nuts_fleet_sparse_hetero, fsp.smc_fleet_sparse_hetero)
         wchols = (wl, wu, werr)
+    elif cfg.model == "snmgp_sparse":
+        ops, wl, ws, m_z = fsp.make_fleet_sparse_ops_snmgp(
+            x, mask, cfg.n_inducing, cfg.hyper
+        )
+        z_stack = ops.z
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_snmgp, fsp.hmc_fleet_sparse_snmgp,
+            fsp.nuts_fleet_sparse_snmgp, fsp.smc_fleet_sparse_snmgp)
+        wchols = (wl, ws)
+    elif cfg.model == "lmc_sparse":
+        ops, m_z = fsp.make_fleet_sparse_ops_lmc(
+            x, mask, cfg.n_inducing, cfg.hyper
+        )
+        z_stack = ops.z
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_lmc, fsp.hmc_fleet_sparse_lmc,
+            fsp.nuts_fleet_sparse_lmc, fsp.smc_fleet_sparse_lmc)
+        wchols = ()
     else:
         ops, wl, wu, m_z = fsp.make_fleet_sparse_ops(
             x, mask, cfg.n_inducing, cfg.hyper
         )
         z_stack = ops.z
-        fit_fn, hmc_fn = fsp.fit_fleet_map_sparse, fsp.hmc_fleet_sparse
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse, fsp.hmc_fleet_sparse,
+            fsp.nuts_fleet_sparse, fsp.smc_fleet_sparse)
         wchols = (wl, wu)
     inits = []
     for j in range(s):
@@ -1750,10 +1788,20 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             x[j][:n_real], y[j][:n_real],
             window_size=min(cfg.window_size, max(2, n_real // 3)),
         )
-        dense_init = init_mod.gnmgp_from_empirical(emp, n_real, m)
-        init_j = gnmgp_sparse.init_from_empirical(
-            dense_init, n_real, m_z, m, x[j][:n_real], z_stack[j]
-        )
+        if cfg.model == "snmgp_sparse":
+            dense_init = init_mod.snmgp_from_empirical(emp, n_real, m)
+            init_j = snmgp_sparse.init_from_empirical(
+                dense_init, n_real, m_z, m, x[j][:n_real], z_stack[j]
+            )
+        elif cfg.model == "lmc_sparse":
+            # the stationary layout is N-free — the dense empirical init
+            # is the sparse init
+            init_j = init_mod.lmc_from_empirical(emp, n_real, m)
+        else:
+            dense_init = init_mod.gnmgp_from_empirical(emp, n_real, m)
+            init_j = gnmgp_sparse.init_from_empirical(
+                dense_init, n_real, m_z, m, x[j][:n_real], z_stack[j]
+            )
         if hetero:
             # broadcast the homoscedastic noise over the (Z x task) process
             # (run_subject's _build_inits recipe)
@@ -1785,8 +1833,6 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             # tempered-SMC tier at Z: per-subject populations follow the
             # prior→posterior path (no warm start; evidence comes back in
             # the natural space); particles are exchangeable, chain axis=1
-            smc_fn = (fsp.smc_fleet_sparse_hetero if hetero
-                      else fsp.smc_fleet_sparse)
             r = smc_fn(
                 jnp.asarray(x), jnp.asarray(y), k_bucket,
                 n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
@@ -1832,8 +1878,6 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             vec_t = res_d.vecs
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
         if sampler == "nuts":
-            nuts_fn = (fsp.nuts_fleet_sparse_hetero if hetero
-                       else fsp.nuts_fleet_sparse)
             samples, _ = nuts_fn(
                 x_t, y_t, vec_t, jax.random.fold_in(k_bucket, 2),
                 ops=ops_t, whiten_chols=wchols_t,
@@ -2026,9 +2070,10 @@ def run_cohort(
     tests = [prep[sid][2] for sid in ids]
 
     def fit_bucket(x, y, idxs, mask):
-        if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
+        if cfg.model.endswith("_sparse"):
             # the large-N tier, subject-parallel: stacked SparseOps fleet
-            # (m_z-layout parameters at Z — no latent-slot pad/crop)
+            # (m_z-layout parameters at Z — no latent-slot pad/crop for the
+            # GNMGP family; snmgp/lmc ride the same layout engine)
             return _fit_bucket_sparse(x, y, idxs, mask, cfg, mesh)
         s, n = x.shape
         m = y.shape[-1]
@@ -2308,23 +2353,18 @@ def run_cohort(
             if hist.shape[0] > cfg.loo_draws:
                 sel = np.linspace(0, hist.shape[0] - 1, cfg.loo_draws).astype(int)
                 hist = hist[sel]
-            if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
+            if cfg.model.endswith("_sparse"):
                 # m_z-layout draws need no cropping; LOO conditionals come
                 # from the sparse Woodbury factors (evaluate.py)
                 hetero_sp = cfg.model == "gnmgp_hetero_sparse"
-                ops_used = (
-                    gnmgp_sparse.make_ops_hetero(
-                        x_used, jnp.asarray(entry["z"]), cfg.hyper)
-                    if hetero_sp else
-                    gnmgp_sparse.make_ops(
-                        x_used, jnp.asarray(entry["z"]), cfg.hyper)
-                )
+                ops_used = _sparse_subject_ops(
+                    cfg.model, x_used, entry["z"], cfg.hyper)
                 cond_ll = evaluate.chain_conditional_loglik_sparse(
                     hist,
                     FullData(jnp.asarray(x_used, settings.dtype),
                              jnp.asarray(y_used, settings.dtype)),
                     ops_used, approx=cfg.sparse_approx, hyper=cfg.hyper,
-                    hetero=hetero_sp,
+                    hetero=hetero_sp, model=cfg.model,
                 )
             else:
                 n_fit = _vec_input_count(cfg.model, hist.shape[1], m_tasks,
@@ -2359,28 +2399,20 @@ def run_cohort(
             )
             vec = jnp.asarray(entry["vec"], settings.dtype)
             m_tasks = y_used.shape[1]
-            if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
+            if cfg.model.endswith("_sparse"):
                 # m_z-layout vec; conditioning ops rebuilt at the subject's
                 # real inputs with the bucket-chosen Z (prefix quantiles,
                 # identical to the fit's)
-                if cfg.model == "gnmgp_hetero_sparse":
-                    ops_used = gnmgp_sparse.make_ops_hetero(
-                        np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
-                    )
-                    tp = pred_mod.predict_map_hetero(
-                        vec, data, ops_used,
-                        jnp.asarray(x_te, settings.dtype),
-                        hyper=cfg.hyper, approx=cfg.sparse_approx,
-                    )
-                else:
-                    ops_used = gnmgp_sparse.make_ops(
-                        np.asarray(x_used), jnp.asarray(entry["z"]), cfg.hyper
-                    )
-                    tp = pred_mod.predict_map(
-                        vec, data, ops_used,
-                        jnp.asarray(x_te, settings.dtype),
-                        hyper=cfg.hyper, approx=cfg.sparse_approx,
-                    )
+                ops_used = _sparse_subject_ops(
+                    cfg.model, np.asarray(x_used), entry["z"], cfg.hyper)
+                pred_fn = (pred_mod.predict_map_hetero
+                           if cfg.model == "gnmgp_hetero_sparse"
+                           else pred_mod.predict_map)
+                tp = pred_fn(
+                    vec, data, ops_used,
+                    jnp.asarray(x_te, settings.dtype),
+                    hyper=cfg.hyper, approx=cfg.sparse_approx,
+                )
             elif cfg.model == "lmc":
                 n_pad_fit = _vec_input_count(
                     cfg.model, int(vec.shape[0]), m_tasks, n_bucket
@@ -2405,8 +2437,7 @@ def run_cohort(
         if store is not None:
             extra = ({"z": np.asarray(entry["z"]),
                       "approx": np.asarray(cfg.sparse_approx)}
-                     if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse")
-                     else {})
+                     if cfg.model.endswith("_sparse") else {})
             store.save(
                 ArtifactStore.key(cfg.model, dataset, sid, "map"),
                 vec=entry["vec"], **extra

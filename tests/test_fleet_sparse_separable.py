@@ -151,3 +151,62 @@ def test_inducing_count_warning_fires():
     with warnings.catch_warnings():
         warnings.simplefilter("error", fs.InducingCountWarning)
         fs.make_fleet_sparse_ops(xs, None, n_inducing=MZ)  # no warning
+
+
+@pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
+def test_run_cohort_separable_sparse(tmp_path, model):
+    """run_cohort(model="snmgp_sparse"/"lmc_sparse"): the separable sparse
+    tiers reach the cohort driver — MAP + whitened chains + Woodbury LOO +
+    test scores + reduction in the same artifact shapes (VERDICT r3 #5a)."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore)
+
+    rng = np.random.default_rng(0)
+    subjects = {}
+    for i, n in enumerate([28, 32, 36]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = 0.5 * rng.normal(size=(n, 2)) + np.sin(4 * x)[:, None]
+        subjects[f"s{i}"] = (x, y)
+
+    cfg = wf.PipelineConfig(
+        model=model, n_inducing=8, n_opt=30, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = wf.run_cohort(subjects, cfg, store=store, dataset="sim",
+                        n_buckets=2, extrapolation_size=4)
+    assert out["reduction"]["n_valid"] == 3
+    p = (snmgp_sparse.n_params(8, 2) if model == "snmgp_sparse"
+         else lmc_sparse.n_params(2))
+    for sid, rec in out["subjects"].items():
+        assert np.isfinite(rec["final_nlp"])
+        assert rec["hmc_samples"].shape == (12, p)
+        assert {"min_ess", "max_rhat"} <= rec["sampling"].keys()
+        assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        saved = store.load(ArtifactStore.key(model, "sim", sid, "map"))
+        assert saved["vec"].shape == (p,) and saved["z"].shape == (8,)
+
+
+def test_run_cohort_separable_sparse_smc():
+    """Cohort SMC tier for a separable sparse model (population sampler at
+    Z; evidence surfaced per subject)."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    rng = np.random.default_rng(2)
+    subjects = {}
+    for i, n in enumerate([24, 28]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = 0.4 * rng.normal(size=(n, 2)) + np.cos(3 * x)[:, None]
+        subjects[f"s{i}"] = (x, y)
+    cfg = wf.PipelineConfig(
+        model="snmgp_sparse", n_inducing=8, n_opt=20, lr=0.05,
+        do_hmc=True, n_hmc=8, cohort_sampler="config", sampler="smc",
+        smc_particles=32, smc_mutations=1, smc_leapfrog=3, do_loo=False,
+    )
+    out = wf.run_cohort(subjects, cfg, n_buckets=1, extrapolation_size=4)
+    for sid, rec in out["subjects"].items():
+        assert rec["sampling"]["sampler"] == "smc"
+        assert np.isfinite(rec["sampling"]["log_evidence"])
