@@ -115,3 +115,17 @@ def reference():
         "utils": utils,
         "torch": torch,
     }
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop each module's resident compiled executables at teardown.
+
+    One pytest process runs ~500 tests and accumulates hundreds of live XLA
+    CPU executables; a full-suite run segfaulted inside a late pjit compile
+    at that accumulation level (r4), while the same test passes standalone.
+    The persistent on-disk cache (.jax_cache) makes the cross-module
+    retraces cheap — this only bounds *resident* state, not compile work.
+    """
+    yield
+    jax.clear_caches()

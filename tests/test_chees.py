@@ -170,6 +170,8 @@ def test_cohort_chees_routing(tmp_path):
         model="gnmgp", n_opt=30, do_hmc=True, n_hmc=8, hmc_warmup=16,
         n_chains=2, cohort_sampler="config", sampler="chees", whiten=True,
         do_evaluation=False,
+        escalate_rhat=0.0,  # this test pins the CHAIN tier; the default
+        #                     R-hat escalation would swap in SMC draws
     )
     out = workflows.run_cohort(subjects, cfg, n_buckets=1)
     assert len(out["subjects"]) == 3

@@ -225,6 +225,8 @@ class TestTrustworthyCohortSampling:
         cfg = workflows.PipelineConfig(
             model="gnmgp", n_opt=25, window_size=5, do_hmc=True, n_hmc=6,
             hmc_warmup=20, do_pred_test=False,
+            escalate_rhat=0.0,  # pin the chain tier: the default R-hat
+            #                     escalation (1.2) would swap in SMC draws
         )  # note: sampler/whiten left at their defaults — 'auto' overrides
         store = ArtifactStore(str(tmp_path))
         out = workflows.run_cohort(subjects, cfg, store=store, n_buckets=1)
@@ -314,3 +316,13 @@ def test_stale_map_resume_refits(tmp_path):
                                  dataset="sim", subject="s0")
     np.testing.assert_allclose(np.asarray(res2["map_vec"]),
                                np.asarray(res["map_vec"]))
+
+
+def test_measured_better_defaults_on():
+    """Round-4 defaults: the measured-better configurations ship ON —
+    L-BFGS MAP (deeper optimum at 1/4 wall, 5.6x better predictive G/P/D)
+    and R-hat-gated SMC escalation (the trustworthy posture at the
+    reference scale where chains never reconcile)."""
+    cfg = workflows.PipelineConfig()
+    assert cfg.map_method == "lbfgs"
+    assert cfg.escalate_rhat == 1.2
