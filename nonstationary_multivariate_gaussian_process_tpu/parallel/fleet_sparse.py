@@ -712,6 +712,185 @@ def smc_fleet_sparse_lmc(
     )
 
 
+def _subject_nlp_sparse_snmgp_hadamard(m_z: int, m: int, hp: dict,
+                                       approx: str):
+    """Per-subject sparse SNMGP Hadamard objective
+    fn(vec, x, indx, y, ops, mask)."""
+    from ..models import snmgp_sparse
+
+    def nlp(vec, x, indx, y, ops, mask):
+        p = snmgp_sparse.unpack(vec, m_z, m)
+        res, _ = snmgp_sparse.log_posterior_hadamard(
+            p, (x, indx, y), ops, m, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def _subject_nlp_sparse_lmc_hadamard(m: int, hp: dict, approx: str):
+    """Per-subject sparse LMC Hadamard objective
+    fn(vec, x, indx, y, ops, mask)."""
+    from ..models import lmc_sparse
+
+    def nlp(vec, x, indx, y, ops, mask):
+        p = lmc_sparse.unpack(vec, m)
+        res, _ = lmc_sparse.log_posterior_hadamard(
+            p, (x, indx, y), ops, m, approx=approx, hyper=hp, mask=mask
+        )
+        return -res
+
+    return nlp
+
+
+def fit_fleet_map_sparse_snmgp_hadamard(
+    xs, indxs, ys, m: int, init_vecs, ops=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc", n_iters: int = 1000,
+    lr: float = 2e-1, mesh: Mesh | None = None, masks=None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of sparse Hadamard-layout SNMGP subjects."""
+    return _fit_fleet_map_sparse(
+        "snmgp_hadamard", (xs, indxs, ys), init_vecs, m=m, ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
+    )
+
+
+def fit_fleet_map_sparse_lmc_hadamard(
+    xs, indxs, ys, m: int, init_vecs, ops=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc", n_iters: int = 1000,
+    lr: float = 2e-1, mesh: Mesh | None = None, masks=None,
+    method: str = "adam",
+) -> FleetResult:
+    """MAP-fit a fleet of sparse Hadamard-layout LMC subjects."""
+    return _fit_fleet_map_sparse(
+        "lmc_hadamard", (xs, indxs, ys), init_vecs, m=m, ops=ops,
+        n_inducing=n_inducing, hyper=hyper, approx=approx, n_iters=n_iters,
+        lr=lr, mesh=mesh, masks=masks, method=method,
+    )
+
+
+def hmc_fleet_sparse_snmgp_hadamard(
+    xs, indxs, ys, m: int, map_vecs, key, ops=None, whiten_chols=None,
+    n_inducing: int = 64, n_samples: int = 100, step_size: float = 1e-4,
+    n_leapfrog: int = 20, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, n_warmup: int = 0,
+    adapt_step_size: bool = False, target_accept: float = 0.75,
+    whiten: bool = False, masks=None,
+):
+    """HMC chains for a sparse Hadamard SNMGP fleet — (S, T, P) draws."""
+    samples, _ = _chain_fleet_sparse(
+        "snmgp_hadamard", (xs, indxs, ys), map_vecs, key, kind="hmc", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_leapfrog=n_leapfrog,
+        n_warmup=n_warmup, adapt_step_size=adapt_step_size,
+        target_accept=target_accept,
+    )
+    return samples
+
+
+def hmc_fleet_sparse_lmc_hadamard(
+    xs, indxs, ys, m: int, map_vecs, key, ops=None, whiten_chols=None,
+    n_inducing: int = 64, n_samples: int = 100, step_size: float = 1e-4,
+    n_leapfrog: int = 20, hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, n_warmup: int = 0,
+    adapt_step_size: bool = False, target_accept: float = 0.75,
+    whiten: bool = False, masks=None,
+):
+    """HMC chains for a sparse Hadamard LMC fleet — (S, T, P) draws."""
+    samples, _ = _chain_fleet_sparse(
+        "lmc_hadamard", (xs, indxs, ys), map_vecs, key, kind="hmc", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_leapfrog=n_leapfrog,
+        n_warmup=n_warmup, adapt_step_size=adapt_step_size,
+        target_accept=target_accept,
+    )
+    return samples
+
+
+def nuts_fleet_sparse_snmgp_hadamard(
+    xs, indxs, ys, m: int, map_vecs, key, ops=None, whiten_chols=None,
+    n_inducing: int = 64, n_samples: int = 100, step_size: float = 0.1,
+    n_warmup: int = 200, max_depth: int = 8, hyper: dict | None = None,
+    approx: str = "fitc", mesh: Mesh | None = None, whiten: bool = False,
+    masks=None,
+):
+    """Adaptive NUTS chains for a sparse Hadamard SNMGP fleet."""
+    return _chain_fleet_sparse(
+        "snmgp_hadamard", (xs, indxs, ys), map_vecs, key, kind="nuts", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_warmup=n_warmup,
+        max_depth=max_depth,
+    )
+
+
+def nuts_fleet_sparse_lmc_hadamard(
+    xs, indxs, ys, m: int, map_vecs, key, ops=None, whiten_chols=None,
+    n_inducing: int = 64, n_samples: int = 100, step_size: float = 0.1,
+    n_warmup: int = 200, max_depth: int = 8, hyper: dict | None = None,
+    approx: str = "fitc", mesh: Mesh | None = None, whiten: bool = False,
+    masks=None,
+):
+    """Adaptive NUTS chains for a sparse Hadamard LMC fleet."""
+    return _chain_fleet_sparse(
+        "lmc_hadamard", (xs, indxs, ys), map_vecs, key, kind="nuts", m=m,
+        ops=ops, whiten_chols=whiten_chols, n_inducing=n_inducing,
+        hyper=hyper, approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_samples=n_samples, step_size=step_size, n_warmup=n_warmup,
+        max_depth=max_depth,
+    )
+
+
+def smc_fleet_sparse_snmgp_hadamard(
+    xs, indxs, ys, m: int, key, n_particles: int = 256,
+    n_mutations: int = 5, n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse Hadamard SNMGP fleet."""
+    return _smc_fleet_sparse(
+        "snmgp_hadamard", (xs, indxs, ys), key, m=m, ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
+
+
+def smc_fleet_sparse_lmc_hadamard(
+    xs, indxs, ys, m: int, key, n_particles: int = 256,
+    n_mutations: int = 5, n_leapfrog: int = 10, target_cess: float = 0.5,
+    dr_reduction: float = 0.0, metric: str = "full", n_polish: int = 0,
+    waste_free: int = 0, resample_ess: float = 1.0,
+    resample: str = "systematic", max_stages: int = 64,
+    ops=None, whiten_chols=None, n_inducing: int = 64,
+    hyper: dict | None = None, approx: str = "fitc",
+    mesh: Mesh | None = None, whiten: bool = True, masks=None,
+) -> SMCFleetResult:
+    """Adaptive tempered SMC for a sparse Hadamard LMC fleet."""
+    return _smc_fleet_sparse(
+        "lmc_hadamard", (xs, indxs, ys), key, m=m, ops=ops,
+        whiten_chols=whiten_chols, n_inducing=n_inducing, hyper=hyper,
+        approx=approx, mesh=mesh, whiten=whiten, masks=masks,
+        n_particles=n_particles, n_mutations=n_mutations,
+        n_leapfrog=n_leapfrog, target_cess=target_cess,
+        dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
+        waste_free=waste_free, resample_ess=resample_ess,
+        resample=resample, max_stages=max_stages,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared sampler engine + the NUTS / SMC tiers for every sparse layout.
 # ---------------------------------------------------------------------------
@@ -789,6 +968,38 @@ def _layout(kind: str) -> dict:
             "n_params": lambda m_z, m: lmc_sparse.n_params(m),
             "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse_lmc(m, hp, ap),
             "casts": ("f", "f"),
+        }
+    if kind == "snmgp_hadamard":
+        # the separable Hadamard objective shares the full layout's hyper
+        # table and ops (ops depend only on x) — only the nlp and the data
+        # casts differ
+        from ..models import snmgp_sparse
+        from ..models.snmgp import DEFAULT_HYPERS as _SNMGP_HYPERS
+
+        return {
+            "hypers": _SNMGP_HYPERS,
+            "make_ops": make_fleet_sparse_ops_snmgp,
+            "n_chols": 2,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "snmgp",
+            "n_params": snmgp_sparse.n_params,
+            "nlp": _subject_nlp_sparse_snmgp_hadamard,
+            "casts": ("f", "i", "f"),
+        }
+    if kind == "lmc_hadamard":
+        from ..models import lmc_sparse
+        from ..models.lmc import DEFAULT_HYPERS as _LMC_HYPERS
+
+        return {
+            "hypers": _LMC_HYPERS,
+            "make_ops": make_fleet_sparse_ops_lmc,
+            "n_chols": 0,
+            "z_of": lambda ops: ops.z,
+            "wmodel": "lmc",
+            "n_params": lambda m_z, m: lmc_sparse.n_params(m),
+            "nlp": lambda m_z, m, hp, ap: _subject_nlp_sparse_lmc_hadamard(
+                m, hp, ap),
+            "casts": ("f", "i", "f"),
         }
     raise ValueError(f"unknown sparse layout {kind!r}")
 

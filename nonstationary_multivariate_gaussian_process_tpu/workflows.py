@@ -1229,6 +1229,10 @@ def run_cohort_hadamard(
     from .ops import transforms
 
     cfg = cfg or PipelineConfig()
+    if cfg.model == "gnmgp_hetero_sparse":
+        raise ValueError(
+            "gnmgp_hetero_sparse has no Hadamard objective — use "
+            "model='gnmgp_sparse' (or the full-layout hetero cohort)")
     mesh = mesh or make_mesh()
     t = transforms.tri_size(m)
     ids = sorted(subjects.keys(), key=str)
@@ -1267,8 +1271,10 @@ def run_cohort_hadamard(
         # bucket stager; unstack here
         indx = y_pair[..., 0].astype(np.int64)
         y = y_pair[..., 1]
-        if cfg.model == "gnmgp_sparse":
+        if cfg.model.endswith("_sparse"):
             # the large-N Hadamard tier: stacked-SparseOps fleet at Z
+            # (gnmgp/snmgp/lmc; the hetero variant has no Hadamard objective
+            # and is rejected at the top of the driver)
             return _fit_bucket_sparse_hadamard(x, indx, y, m, idxs, mask,
                                                cfg, mesh)
         s, n = x.shape
@@ -1427,14 +1433,28 @@ def run_cohort_hadamard(
         i_u = indxs[pos][:n_real]
         y_u = ys[pos][:n_real]
         vec = jnp.asarray(entry["vec"], settings.dtype)
-        h_sparse = cfg.model == "gnmgp_sparse"
+        h_sparse = cfg.model.endswith("_sparse")
         if h_sparse:
             # m_z layout: no latent-slot crop; rebuild the conditioning ops
             # at the subject's real inputs with the bucket-chosen Z
+            from .models import lmc_sparse, snmgp_sparse
+            from .predict import lmc_sparse as pred_lmc_sp
+            from .predict import snmgp_sparse as pred_snmgp_sp
+
             n_fit = n_real
-            sp_ops_u = gnmgp_sparse.make_ops_hadamard(
-                np.asarray(x_u), jnp.asarray(entry["z"]), cfg.hyper
-            )
+            if cfg.model == "snmgp_sparse":
+                sp_ops_u = snmgp_sparse.make_ops(
+                    np.asarray(x_u), jnp.asarray(entry["z"]), cfg.hyper)
+                pred_sp = pred_snmgp_sp
+            elif cfg.model == "lmc_sparse":
+                sp_ops_u = lmc_sparse.make_ops(
+                    np.asarray(x_u), jnp.asarray(entry["z"]), cfg.hyper)
+                pred_sp = pred_lmc_sp
+            else:
+                sp_ops_u = gnmgp_sparse.make_ops_hadamard(
+                    np.asarray(x_u), jnp.asarray(entry["z"]), cfg.hyper
+                )
+                pred_sp = pred_gnmgp_sparse
         else:
             n_fit = _vec_input_count(cfg.model, int(vec.shape[0]), m, n_real)
             vec = _crop_vec(cfg.model, vec, n_fit, n_real, m)
@@ -1451,6 +1471,7 @@ def run_cohort_hadamard(
                                  jnp.asarray(i_u, jnp.int32),
                                  jnp.asarray(y_u, settings.dtype)),
                     sp_ops_u, m, approx=cfg.sparse_approx, hyper=cfg.hyper,
+                    model=cfg.model,
                 )
             else:
                 if n_fit != n_real and cfg.model != "lmc":
@@ -1481,7 +1502,7 @@ def run_cohort_hadamard(
             xt = jnp.asarray(x_te, settings.dtype)
             it = jnp.asarray(i_te, jnp.int32)
             if h_sparse:
-                mean, var = pred_gnmgp_sparse.predict_test_hadamard(
+                mean, var = pred_sp.predict_test_hadamard(
                     vec, data, sp_ops_u, m, xt, it, hyper=cfg.hyper,
                     approx=cfg.sparse_approx)
                 std = jnp.sqrt(var)
@@ -1503,7 +1524,7 @@ def run_cohort_hadamard(
                 hv = jnp.asarray(rec["hmc_samples"], settings.dtype)
                 ks = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 17 + pos)
                 if h_sparse:
-                    draws = pred_gnmgp_sparse.predict_test_hadamard_sample(
+                    draws = pred_sp.predict_test_hadamard_sample(
                         ks, hv, data, sp_ops_u, m, xt, it, hyper=cfg.hyper,
                         approx=cfg.sparse_approx
                     )
@@ -1711,6 +1732,48 @@ def run_sim_fleet(
     return out
 
 
+def _escalate_nonmixing(out, s, cfg: PipelineConfig, run_smc) -> None:
+    """Diagnostic-driven escalation shared by the dense and sparse cohort
+    buckets: subjects whose multichain max split-R-hat exceeds
+    ``cfg.escalate_rhat`` are re-sampled by tempered SMC — chains where
+    they work, the population sampler where the diagnostics prove they
+    don't (the measured N=200 posture, ROADMAP "Adaptive tempered SMC").
+
+    ``run_smc(idx_f)`` runs the matching SMC fleet on the flagged subject
+    subset and returns an :class:`~.parallel.fleet.SMCFleetResult`.
+    Mutates ``out`` in place (draws + escalation bookkeeping).
+    """
+    from .inference import diagnostics as diag_mod
+
+    chains_arr = out["hmc"]  # (S, C, T, P)
+    if cfg.escalate_rhat <= 0 or chains_arr.shape[1] < 2:
+        return
+    rhat_max = np.array([
+        float(np.max(diag_mod.rhat(chains_arr[i]))) for i in range(s)
+    ])
+    flagged = rhat_max > cfg.escalate_rhat
+    if not flagged.any():
+        return
+    idx_f = np.where(flagged)[0]
+    r = run_smc(idx_f)
+    esc_draws = np.asarray(r.particles[:, : cfg.n_hmc, :])
+    hmc_new = chains_arr.copy()
+    # exchangeable particles: one pseudo-chain, repeated across the chain
+    # axis so downstream pooling is a no-op
+    hmc_new[idx_f] = esc_draws[:, None, :, :]
+    out["hmc"] = hmc_new
+    esc_logz = np.full(s, np.nan)
+    esc_beta = np.full(s, np.nan)
+    esc_from = np.full(s, np.nan)
+    esc_logz[idx_f] = np.asarray(r.logz)
+    esc_beta[idx_f] = np.asarray(r.beta_final)
+    esc_from[idx_f] = rhat_max[idx_f]
+    out["escalated"] = flagged
+    out["esc_logz"] = esc_logz
+    out["esc_beta"] = esc_beta
+    out["esc_from_rhat"] = esc_from
+
+
 def _sparse_subject_ops(model: str, x_used, z, hyper):
     """Rebuild one subject's conditioning ops at its real inputs with the
     bucket-chosen Z (prefix quantiles — identical to the fit's) for
@@ -1896,6 +1959,26 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
                 adapt_step_size=True, whiten=True, masks=mask_t,
             )
         out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+
+        def run_smc_sparse(idx_f):
+            idx = jnp.asarray(idx_f)
+            take = lambda tree: jax.tree_util.tree_map(lambda a: a[idx], tree)
+            return smc_fn(
+                jnp.asarray(x)[idx], jnp.asarray(y)[idx],
+                jax.random.fold_in(k_bucket, 99),
+                n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                cfg.n_hmc),
+                n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+                target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                waste_free=cfg.smc_waste_free,
+                resample_ess=cfg.smc_resample_ess, resample=cfg.smc_resample,
+                ops=take(ops), whiten_chols=tuple(w[idx] for w in wchols),
+                hyper=cfg.hyper, approx=cfg.sparse_approx, mesh=mesh,
+                whiten=True, masks=jnp.asarray(mask)[idx],
+            )
+
+        _escalate_nonmixing(out, s, cfg, run_smc_sparse)
     return out
 
 
@@ -1903,17 +1986,47 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
                                 cfg: PipelineConfig, mesh) -> dict:
     """Hadamard-layout analogue of :func:`_fit_bucket_sparse` (one
     observation per (input, task) pair; random inits, the dense Hadamard
-    cohort's convention)."""
+    cohort's convention).  Routes every Hadamard-capable sparse model
+    (gnmgp_sparse, snmgp_sparse, lmc_sparse)."""
+    from .models import lmc_sparse, snmgp_sparse
     from .parallel import fleet_sparse as fsp
 
     s = x.shape[0]
-    ops, wl, wu, m_z = fsp.make_fleet_sparse_ops_hadamard(
-        x, mask, cfg.n_inducing, cfg.hyper
-    )
+    if cfg.model == "snmgp_sparse":
+        ops, wl, ws, m_z = fsp.make_fleet_sparse_ops_snmgp(
+            x, mask, cfg.n_inducing, cfg.hyper)
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_snmgp_hadamard,
+            fsp.hmc_fleet_sparse_snmgp_hadamard,
+            fsp.nuts_fleet_sparse_snmgp_hadamard,
+            fsp.smc_fleet_sparse_snmgp_hadamard)
+        wchols = (wl, ws)
+        n_par = snmgp_sparse.n_params(m_z, m)
+    elif cfg.model == "lmc_sparse":
+        ops, m_z = fsp.make_fleet_sparse_ops_lmc(
+            x, mask, cfg.n_inducing, cfg.hyper)
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_lmc_hadamard,
+            fsp.hmc_fleet_sparse_lmc_hadamard,
+            fsp.nuts_fleet_sparse_lmc_hadamard,
+            fsp.smc_fleet_sparse_lmc_hadamard)
+        wchols = ()
+        n_par = lmc_sparse.n_params(m)
+    else:
+        ops, wl, wu, m_z = fsp.make_fleet_sparse_ops_hadamard(
+            x, mask, cfg.n_inducing, cfg.hyper
+        )
+        fit_fn, hmc_fn, nuts_fn, smc_fn = (
+            fsp.fit_fleet_map_sparse_hadamard,
+            fsp.hmc_fleet_sparse_hadamard,
+            fsp.nuts_fleet_sparse_hadamard,
+            fsp.smc_fleet_sparse_hadamard)
+        wchols = (wl, wu)
+        n_par = gnmgp_sparse.n_params(m_z, m)
     rng_init = np.random.default_rng(0)
-    inits = 0.1 * rng_init.standard_normal((s, gnmgp_sparse.n_params(m_z, m)))
+    inits = 0.1 * rng_init.standard_normal((s, n_par))
     inits[:, -1] = -2.0
-    res = fsp.fit_fleet_map_sparse_hadamard(
+    res = fit_fn(
         jnp.asarray(x), jnp.asarray(indx), jnp.asarray(y), m,
         jnp.asarray(inits), ops=ops, hyper=cfg.hyper,
         approx=cfg.sparse_approx, n_iters=cfg.n_opt, lr=cfg.lr, mesh=mesh,
@@ -1934,7 +2047,7 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
         k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                       int(idxs[0]))
         if sampler == "smc":
-            r = fsp.smc_fleet_sparse_hadamard(
+            r = smc_fn(
                 jnp.asarray(x), jnp.asarray(indx, jnp.int32),
                 jnp.asarray(y), m, k_bucket,
                 n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
@@ -1944,7 +2057,7 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
                 metric=cfg.smc_metric, n_polish=cfg.smc_polish,
                 waste_free=cfg.smc_waste_free,
                 resample_ess=cfg.smc_resample_ess, resample=cfg.smc_resample,
-                ops=ops, whiten_chols=(wl, wu), hyper=cfg.hyper,
+                ops=ops, whiten_chols=wchols, hyper=cfg.hyper,
                 approx=cfg.sparse_approx, mesh=mesh, whiten=True,
                 masks=jnp.asarray(mask),
             )
@@ -1965,7 +2078,7 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
         indx_t = jnp.repeat(jnp.asarray(indx, jnp.int32), c, axis=0)
         mask_t = jnp.repeat(jnp.asarray(mask, bool), c, axis=0)
         ops_t = jax.tree_util.tree_map(reps, ops)
-        wl_t, wu_t = reps(wl), reps(wu)
+        wchols_t = tuple(reps(w) for w in wchols)
         vec_t = reps(res.vecs)
         if c > 1:
             noise = 0.5 * jax.random.normal(
@@ -1973,7 +2086,7 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
             )
             primary = (jnp.arange(vec_t.shape[0]) % c) == 0
             vec_j = jnp.where(primary[:, None], vec_t, vec_t + noise)
-            res_d = fsp.fit_fleet_map_sparse_hadamard(
+            res_d = fit_fn(
                 x_t, indx_t, y_t, m, vec_j, ops=ops_t, hyper=cfg.hyper,
                 approx=cfg.sparse_approx, n_iters=min(300, cfg.n_opt),
                 lr=cfg.lr, mesh=mesh, masks=mask_t,
@@ -1981,24 +2094,44 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
             vec_t = res_d.vecs
         n_warm = cfg.hmc_warmup if cfg.hmc_warmup > 0 else max(100, cfg.n_hmc)
         if sampler == "nuts":
-            samples, _ = fsp.nuts_fleet_sparse_hadamard(
+            samples, _ = nuts_fn(
                 x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
-                ops=ops_t, whiten_chols=(wl_t, wu_t),
+                ops=ops_t, whiten_chols=wchols_t,
                 n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                 n_warmup=n_warm, hyper=cfg.hyper,
                 approx=cfg.sparse_approx, mesh=mesh, whiten=True,
                 masks=mask_t,
             )
         else:
-            samples = fsp.hmc_fleet_sparse_hadamard(
+            samples = hmc_fn(
                 x_t, indx_t, y_t, m, vec_t, jax.random.fold_in(k_bucket, 2),
-                ops=ops_t, whiten_chols=(wl_t, wu_t),
+                ops=ops_t, whiten_chols=wchols_t,
                 n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                 n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper,
                 approx=cfg.sparse_approx, mesh=mesh, n_warmup=n_warm,
                 adapt_step_size=True, whiten=True, masks=mask_t,
             )
         out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+
+        def run_smc_sparse_h(idx_f):
+            idx = jnp.asarray(idx_f)
+            take = lambda tree: jax.tree_util.tree_map(lambda a: a[idx], tree)
+            return smc_fn(
+                jnp.asarray(x)[idx], jnp.asarray(indx, jnp.int32)[idx],
+                jnp.asarray(y)[idx], m, jax.random.fold_in(k_bucket, 99),
+                n_particles=max(cfg.smc_particles or max(256, cfg.n_hmc),
+                                cfg.n_hmc),
+                n_mutations=cfg.smc_mutations, n_leapfrog=cfg.smc_leapfrog,
+                target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                waste_free=cfg.smc_waste_free,
+                resample_ess=cfg.smc_resample_ess, resample=cfg.smc_resample,
+                ops=take(ops), whiten_chols=tuple(w[idx] for w in wchols),
+                hyper=cfg.hyper, approx=cfg.sparse_approx, mesh=mesh,
+                whiten=True, masks=jnp.asarray(mask)[idx],
+            )
+
+        _escalate_nonmixing(out, s, cfg, run_smc_sparse_h)
     return out
 
 
@@ -2208,25 +2341,9 @@ def run_cohort(
             if "hmc" not in out:  # chees writes (S, C, T, P) itself
                 c = max(1, cfg.n_chains)
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
-            if (cfg.escalate_rhat > 0 and sampler != "smc"
-                    and out["hmc"].shape[1] >= 2):
-                # diagnostic-driven escalation: subjects whose chains
-                # disagree (max split-R-hat over slots above the threshold)
-                # are re-sampled by tempered SMC in the same padded bucket
-                # shapes — chains where they work, the population sampler
-                # where the diagnostics prove they don't (the measured
-                # N=200 posture, ROADMAP "Adaptive tempered SMC")
-                from .inference import diagnostics as diag_mod
-
-                chains_arr = out["hmc"]  # (S, C, T, P)
-                rhat_max = np.array([
-                    float(np.max(diag_mod.rhat(chains_arr[i])))
-                    for i in range(s)
-                ])
-                flagged = rhat_max > cfg.escalate_rhat
-                if flagged.any():
-                    idx_f = np.where(flagged)[0]
-                    r = fleet_mod.smc_fleet(
+            if sampler != "smc":
+                def run_smc_dense(idx_f):
+                    return fleet_mod.smc_fleet(
                         cfg.model, jnp.asarray(x)[idx_f],
                         jnp.asarray(y)[idx_f],
                         jax.random.fold_in(k_bucket, 99),
@@ -2242,22 +2359,8 @@ def run_cohort(
                         hyper=cfg.hyper, mesh=mesh, whiten=True,
                         masks=jnp.asarray(mask)[idx_f],
                     )
-                    esc_draws = np.asarray(r.particles[:, : cfg.n_hmc, :])
-                    hmc_new = chains_arr.copy()
-                    # exchangeable particles: one pseudo-chain, repeated
-                    # across the chain axis so downstream pooling is a no-op
-                    hmc_new[idx_f] = esc_draws[:, None, :, :]
-                    out["hmc"] = hmc_new
-                    esc_logz = np.full(s, np.nan)
-                    esc_beta = np.full(s, np.nan)
-                    esc_from = np.full(s, np.nan)
-                    esc_logz[idx_f] = np.asarray(r.logz)
-                    esc_beta[idx_f] = np.asarray(r.beta_final)
-                    esc_from[idx_f] = rhat_max[idx_f]
-                    out["escalated"] = flagged
-                    out["esc_logz"] = esc_logz
-                    out["esc_beta"] = esc_beta
-                    out["esc_from_rhat"] = esc_from
+
+                _escalate_nonmixing(out, s, cfg, run_smc_dense)
         return out
 
     per_subject = (

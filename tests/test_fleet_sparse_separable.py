@@ -210,3 +210,77 @@ def test_run_cohort_separable_sparse_smc():
     for sid, rec in out["subjects"].items():
         assert rec["sampling"]["sampler"] == "smc"
         assert np.isfinite(rec["sampling"]["log_evidence"])
+
+
+@pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
+def test_run_cohort_hadamard_separable_sparse(model, tmp_path):
+    """run_cohort_hadamard(model="snmgp_sparse"/"lmc_sparse"): the separable
+    sparse tiers reach the Hadamard cohort driver (MAP + whitened chains +
+    Woodbury LOO + indexed test scores)."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+    from nonstationary_multivariate_gaussian_process_tpu.utils.artifacts import (
+        ArtifactStore)
+
+    rng = np.random.default_rng(3)
+    subjects = {}
+    for i, n in enumerate([40, 46]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        indx = rng.integers(0, M, size=n)
+        y = np.sin(5 * x) + 0.15 * rng.normal(size=n)
+        subjects[f"h{i}"] = (x, indx, y)
+    cfg = wf.PipelineConfig(
+        model=model, n_inducing=8, n_opt=30, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+        escalate_rhat=0.0,  # pin the chain tier for shape assertions
+    )
+    store = ArtifactStore(str(tmp_path))
+    out = wf.run_cohort_hadamard(subjects, M, cfg, store=store, n_buckets=1,
+                                 test_size=0.2)
+    p = (snmgp_sparse.n_params(8, M) if model == "snmgp_sparse"
+         else lmc_sparse.n_params(M))
+    assert out["reduction"]["n_valid"] == 2
+    for sid, rec in out["subjects"].items():
+        assert np.isfinite(rec["final_nlp"])
+        assert rec["hmc_samples"].shape == (12, p)
+        assert np.isfinite(rec["loo"]["elpd_loo"])
+        assert np.isfinite(rec["test_rmse"]) and np.isfinite(rec["test_lpd"])
+        assert np.isfinite(rec["test_sample_rmse"])
+
+
+def test_hetero_sparse_hadamard_cohort_rejected():
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    cfg = wf.PipelineConfig(model="gnmgp_hetero_sparse")
+    with pytest.raises(ValueError, match="no Hadamard objective"):
+        wf.run_cohort_hadamard({"a": (np.arange(4.0), np.zeros(4, int),
+                                      np.zeros(4))}, M, cfg)
+
+
+def test_sparse_cohort_escalation():
+    """R-hat escalation inside a SPARSE cohort bucket (round-4): subjects
+    whose whitened multichains fail split-R-hat are re-sampled by the
+    sparse tempered-SMC fleet, with the same bookkeeping as the dense
+    path."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    rng = np.random.default_rng(4)
+    subjects = {}
+    for i, n in enumerate([26, 30]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        y = 0.5 * rng.normal(size=(n, 2)) + np.sin(4 * x)[:, None]
+        subjects[f"s{i}"] = (x, y)
+    cfg = wf.PipelineConfig(
+        model="snmgp_sparse", n_inducing=8, n_opt=20, lr=0.05,
+        do_hmc=True, n_hmc=6, hmc_warmup=4, hmc_step_size=1e-3,
+        hmc_leapfrog=3, n_chains=2, do_loo=False, do_pred_test=False,
+        escalate_rhat=1.0001,  # tiny budgets cannot mix: force escalation
+        smc_particles=24, smc_mutations=1, smc_leapfrog=3,
+    )
+    out = wf.run_cohort(subjects, cfg, n_buckets=1)
+    escalated = [rec for rec in out["subjects"].values()
+                 if rec.get("sampling", {}).get("sampler") == "smc"]
+    assert escalated, "no subject escalated despite a 1.0001 threshold"
+    for rec in escalated:
+        assert np.isfinite(rec["sampling"]["log_evidence"])
+        assert rec["sampling"]["escalated_from_rhat"] > 1.0001
