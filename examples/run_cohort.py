@@ -37,11 +37,19 @@ def synthetic_cohort(n_subjects, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gnmgp",
-                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
+                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero",
+                             "gnmgp_sparse", "gnmgp_hetero_sparse",
+                             "snmgp_sparse", "lmc_sparse"])
+    ap.add_argument("--n-inducing", type=int, default=64,
+                    help="*_sparse models: inducing-input count per bucket "
+                         "(the large-N tier)")
     ap.add_argument("--data", default=None, help="kaiser_distributed.pickle path")
     ap.add_argument("--subjects", type=int, default=8)
     ap.add_argument("--n-opt", type=int, default=300)
-    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"])
+    ap.add_argument("--map-method", default="lbfgs",
+                    choices=["lbfgs", "adam"],
+                    help="MAP engine (lbfgs default — measured better; "
+                         "adam = the reference contract)")
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="posterior draws per subject (0 = MAP only); the "
                          "default posture is whitened adaptive NUTS with "
@@ -66,6 +74,7 @@ def main():
     )
     cfg = workflows.PipelineConfig(
         model=args.model, n_opt=args.n_opt, map_method=args.map_method,
+        n_inducing=args.n_inducing,
         do_hmc=args.n_hmc > 0, n_hmc=max(args.n_hmc, 1),
         n_chains=args.chains, do_loo=args.loo and args.n_hmc > 0,
     )

@@ -17,11 +17,13 @@ from nonstationary_multivariate_gaussian_process_tpu import workflows
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="gnmgp", choices=["lmc", "snmgp", "gnmgp"])
+    ap.add_argument("--model", default="gnmgp",
+                    choices=["lmc", "snmgp", "gnmgp", "gnmgp_hetero"])
     ap.add_argument("--replicates", type=int, default=8)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--n-opt", type=int, default=500)
-    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"])
+    ap.add_argument("--map-method", default="lbfgs",
+                    choices=["lbfgs", "adam"])
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="fleet HMC draws per replicate (0 = skip)")
     ap.add_argument("--whiten", action="store_true",

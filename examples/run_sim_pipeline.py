@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--sparse-approx", default="fitc",
                     choices=["fitc", "vfe"])
     ap.add_argument("--n-opt", type=int, default=1000)
-    ap.add_argument("--map-method", default="adam", choices=["adam", "lbfgs"],
-                    help="MAP engine (lbfgs: deeper optima in ~10x fewer "
-                         "iterations; measured numbers in ROADMAP)")
+    ap.add_argument("--map-method", default="lbfgs",
+                    choices=["lbfgs", "adam"],
+                    help="MAP engine (lbfgs default: deeper optima in ~10x "
+                         "fewer iterations, measured in ROADMAP; adam = the "
+                         "reference contract)")
     ap.add_argument("--n-hmc", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sampler", default="hmc",

@@ -142,6 +142,8 @@ def test_run_cohort_sparse(tmp_path):
         model="gnmgp_sparse", n_inducing=8, n_opt=30, lr=0.05,
         do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
         hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+        escalate_rhat=0.0,  # pin the chain tier: the default escalation
+        #                     would swap these tiny non-mixing chains
     )
     store = ArtifactStore(str(tmp_path))
     out = wf.run_cohort(subjects, cfg, store=store, dataset="sim",
@@ -392,6 +394,8 @@ def test_run_cohort_hadamard_sparse(tmp_path):
         model="gnmgp_sparse", n_inducing=8, n_opt=30, lr=0.05,
         do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
         hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+        escalate_rhat=0.0,  # pin the chain tier: the default escalation
+        #                     would swap these tiny non-mixing chains
     )
     store = ArtifactStore(str(tmp_path))
     out = wf.run_cohort_hadamard(subjects, M, cfg, store=store,
@@ -471,6 +475,8 @@ def test_run_cohort_hetero_sparse(tmp_path):
         model="gnmgp_hetero_sparse", n_inducing=8, n_opt=30, lr=0.05,
         do_hmc=True, n_hmc=6, hmc_warmup=5, hmc_step_size=1e-3,
         hmc_leapfrog=3, n_chains=2, do_loo=True, loo_draws=6,
+        escalate_rhat=0.0,  # pin the chain tier: the default escalation
+        #                     would swap these tiny non-mixing chains
     )
     store = ArtifactStore(str(tmp_path))
     out = wf.run_cohort(subjects, cfg, store=store, dataset="sim",

@@ -295,6 +295,7 @@ def test_smc_pathfinder_reference_gaussian_estimand():
     assert int(r_pf.n_stages) <= int(r_prior.n_stages)
 
 
+@pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
 def test_smc_pathfinder_reference_workflow():
     """smc_ref="pathfinder" routing through the workflow SMC stage: the
     sampling record says which reference ran, carries the PSIS k_hat, the

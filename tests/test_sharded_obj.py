@@ -203,6 +203,7 @@ class TestBatchedPotential:
             np.asarray(llb), np.asarray(lls), rtol=1e-10
         )
 
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_objective_batch_and_grads(self, rng):
         mesh = make_mesh()
         x, y, _ = _problem(rng, n=18, m=2)

@@ -220,6 +220,7 @@ def test_cohort_smc_routing(tmp_path):
     assert store.exists(ArtifactStore.key("gnmgp", "cohort", "id0", "sampling"))
 
 
+@pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
 def test_cohort_hadamard_smc_routing(tmp_path):
     """run_cohort_hadamard with sampler="smc": the Hadamard fleet tier
     (smc_fleet_hadamard) — evidence surfaced, particles as draws."""
@@ -334,6 +335,7 @@ def test_workflow_sampler_routing():
     assert s["n_stages"] >= 1 and 0.0 <= s["final_accept"] <= 1.0
 
 
+@pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
 def test_gnmgp_whitened_pairing():
     """The intended pairing: whitened GNMGP potential, standard-normal
     reference.  Pins that the path completes, particles land at finite

@@ -186,6 +186,7 @@ class TestEndToEnd:
 
 
 class TestWorkflow:
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_run_subject_sparse_end_to_end(self, tmp_path):
         """model="gnmgp_sparse" through the full pipeline: empirical init,
         MAP, whitened HMC, grid/test prediction, IC + sparse PSIS-LOO."""
@@ -352,6 +353,7 @@ class TestHadamard:
 
 
 class TestWorkflowHadamard:
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_run_subject_hadamard_sparse(self):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
 
@@ -461,6 +463,7 @@ class TestHetero:
 
 
 class TestWorkflowHeteroSparse:
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_run_subject_hetero_sparse(self):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
 
@@ -480,6 +483,7 @@ class TestWorkflowHeteroSparse:
 
 
 class TestServingSparse:
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_engine_serves_sparse_subject(self, tmp_path):
         from nonstationary_multivariate_gaussian_process_tpu import workflows
         from nonstationary_multivariate_gaussian_process_tpu.serving.engine import (

@@ -187,6 +187,7 @@ class TestHadamardCohort:
                 assert np.isfinite(rec["final_nlp"]), model
                 assert np.isfinite(rec["test_rmse"]), model
 
+    @pytest.mark.slow  # heavy routing/e2e tier (r4 suite-wall policy)
     def test_run_cohort_hadamard_whitened_hmc(self, tmp_path, rng):
         """Hadamard cohort posterior sampling: masked + whitened fleet chains."""
         from nonstationary_multivariate_gaussian_process_tpu import workflows
