@@ -1369,6 +1369,27 @@ def run_cohort_hadamard(
                     "(rmhmc is single-subject — use run_subject)")
             if "hmc" not in out:  # smc/pathfinder wrote (S, 1, T, P) direct
                 out["hmc"] = np.asarray(samples).reshape(s, c, cfg.n_hmc, -1)
+            if sampler not in ("smc", "pathfinder"):
+                def run_smc_dense_h(idx_f):
+                    idx = jnp.asarray(idx_f)
+                    return fleet_mod.smc_fleet_hadamard(
+                        cfg.model, jnp.asarray(x)[idx],
+                        jnp.asarray(indx)[idx], jnp.asarray(y)[idx], m,
+                        jax.random.fold_in(k_bucket, 99),
+                        n_particles=max(cfg.smc_particles
+                                        or max(256, cfg.n_hmc), cfg.n_hmc),
+                        n_mutations=cfg.smc_mutations,
+                        n_leapfrog=cfg.smc_leapfrog,
+                        target_cess=cfg.smc_cess, dr_reduction=cfg.smc_dr,
+                        metric=cfg.smc_metric, n_polish=cfg.smc_polish,
+                        waste_free=cfg.smc_waste_free,
+                        resample_ess=cfg.smc_resample_ess,
+                        resample=cfg.smc_resample,
+                        hyper=cfg.hyper, mesh=mesh, whiten=True,
+                        masks=jnp.asarray(mask)[idx],
+                    )
+
+                _escalate_nonmixing(out, s, cfg, run_smc_dense_h)
         return out
 
     y_pairs = [np.stack([indxs[i], ys[i]], axis=-1) for i in range(len(ids))]
@@ -1383,7 +1404,26 @@ def run_cohort_hadamard(
         if "hmc" in entry:
             chains = np.asarray(entry["hmc"])  # (C, T, P), bucket-padded
             rec["hmc_samples"] = chains.reshape(-1, chains.shape[-1])  # pooled
-            if "smc_logz" in entry:
+            if entry.get("escalated", False):
+                # chains disagreed past cfg.escalate_rhat; draws were
+                # replaced by a tempered-SMC population (run_cohort
+                # convention — see _escalate_nonmixing)
+                rec["sampling"] = {
+                    "sampler": "smc",
+                    "escalated_from_rhat": float(entry["esc_from_rhat"]),
+                    "log_evidence": float(entry["esc_logz"]),
+                    "beta_final": float(entry["esc_beta"]),
+                }
+                if store is not None:
+                    store.save(ArtifactStore.key(cfg.model, dataset, sid, "hmc"),
+                               samples=rec["hmc_samples"])
+                    store.save(
+                        ArtifactStore.key(cfg.model, dataset, sid, "sampling"),
+                        log_evidence=rec["sampling"]["log_evidence"],
+                        beta_final=rec["sampling"]["beta_final"],
+                        escalated_from_rhat=rec["sampling"]["escalated_from_rhat"],
+                    )
+            elif "smc_logz" in entry:
                 # exchangeable particles: surface evidence + tempering
                 # health instead of chain ESS/R-hat (run_cohort convention)
                 rec["sampling"] = {

@@ -286,3 +286,31 @@ def test_sparse_cohort_escalation():
     for rec in escalated:
         assert np.isfinite(rec["sampling"]["log_evidence"])
         assert rec["sampling"]["escalated_from_rhat"] > 1.0001
+
+
+def test_dense_hadamard_cohort_escalation():
+    """R-hat escalation in the DENSE Hadamard cohort path (round-4 symmetry
+    closure: every cohort bucket tier shares _escalate_nonmixing)."""
+    from nonstationary_multivariate_gaussian_process_tpu import workflows as wf
+
+    rng = np.random.default_rng(5)
+    subjects = {}
+    for i, n in enumerate([18, 20]):
+        x = np.sort(rng.uniform(0.0, 1.0, n))
+        indx = rng.integers(0, M, size=n)
+        y = np.sin(5 * x) + 0.15 * rng.normal(size=n)
+        subjects[f"h{i}"] = (x, indx, y)
+    cfg = wf.PipelineConfig(
+        model="gnmgp", n_opt=20, do_hmc=True, n_hmc=4, hmc_warmup=4,
+        sampler="nuts", whiten=True, cohort_sampler="config", n_chains=2,
+        escalate_rhat=1.0001,  # tiny budgets cannot mix: force escalation
+        smc_particles=16, smc_mutations=1, smc_leapfrog=2,
+    )
+    out = wf.run_cohort_hadamard(subjects, M, cfg, n_buckets=1,
+                                 test_size=0.2)
+    escalated = [rec for rec in out["subjects"].values()
+                 if rec.get("sampling", {}).get("sampler") == "smc"]
+    assert escalated, "no subject escalated despite a 1.0001 threshold"
+    for rec in escalated:
+        assert np.isfinite(rec["sampling"]["log_evidence"])
+        assert rec["sampling"]["escalated_from_rhat"] > 1.0001
