@@ -68,13 +68,13 @@ class PipelineConfig:
 
     model: str = "gnmgp"
     hyper: dict = dataclasses.field(default_factory=dict)
-    n_inducing: int = 64  # gnmgp_sparse: inducing-input count m (latents
+    n_inducing: int = 64  # *_sparse models: inducing-input count m (latents
     #                       parametrized at m quantile-chosen inputs, kriged
     #                       to the data; likelihood is O(N M (mM)^2) — the
-    #                       large-N tier, models/gnmgp_sparse.py)
-    sparse_approx: str = "fitc"  # gnmgp_sparse: "fitc" (diag-corrected) or
+    #                       large-N tier, models/{gnmgp,snmgp,lmc}_sparse.py)
+    sparse_approx: str = "fitc"  # *_sparse: "fitc" (diag-corrected) or
     #                       "vfe" (Titsias bound on the exact likelihood)
-    refine_z: int = 0  # gnmgp_sparse (full + Hadamard): alternating
+    refine_z: int = 0  # any sparse model, either layout: alternating
     #                       inducing-input refinement rounds after MAP — Z
     #                       descends the objective through the traced
     #                       kriging projections, then the latents refit at
