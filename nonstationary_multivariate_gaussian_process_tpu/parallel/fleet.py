@@ -749,6 +749,47 @@ class SMCFleetResult(NamedTuple):
     accept: jnp.ndarray  # (S,) final-stage mean mutation accept
 
 
+def resolve_smc_dispatch(dispatch: str, mesh: Mesh | None) -> str:
+    """Map ``"auto"`` to the measured-safe fleet-SMC posture per hardware.
+
+    On CPU meshes and multi-chip slices the fleet runs as ONE vmapped +
+    sharded device program (``"device"`` — the MXU-filling shape).  On a
+    *single non-CPU chip* a fleet SMC at model scale is a minutes-long
+    single-program execution, the tunneled-TPU runtime's documented
+    device-fault class (CLAUDE.md); ``"auto"`` picks ``"host"`` there —
+    a per-subject host-dispatched tempering loop (one XLA dispatch per
+    stage, ``inference.smc.smc_sample(dispatch="host")``), same draws at
+    the same key (tests/test_fleet.py pins fleet-vs-host equality).
+    """
+    if dispatch not in ("auto", "device", "host"):
+        raise ValueError(f"unknown dispatch {dispatch!r} "
+                         "(want 'auto', 'device' or 'host')")
+    if dispatch != "auto":
+        return dispatch
+    devs = list(mesh.devices.flat) if mesh is not None else jax.devices()
+    one_chip = len(devs) == 1 and devs[0].platform != "cpu"
+    return "host" if one_chip else "device"
+
+
+def _host_smc_fleet_loop(subject_host, s_real: int) -> SMCFleetResult:
+    """Assemble an :class:`SMCFleetResult` from a per-subject host loop.
+
+    ``subject_host(i)`` runs subject ``i``'s full tempering path with
+    ``dispatch="host"`` and returns the same 5-tuple as the device fleet's
+    ``subject_one`` — the eager counterpart of the vmapped program, for the
+    single-real-chip posture (:func:`resolve_smc_dispatch`).
+    """
+    rows = [subject_host(i) for i in range(s_real)]
+    parts, logz, bf, ns, acc = zip(*rows)
+    return SMCFleetResult(
+        particles=jnp.stack(parts),
+        logz=jnp.stack(logz),
+        beta_final=jnp.stack(bf),
+        n_stages=jnp.stack(ns),
+        accept=jnp.stack(acc),
+    )
+
+
 def smc_fleet(
     model_name: str,
     xs: jnp.ndarray,
@@ -769,6 +810,7 @@ def smc_fleet(
     mesh: Mesh | None = None,
     whiten: bool = True,
     masks: jnp.ndarray | None = None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a fleet of subjects, sharded over the mesh.
 
@@ -789,6 +831,13 @@ def smc_fleet(
     subject's schedule completes (others no-op); per-subject ``n_stages``
     and ``beta_final`` land in the result.  Particles are exchangeable, so
     any leading subset serves as a chain-sample draw matrix downstream.
+
+    ``dispatch="auto"`` (default) picks the posture per hardware
+    (:func:`resolve_smc_dispatch`): the single vmapped device program on
+    CPU meshes and multi-chip slices, a per-subject host-dispatched
+    tempering loop on one real chip — where the fleet program at model
+    scale is the tunneled-TPU runtime's device-fault class (CLAUDE.md).
+    Same draws at the same key either way.
     """
     from ..inference import smc as smc_mod
 
@@ -822,7 +871,7 @@ def smc_fleet(
     pc1, pc2, pc3 = _batched_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp(model_name, hp, masked=masked)
 
-    def subject_one(x, y, p1, p2, p3, k, mask):
+    def subject_one(x, y, p1, p2, p3, k, mask, smc_dispatch="device"):
         args = (x, y, p1, p2, p3) + ((mask,) if masked else ())
         if wfns is not None:
             fw, _ = wfns
@@ -836,6 +885,7 @@ def smc_fleet(
             metric=metric, n_polish=n_polish, waste_free=waste_free,
             resample_ess=resample_ess, resample=resample,
             max_stages=max_stages, dtype=settings.dtype,
+            dispatch=smc_dispatch,
         )
         parts = r.particles
         logz = r.logz
@@ -845,6 +895,13 @@ def smc_fleet(
         ns = jnp.maximum(r.n_stages, 1)
         acc = jnp.take(r.accept, ns - 1)
         return parts, logz, r.beta_final, r.n_stages, acc
+
+    if resolve_smc_dispatch(dispatch, mesh) == "host":
+        return _host_smc_fleet_loop(
+            lambda i: subject_one(xs[i], ys[i], pc1[i], pc2[i], pc3[i],
+                                  keys[i], masks[i], smc_dispatch="host"),
+            s_real,
+        )
 
     def shard_fn(x, y, p1, p2, p3, k, mask):
         return jax.vmap(subject_one)(x, y, p1, p2, p3, k, mask)
@@ -1369,12 +1426,14 @@ def smc_fleet_hadamard(
     mesh: Mesh | None = None,
     whiten: bool = True,
     masks: jnp.ndarray | None = None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a fleet of Hadamard-layout subjects.
 
     The Hadamard counterpart of :func:`smc_fleet` (same contract and
     defaults: prior-whitened reference, full population-covariance metric,
-    per-subject natural-space evidence, no MAP warm start needed).
+    per-subject natural-space evidence, no MAP warm start needed,
+    hardware-resolved ``dispatch`` — :func:`resolve_smc_dispatch`).
     """
     from ..inference import smc as smc_mod
 
@@ -1413,7 +1472,7 @@ def smc_fleet_hadamard(
     pc1, pc2 = _batched_hadamard_prior_chols(model_name, xs, hp)
     nlp = _subject_nlp_hadamard(model_name, m, hp)
 
-    def subject_one(x, indx, y, p1, p2, k, mask):
+    def subject_one(x, indx, y, p1, p2, k, mask, smc_dispatch="device"):
         p3 = jnp.zeros((0,), p1.dtype)
         if wfns is not None:
             fw, _ = wfns
@@ -1427,6 +1486,7 @@ def smc_fleet_hadamard(
             metric=metric, n_polish=n_polish, waste_free=waste_free,
             resample_ess=resample_ess, resample=resample,
             max_stages=max_stages, dtype=settings.dtype,
+            dispatch=smc_dispatch,
         )
         parts = r.particles
         logz = r.logz
@@ -1436,6 +1496,13 @@ def smc_fleet_hadamard(
         ns = jnp.maximum(r.n_stages, 1)
         acc = jnp.take(r.accept, ns - 1)
         return parts, logz, r.beta_final, r.n_stages, acc
+
+    if resolve_smc_dispatch(dispatch, mesh) == "host":
+        return _host_smc_fleet_loop(
+            lambda i: subject_one(xs[i], indxs[i], ys[i], pc1[i], pc2[i],
+                                  keys[i], masks[i], smc_dispatch="host"),
+            s_real,
+        )
 
     def shard_fn(x, indx, y, p1, p2, k, mask):
         return jax.vmap(subject_one)(x, indx, y, p1, p2, k, mask)

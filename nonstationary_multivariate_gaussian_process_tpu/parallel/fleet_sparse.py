@@ -674,6 +674,7 @@ def smc_fleet_sparse_snmgp(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse-SNMGP fleet."""
     return _smc_fleet_sparse(
@@ -684,7 +685,7 @@ def smc_fleet_sparse_snmgp(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -697,6 +698,7 @@ def smc_fleet_sparse_lmc(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse-LMC fleet (populations start at
     the natural-space prior — no latent-GP blocks to whiten)."""
@@ -708,7 +710,7 @@ def smc_fleet_sparse_lmc(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -854,6 +856,7 @@ def smc_fleet_sparse_snmgp_hadamard(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse Hadamard SNMGP fleet."""
     return _smc_fleet_sparse(
@@ -864,7 +867,7 @@ def smc_fleet_sparse_snmgp_hadamard(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -877,6 +880,7 @@ def smc_fleet_sparse_lmc_hadamard(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse Hadamard LMC fleet."""
     return _smc_fleet_sparse(
@@ -887,7 +891,7 @@ def smc_fleet_sparse_lmc_hadamard(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -1199,13 +1203,18 @@ def nuts_fleet_sparse_hetero(
 def _smc_fleet_sparse(lk, data, key, *, m, ops=None, whiten_chols=None,
                       n_inducing=64, hyper=None, approx="fitc", mesh=None,
                       whiten=True, masks=None, n_particles=256,
-                      **smc_kwargs) -> SMCFleetResult:
+                      dispatch="auto", **smc_kwargs) -> SMCFleetResult:
     """Adaptive tempered SMC per subject for any sparse layout (the
     between-basin tier, inference/smc.py), vmapped + sharded like
     ``fleet.smc_fleet``.  ``whiten=True`` (default) makes the reference
     distribution the exact latent-GP prior at Z; ``logz`` comes back in the
-    natural space (whitening Jacobian added per subject)."""
+    natural space (whitening Jacobian added per subject).
+    ``dispatch="auto"`` resolves the posture per hardware exactly like the
+    dense tier (``fleet.resolve_smc_dispatch``): the vmapped device program
+    on CPU meshes / multi-chip, a per-subject host-dispatched stage loop on
+    one real chip (the tunneled-TPU fault class, CLAUDE.md)."""
     from ..inference import smc as smc_mod
+    from .fleet import _host_smc_fleet_loop, resolve_smc_dispatch
 
     (L, hp, mesh, n_dev, m_z, wfns, arrs, masks, ops, chols,
      s_real) = _prep_sparse_fleet(lk, data, masks, ops, whiten_chols,
@@ -1215,7 +1224,7 @@ def _smc_fleet_sparse(lk, data, key, *, m, ops=None, whiten_chols=None,
     p_dim = L["n_params"](m_z, m)
     ld_fn = _fleet_whiten_logdet(L["wmodel"], m_z, m, hp) if whiten else None
 
-    def subject_one(k, mask, l1, l2, l3, *dargs_op):
+    def subject_one(k, mask, l1, l2, l3, *dargs_op, smc_dispatch="device"):
         *dargs, op = dargs_op
         if wfns is not None:
             fw, _ = wfns
@@ -1223,7 +1232,8 @@ def _smc_fleet_sparse(lk, data, key, *, m, ops=None, whiten_chols=None,
         else:
             pot = lambda v: nlp(v, *dargs, op, mask)
         r = smc_mod.smc_sample(pot, p_dim, k, n_particles,
-                               dtype=settings.dtype, **smc_kwargs)
+                               dtype=settings.dtype, dispatch=smc_dispatch,
+                               **smc_kwargs)
         parts, logz = r.particles, r.logz
         if wfns is not None:
             parts = jax.vmap(lambda u: wfns[0](u, l1, l2, l3))(parts)
@@ -1231,6 +1241,17 @@ def _smc_fleet_sparse(lk, data, key, *, m, ops=None, whiten_chols=None,
         ns = jnp.maximum(r.n_stages, 1)
         acc = jnp.take(r.accept, ns - 1)
         return parts, logz, r.beta_final, r.n_stages, acc
+
+    if resolve_smc_dispatch(dispatch, mesh) == "host":
+        return _host_smc_fleet_loop(
+            lambda i: subject_one(
+                keys[i], masks[i], chols[0][i], chols[1][i], chols[2][i],
+                *[a[i] for a in arrs],
+                jax.tree_util.tree_map(lambda t: t[i], ops),
+                smc_dispatch="host",
+            ),
+            s_real,
+        )
 
     def shard_fn(k, mask, l1, l2, l3, *rest):
         return jax.vmap(subject_one)(k, mask, l1, l2, l3, *rest)
@@ -1265,6 +1286,7 @@ def smc_fleet_sparse(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse-GNMGP fleet (no MAP warm start
     needed — populations start at the prior at Z)."""
@@ -1276,7 +1298,7 @@ def smc_fleet_sparse(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -1289,6 +1311,7 @@ def smc_fleet_sparse_hadamard(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a sparse Hadamard fleet."""
     return _smc_fleet_sparse(
@@ -1299,7 +1322,7 @@ def smc_fleet_sparse_hadamard(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )
 
 
@@ -1312,6 +1335,7 @@ def smc_fleet_sparse_hetero(
     ops=None, whiten_chols=None, n_inducing: int = 64,
     hyper: dict | None = None, approx: str = "fitc",
     mesh: Mesh | None = None, whiten: bool = True, masks=None,
+    dispatch: str = "auto",
 ) -> SMCFleetResult:
     """Adaptive tempered SMC for a heteroscedastic sparse fleet (the noise
     GP's prior factor at Z is the third whitening block)."""
@@ -1323,5 +1347,5 @@ def smc_fleet_sparse_hetero(
         n_leapfrog=n_leapfrog, target_cess=target_cess,
         dr_reduction=dr_reduction, metric=metric, n_polish=n_polish,
         waste_free=waste_free, resample_ess=resample_ess,
-        resample=resample, max_stages=max_stages,
+        resample=resample, max_stages=max_stages, dispatch=dispatch,
     )

@@ -1780,7 +1780,12 @@ def _escalate_nonmixing(out, s, cfg: PipelineConfig, run_smc) -> None:
     don't (the measured N=200 posture, ROADMAP "Adaptive tempered SMC").
 
     ``run_smc(idx_f)`` runs the matching SMC fleet on the flagged subject
-    subset and returns an :class:`~.parallel.fleet.SMCFleetResult`.
+    subset and returns an :class:`~.parallel.fleet.SMCFleetResult`.  The
+    fleet tiers resolve their own dispatch per hardware
+    (``fleet.resolve_smc_dispatch``): one vmapped device program on CPU
+    meshes and multi-chip slices, per-subject host-dispatched tempering
+    loops on a single real chip — so the default escalation posture is
+    safe on the production TPU with no flags.
     Mutates ``out`` in place (draws + escalation bookkeeping).
     """
     from .inference import diagnostics as diag_mod

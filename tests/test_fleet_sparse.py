@@ -246,6 +246,25 @@ def test_smc_fleet_sparse_all_layouts():
     assert np.isfinite(np.asarray(rhet.logz)).all()
 
 
+def test_smc_fleet_sparse_host_dispatch_equality():
+    """The single-real-chip posture (dispatch="host": per-subject
+    host-dispatched tempering loops — what dispatch="auto" resolves to on
+    one non-CPU chip) reproduces the vmapped device fleet program at the
+    same key: same schedules, same evidence, same particle clouds."""
+    xs, ys, masks, _ = _fleet_data(seed=21)
+    key = jax.random.PRNGKey(21)
+    kw = dict(n_particles=32, n_mutations=2, n_leapfrog=4,
+              n_inducing=MZ, masks=masks)
+    r_dev = fs.smc_fleet_sparse(xs, ys, key, dispatch="device", **kw)
+    r_host = fs.smc_fleet_sparse(xs, ys, key, dispatch="host", **kw)
+    np.testing.assert_array_equal(np.asarray(r_host.n_stages),
+                                  np.asarray(r_dev.n_stages))
+    np.testing.assert_allclose(np.asarray(r_host.logz),
+                               np.asarray(r_dev.logz), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_host.particles),
+                               np.asarray(r_dev.particles), atol=1e-3)
+
+
 def test_smc_fleet_sparse_matches_single_population():
     """Subject i's fleet SMC population is bit-identical to a standalone
     ``smc_sample`` run on the same whitened potential with the fleet's own

@@ -168,6 +168,54 @@ def test_smc_fleet_contract():
     assert len(set(np.asarray(r.logz).round(3).tolist())) == 3
 
 
+def test_smc_fleet_host_dispatch_equality():
+    """The single-real-chip fleet posture (per-subject host-dispatched
+    tempering loops — resolve_smc_dispatch picks it automatically there)
+    must reproduce the vmapped device fleet program at the same key: same
+    schedules, same evidence, same particle clouds.  XLA fuses the eager
+    stage jit differently from the vmap-in-shard_map while_loop, so raw
+    bits can drift at the ulp level (the test_ess_gated_resampling (d)
+    precedent) — pin decisions exactly and values tightly."""
+    from nonstationary_multivariate_gaussian_process_tpu.data import sim
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+
+    n = 12
+    ds = [sim.sim_mnts(jax.random.PRNGKey(i), n=n) for i in range(2)]
+    xs = jnp.stack([d.x for d in ds])
+    ys = jnp.stack([d.y for d in ds])
+    masks = jnp.ones((2, n), bool).at[1, 10:].set(False)
+    kw = dict(n_particles=48, n_mutations=2, n_leapfrog=5, masks=masks)
+    key = jax.random.PRNGKey(3)
+    r_dev = fleet.smc_fleet("gnmgp", xs, ys, key, dispatch="device", **kw)
+    r_host = fleet.smc_fleet("gnmgp", xs, ys, key, dispatch="host", **kw)
+    assert np.array_equal(np.asarray(r_host.n_stages),
+                          np.asarray(r_dev.n_stages))
+    assert np.array_equal(np.asarray(r_host.beta_final),
+                          np.asarray(r_dev.beta_final))
+    np.testing.assert_allclose(np.asarray(r_host.logz),
+                               np.asarray(r_dev.logz), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_host.particles),
+                               np.asarray(r_dev.particles), atol=1e-3)
+
+
+def test_resolve_smc_dispatch():
+    """'auto' resolves per hardware: the device program everywhere except a
+    single non-CPU chip (the tunneled-TPU fault class); explicit values
+    pass through; junk raises by name."""
+    from nonstationary_multivariate_gaussian_process_tpu.parallel import fleet
+    from nonstationary_multivariate_gaussian_process_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    mesh = make_mesh()  # CPU test mesh (conftest pins the CPU platform)
+    assert fleet.resolve_smc_dispatch("auto", mesh) == "device"
+    assert fleet.resolve_smc_dispatch("auto", None) == "device"
+    assert fleet.resolve_smc_dispatch("host", mesh) == "host"
+    assert fleet.resolve_smc_dispatch("device", None) == "device"
+    with pytest.raises(ValueError, match="dispatch"):
+        fleet.resolve_smc_dispatch("fleet", mesh)
+
+
 def test_smc_fleet_hetero():
     """The hetero GNMGP rides the same SMC fleet tier (third prior factor
     whitens the noise rows; evidence in the natural space)."""
