@@ -62,12 +62,22 @@ def synthesize_csv(path, n_subjects, rng, keep=0.7):
 
 
 def main():
+    from nonstationary_multivariate_gaussian_process_tpu.workflows import (
+        HADAMARD_MODEL_CHOICES,
+    )
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--csv", default=None, help="long-format CSV to load "
                     "(default: synthesize a demo table)")
     ap.add_argument("--subjects", type=int, default=6,
                     help="subjects to synthesize when --csv is omitted")
-    ap.add_argument("--model", default="gnmgp", choices=["snmgp", "gnmgp"])
+    # every Hadamard-capable model (the registry the library routes):
+    # dense lmc/snmgp/gnmgp plus the *_sparse tiers — sparse is the right
+    # posture for real clinical record counts
+    ap.add_argument("--model", default="gnmgp",
+                    choices=list(HADAMARD_MODEL_CHOICES))
+    ap.add_argument("--n-inducing", type=int, default=64,
+                    help="*_sparse models: inducing-input count at Z")
     ap.add_argument("--n-opt", type=int, default=200)
     ap.add_argument("--n-hmc", type=int, default=0,
                     help="posterior draws per subject; > 0 adds the cohort "
@@ -108,7 +118,8 @@ def main():
     cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt,
                                    do_empirical=False,
                                    do_hmc=args.n_hmc > 0,
-                                   n_hmc=max(args.n_hmc, 1))
+                                   n_hmc=max(args.n_hmc, 1),
+                                   n_inducing=args.n_inducing)
     res = workflows.run_cohort_hadamard(
         subjects, m=len(tasks), cfg=cfg, store=ArtifactStore(args.out),
         dataset="clinical", test_size=args.test_size,

@@ -27,7 +27,14 @@ def main():
     ap.add_argument("--replicates", type=int, default=64)
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--n-opt", type=int, default=1000)
-    ap.add_argument("--model", default="gnmgp", choices=["lmc", "snmgp", "gnmgp"])
+    # every model the library serves (workflows.MODEL_CHOICES) — validated
+    # after import: pulling the package in before jax.distributed.initialize
+    # would risk touching the backend first
+    ap.add_argument("--model", default="gnmgp",
+                    help="any workflows.MODEL_CHOICES entry (dense lmc/"
+                         "snmgp/gnmgp/gnmgp_hetero or any *_sparse tier)")
+    ap.add_argument("--n-inducing", type=int, default=64,
+                    help="*_sparse models: inducing-input count at Z")
     ap.add_argument("--out", default=None, help="artifact root (host 0 writes)")
     args = ap.parse_args()
 
@@ -46,8 +53,12 @@ def main():
     from nonstationary_multivariate_gaussian_process_tpu.parallel import make_mesh
     from nonstationary_multivariate_gaussian_process_tpu.utils import ArtifactStore
 
+    if args.model not in workflows.MODEL_CHOICES:
+        ap.error(f"--model {args.model!r}: want one of "
+                 f"{', '.join(workflows.MODEL_CHOICES)}")
     mesh = make_mesh()  # spans every addressable chip in the slice
-    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt)
+    cfg = workflows.PipelineConfig(model=args.model, n_opt=args.n_opt,
+                                   n_inducing=args.n_inducing)
     out = workflows.run_sim_fleet(
         n_replicates=args.replicates, n=args.n, cfg=cfg, mesh=mesh,
         key=jax.random.PRNGKey(0),

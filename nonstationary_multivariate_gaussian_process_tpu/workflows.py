@@ -60,6 +60,16 @@ _PREDICT = {
     "lmc_sparse": pred_lmc_sparse,
 }
 
+# Driver-surface model registries: the example CLIs source their --model
+# choices here, so the script surface can never lag the library (the
+# reference's per-driver hardcoded model scripts have no analogue of this).
+MODEL_CHOICES = tuple(_MODELS)  # run_subject / run_cohort / run_sim_fleet
+HADAMARD_MODEL_CHOICES = (  # layouts with a Hadamard (one-obs-per-pair)
+    #                         objective: run_subject_hadamard /
+    #                         run_cohort_hadamard (the hetero pair has none)
+    "lmc", "snmgp", "gnmgp", "lmc_sparse", "snmgp_sparse", "gnmgp_sparse",
+)
+
 
 @dataclasses.dataclass
 class PipelineConfig:
@@ -1606,6 +1616,79 @@ def run_cohort_hadamard(
     return out
 
 
+def _run_sim_fleet_sparse(batch, cfg: PipelineConfig, mesh,
+                          n_replicates: int) -> dict:
+    """Sparse tier of :func:`run_sim_fleet`: equal-N replicates are one
+    cohort bucket, so the stacked-SparseOps fleet engine
+    (:func:`_fit_bucket_sparse`) carries the MAP + sampling stages
+    (inducing inputs Z from prefix quantiles, whitened chains at Z,
+    R-hat escalation).  Evaluation mirrors the dense branch: replicated-
+    data G/P/D per subject from the sparse plug-in moments, and — for the
+    GNMGP family — lengthscale-process recovery scored at Z (the sparse
+    layout's latent slots), against the known truth interpolated there.
+    No reference analog: the reference's mpisim drivers
+    (``Nonseparable_model_mpisim.py``) have no sub-cubic tier at all.
+    """
+    s, n = np.asarray(batch.x).shape
+    m = np.asarray(batch.y).shape[-1]
+    mask = np.ones((s, n), bool)
+    bucket = _fit_bucket_sparse(np.asarray(batch.x), np.asarray(batch.y),
+                                np.arange(s), mask, cfg, mesh)
+    fnlp = np.asarray(bucket["final_nlp"])
+    res = fleet_mod.FleetResult(
+        vecs=jnp.asarray(bucket["vec"]),
+        final_nlp=jnp.asarray(fnlp),
+        target_hist=jnp.zeros((s, 0), settings.dtype),
+        fleet_metrics={
+            "mean_final_nlp": float(fnlp.mean()),
+            "min_final_nlp": float(fnlp.min()),
+            "max_final_nlp": float(fnlp.max()),
+        },
+    )
+    m_z = int(bucket["m_z"][0])
+    out = {"batch": batch, "fleet": res, "fleet_metrics": res.fleet_metrics,
+           "z": bucket["z"], "m_z": m_z}
+    if "hmc" in bucket:
+        chains = np.asarray(bucket["hmc"])  # (S, C, T, P)
+        out["hmc_samples"] = chains.reshape(s, -1, chains.shape[-1])
+        for k_extra in ("smc_logz", "smc_beta", "escalated", "esc_logz"):
+            if k_extra in bucket:
+                out[k_extra] = bucket[k_extra]
+    if cfg.do_evaluation:
+        pred = _PREDICT[cfg.model]
+        hetero = cfg.model == "gnmgp_hetero_sparse"
+        gpd = []
+        for i in range(n_replicates):
+            data_i = FullData(batch.x[i], batch.y[i])
+            ops_i = _sparse_subject_ops(cfg.model, jnp.asarray(batch.x[i]),
+                                        bucket["z"][i], cfg.hyper)
+            pm = pred.predict_map_hetero if hetero else pred.predict_map
+            gp = pm(res.vecs[i], data_i, ops_i, batch.x[i], hyper=cfg.hyper,
+                    approx=cfg.sparse_approx)
+            mean, std = np.asarray(gp.mean), np.asarray(gp.std)
+            draws = mean[:, None, :] + std[:, None, :] * np.random.default_rng(
+                cfg.seed + i
+            ).normal(size=(n, 64, m))
+            gpd.append(evaluate.gpd_scores(draws, np.asarray(batch.y[i])))
+        out["gpd"] = gpd
+        out["gpd_median_D"] = float(np.median([g["D"] for g in gpd]))
+        if cfg.model in ("gnmgp_sparse", "gnmgp_hetero_sparse"):
+            est = np.asarray(res.vecs[:, :m_z])
+            true_l = np.stack([
+                np.interp(np.asarray(bucket["z"][i]),
+                          np.asarray(batch.x[i]),
+                          np.log(np.asarray(batch.l[i])))
+                for i in range(n_replicates)
+            ])
+            out["tilde_l_rmse"] = evaluate.rmse(est, true_l)
+            corrs = [
+                float(np.corrcoef(est[i], true_l[i])[0, 1])
+                for i in range(n_replicates)
+            ]
+            out["tilde_l_corr_mean"] = float(np.mean(corrs))
+    return out
+
+
 def run_sim_fleet(
     n_replicates: int = 8,
     n: int = 64,
@@ -1617,14 +1700,23 @@ def run_sim_fleet(
 
     Generates ``n_replicates`` synthetic subjects, MAP-fits the configured
     model to all of them sharded over the mesh, scores recovery against the
-    known truth, and aggregates fleet metrics.
+    known truth, and aggregates fleet metrics.  Every model in
+    ``MODEL_CHOICES`` is served: the dense four ride ``parallel.fleet``,
+    the ``*_sparse`` tier rides the stacked-SparseOps fleet engine
+    (replicates are one equal-N cohort bucket — the large-N posture the
+    reference's mpisim drivers lack entirely).
     """
     cfg = cfg or PipelineConfig()
+    if cfg.model not in _MODELS:
+        raise ValueError(f"unknown model {cfg.model!r} "
+                         f"(want one of {sorted(_MODELS)})")
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     mesh = mesh or make_mesh()
     k_sim, k_init = jax.random.split(key)
     batch = sim.sim_replicates(k_sim, n_replicates, n=n)
     m = batch.y.shape[-1]
+    if cfg.model.endswith("_sparse"):
+        return _run_sim_fleet_sparse(batch, cfg, mesh, n_replicates)
 
     # per-replicate empirical inits (host-side, embarrassingly parallel)
     inits = []
