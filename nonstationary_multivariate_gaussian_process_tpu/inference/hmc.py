@@ -305,6 +305,94 @@ def _run_adapt(
     return qs, us, aps, accs, jnp.exp(daf[1]), m_inv_f
 
 
+def _run_host(
+    potential_fn,
+    q0,
+    key,
+    n_samples: int,
+    step_size0,
+    n_leapfrog: int,
+    n_warmup: int,
+    adapt_step_size: bool,
+    target_accept,
+):
+    """Host-driven draw loop: ONE XLA dispatch per draw (identity mass).
+
+    The tunneled-TPU posture for strict-IEEE-f64 chains at model scale: the
+    monolithic scan program (minutes of emulated-f64 leapfrog in one
+    execution) trips the runtime's device fault (CLAUDE.md), while a
+    per-draw program is seconds long.  Same step math and key threading as
+    :func:`_run`'s scan body — draws agree to roundoff (the scan wrapper
+    fuses differently, tests/test_hmc_host.py pins 1e-9).
+    """
+    dtype = q0.dtype
+    val_grad_u = jax.value_and_grad(potential_fn)
+    mu = jnp.log(10.0 * step_size0)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    ta = jnp.asarray(target_accept, dtype)
+
+    @jax.jit
+    def step_j(q, u_q, g_q, eps, k):
+        k_mom, k_acc = jax.random.split(k)
+        p = jax.random.normal(k_mom, q.shape, dtype=dtype)
+        h0 = u_q + 0.5 * jnp.dot(p, p)
+        # fused leapfrog (one grad per step, _run.leapfrog)
+        p = p - 0.5 * eps * g_q
+        q_new = q + eps * p
+
+        def body(_, carry):
+            q, p = carry
+            p = p - eps * jax.grad(potential_fn)(q)
+            q = q + eps * p
+            return (q, p)
+
+        q_new, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (q_new, p))
+        u_new, g_new = val_grad_u(q_new)
+        p = p - 0.5 * eps * g_new
+        h1 = u_new + 0.5 * jnp.dot(p, p)
+        log_accept = jnp.where(
+            jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf
+        )
+        accept_prob = jnp.exp(log_accept)
+        accept = jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_accept
+        q = jnp.where(accept, q_new, q)
+        u_q = jnp.where(accept, u_new, u_q)
+        g_q = jnp.where(accept, g_new, g_q)
+        return q, u_q, g_q, accept_prob, accept
+
+    n_total = n_warmup + n_samples
+    keys = jax.random.split(key, n_total)
+    u_q, g_q = val_grad_u(q0)
+    q = q0
+    log_eps = jnp.log(jnp.asarray(step_size0, dtype))
+    log_eps_bar, h_bar = log_eps, jnp.asarray(0.0, dtype)
+    eps = jnp.exp(log_eps)
+    qs, us, aps, accs = [], [], [], []
+    for i in range(n_total):
+        q, u_q, g_q, ap, acc = step_j(q, u_q, g_q, eps, keys[i])
+        jax.block_until_ready(q)
+        qs.append(q)
+        us.append(u_q)
+        aps.append(ap)
+        accs.append(acc)
+        if adapt_step_size:
+            # end-of-step eps exactly as _run's scan body computes it: the
+            # freshly-adapted eps while the CURRENT step is a warmup one
+            # (including the last warmup step), eps_bar afterwards
+            if i < n_warmup:
+                m = jnp.asarray(float(i + 1), dtype)
+                eta = 1.0 / (m + t0)
+                h_bar = (1.0 - eta) * h_bar + eta * (ta - ap)
+                log_eps = mu - jnp.sqrt(m) / gamma * h_bar
+                w = m ** (-kappa)
+                log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+                eps = jnp.exp(log_eps)
+            else:
+                eps = jnp.exp(log_eps_bar)
+    return (jnp.stack(qs), jnp.stack(us), jnp.stack(aps), jnp.stack(accs),
+            eps)
+
+
 def hmc_sample(
     potential_fn: Callable,
     init_position: jnp.ndarray,
@@ -317,6 +405,7 @@ def hmc_sample(
     target_accept: float = 0.75,
     mass_matrix=None,
     adapt_mass: bool = False,
+    dispatch: str = "device",
 ) -> HMCResult:
     """Draw ``n_samples`` HMC samples (after ``n_warmup`` adaptation draws).
 
@@ -330,8 +419,34 @@ def hmc_sample(
     metric from the warmup draws while the step size re-adapts per window
     (see :mod:`.warmup`); supersedes the reference's manual pilot-run mass
     recipe.  Mutually exclusive with an explicit ``mass_matrix``.
+
+    ``dispatch="host"`` runs the chain as one XLA dispatch per draw instead
+    of a single scan program (:func:`_run_host`) — the posture that lets a
+    strict-IEEE-f64 chain run on the tunneled TPU, whose runtime faults
+    minutes-long single-program executions (CLAUDE.md).  Identity mass
+    only; draws match the scan driver to roundoff.
     """
     q0 = jnp.asarray(init_position)
+    if dispatch not in ("device", "host"):
+        raise ValueError(f"unknown dispatch {dispatch!r} "
+                         "(want 'device' or 'host')")
+    if dispatch == "host":
+        if adapt_mass or mass_matrix is not None:
+            raise ValueError("dispatch='host' supports the identity-mass "
+                             "plain chain (use the scan driver for "
+                             "mass-matrix/windowed warmup)")
+        qs, us, aps, accs, epsf = _run_host(
+            potential_fn, q0, key, int(n_samples), float(step_size),
+            int(n_leapfrog), int(n_warmup), bool(adapt_step_size),
+            float(target_accept),
+        )
+        return HMCResult(
+            samples=qs[n_warmup:],
+            accept_prob=aps,
+            accepted=accs,
+            step_size=epsf,
+            potentials=us[n_warmup:],
+        )
     if adapt_mass:
         if mass_matrix is not None:
             raise ValueError("adapt_mass=True adapts the metric; drop mass_matrix")

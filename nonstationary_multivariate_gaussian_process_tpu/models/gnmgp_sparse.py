@@ -179,11 +179,15 @@ def _half_woodbury(k_mm, k_nm, k_diag, y_flat, sigma2_err, approx: str,
     ridge = (1e-8 if k_mm.dtype == jnp.float64 else 1e-5) * jnp.mean(
         jnp.diagonal(k_mm)
     )
-    c_mm = chol.safe_cholesky(
-        k_mm + ridge * jnp.eye(k_mm.shape[0], dtype=k_mm.dtype),
-        force_robust=True,
+    # small-f64 fast path when gated (the measured latency sink of the
+    # mixed sparse objective, ROADMAP "shave the f64 K_mm factor"):
+    # loop-free recursive factor + explicit triangular inverse, so the
+    # m-solve is ONE f64 GEMM on the MXU (ops/blocked.py,
+    # benchmarks/kmm_probe.py)
+    c_mm = chol.robust_cholesky_small(
+        k_mm + ridge * jnp.eye(k_mm.shape[0], dtype=k_mm.dtype)
     )
-    b = chol.tri_solve(c_mm, k_nm.T)  # (mM, NM)
+    b = chol.tri_solve_small(c_mm, k_nm.T)  # (mM, NM)
     q_diag = jnp.sum(b * b, axis=0)
     corr = jnp.maximum(k_diag - q_diag, 0.0)
 
@@ -314,6 +318,152 @@ def _loglik_pieces(pieces, noise, approx: str) -> jnp.ndarray:
         c = w.corr if w.mv is None else w.corr * w.mv
         return res - 0.5 * jnp.sum(c / noise)
     return _loglik_from_woodbury(w, noise, approx)
+
+
+def _inner_logdet_quad(inner, u):
+    """``(logdet, uᵀ inner⁻¹ u)`` of the Woodbury inner system, dispatched
+    by precision: the mixed kernel under NMGP_PRECISION=mixed (the
+    ``_loglik_mixed_inner`` tail — eigenvalues in [1, 1+||A||²], squarely
+    inside its range), else the robust factor via the measured-best small
+    kernel (``chol.robust_cholesky_small``)."""
+    if settings.mixed_solves and inner.dtype == jnp.float64:
+        from ..ops import mixed
+
+        return mixed.mixed_logdet_quad(inner, u)
+    c_in = chol.robust_cholesky_small(inner)
+    sol = chol.tri_solve_small(c_in, u)
+    return chol.chol_logdet(c_in), jnp.sum(sol * sol)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _loglik_separable(b_f, k_zz, k_xz, k_x_diag, y_nm, noise, approx: str,
+                      mask=None) -> jnp.ndarray:
+    """Kronecker-factored sparse likelihood for the separable tier.
+
+    Mathematically identical to assembling ``K_mm = B_f ⊗ K_zz`` /
+    ``K_nm = B_f ⊗ K_xz`` and dispatching through :func:`_loglik_pieces`,
+    but the Kronecker products are never materialized — the same structure
+    the reference itself exploits on the exact model
+    (``/root/reference/Utility/distributions.py:26-52``):
+
+    * ``chol(B ⊗ K) = chol(B) ⊗ chol(K)`` — the f64 factor drops from
+      (m_z·M)³ (and its ~64 us/column TPU latency) to M³ + m_z³, both
+      served by the loop-free recursive kernel off-CPU,
+    * the m-solve ``C⁻¹ K_mn`` stays factored:
+      ``B_b = L_b⁻¹ B_f`` (M×M) and ``B_k = L_k⁻¹ K_xzᵀ`` (m_z×N), so
+      ``Q``'s diagonal is the rank-1 product of their column norms,
+    * the inner Gram ``I + A Aᵀ`` assembles from M small (m_z×N×m_z)
+      GEMMs — M× fewer FLOPs than the dense ``A Aᵀ`` — grouped per task:
+      ``inner = Σ_a (B_b[:,a] B_b[:,a]ᵀ) ⊗ (B_k diag(w_a) B_kᵀ) + I``.
+
+    The per-factor ridges replace the dense path's single ridge on the
+    assembled ``K_mm`` (same 1e-8-relative magnitude; loglik differences
+    are at the regularization scale, far below the 1e-6 parity bar).
+    ``y_nm`` is the (N, M) observation matrix; ``mask`` (N,) excludes
+    padded rows exactly (zero weight, unit lambda).
+    """
+    m = b_f.shape[0]
+    m_z = k_zz.shape[0]
+    dtype = k_zz.dtype
+    rel = 1e-8 if dtype == jnp.float64 else 1e-5
+    lb = chol.robust_cholesky_small(
+        b_f + rel * jnp.mean(jnp.diag(b_f)) * jnp.eye(m, dtype=dtype)
+    )
+    lk = chol.robust_cholesky_small(
+        k_zz + rel * jnp.mean(jnp.diag(k_zz)) * jnp.eye(m_z, dtype=dtype)
+    )
+    bb = chol.tri_solve_small(lb, b_f)  # (M, M)
+    bk = chol.tri_solve_small(lk, k_xz.T)  # (m_z, N)
+
+    y_mn = y_nm.T  # task-major rows (M, N)
+    qb = jnp.sum(bb * bb, axis=0)  # (M,)
+    qk = jnp.sum(bk * bk, axis=0)  # (N,)
+    corr = jnp.maximum(
+        jnp.diag(b_f)[:, None] * k_x_diag[None, :]
+        - qb[:, None] * qk[None, :], 0.0,
+    )
+    if approx == "fitc":
+        lam = corr + noise
+    elif approx == "vfe":
+        lam = jnp.broadcast_to(jnp.asarray(noise, dtype), corr.shape)
+    else:
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    mv = None if mask is None else jnp.asarray(mask, dtype)  # (N,)
+    if mv is not None:
+        lam = jnp.where(mv[None, :] > 0, lam, 1.0)
+        y_mn = y_mn * mv[None, :]
+    w = 1.0 / lam if mv is None else mv[None, :] / lam  # (M, N)
+
+    dd = jnp.sum(y_mn * y_mn / lam)
+    t_u = jnp.matmul(bk, (y_mn / lam).T, precision=_HI)  # (m_z, M)
+    u = jnp.einsum("ca,ja->cj", bb, t_u, precision=_HI).reshape(-1)
+    g = jnp.einsum("jn,an,kn->ajk", bk, w, bk, precision=_HI)
+    inner = jnp.einsum("ca,da,ajk->cjdk", bb, bb, g,
+                       precision=_HI).reshape(m * m_z, m * m_z)
+    inner = inner + jnp.eye(m * m_z, dtype=dtype)
+    ld_in, quad_in = _inner_logdet_quad(inner, u)
+    res = -0.5 * (jnp.sum(jnp.log(lam)) + ld_in) - 0.5 * (dd - quad_in)
+    if approx == "vfe":
+        c = corr if mv is None else corr * mv[None, :]
+        res = res - 0.5 * jnp.sum(c) / noise
+    return res
+
+
+def _loglik_separable_hadamard(b_f, k_zz, k_xz, indx, k_diag, y, noise,
+                               approx: str, mask=None) -> jnp.ndarray:
+    """Hadamard-layout counterpart of :func:`_loglik_separable`.
+
+    Each observation row selects its task, so the solved cross factor is a
+    Khatri-Rao column product ``b[:,i] = B_b[:,indx_i] ⊗ B_k[:,i]`` — the
+    inner Gram still assembles per task via a one-hot weight split.
+    """
+    m = b_f.shape[0]
+    m_z = k_zz.shape[0]
+    dtype = k_zz.dtype
+    rel = 1e-8 if dtype == jnp.float64 else 1e-5
+    lb = chol.robust_cholesky_small(
+        b_f + rel * jnp.mean(jnp.diag(b_f)) * jnp.eye(m, dtype=dtype)
+    )
+    lk = chol.robust_cholesky_small(
+        k_zz + rel * jnp.mean(jnp.diag(k_zz)) * jnp.eye(m_z, dtype=dtype)
+    )
+    bb = chol.tri_solve_small(lb, b_f)  # (M, M)
+    bk = chol.tri_solve_small(lk, k_xz.T)  # (m_z, N)
+
+    ix = jnp.asarray(indx, jnp.int32)
+    qb = jnp.sum(bb * bb, axis=0)  # (M,)
+    qk = jnp.sum(bk * bk, axis=0)  # (N,)
+    corr = jnp.maximum(k_diag - qb[ix] * qk, 0.0)
+    if approx == "fitc":
+        lam = corr + noise
+    elif approx == "vfe":
+        lam = jnp.broadcast_to(jnp.asarray(noise, dtype), corr.shape)
+    else:
+        raise ValueError(f"approx must be 'fitc' or 'vfe', got {approx!r}")
+    mv = None if mask is None else jnp.asarray(mask, dtype)
+    if mv is not None:
+        lam = jnp.where(mv > 0, lam, 1.0)
+        y = y * mv
+    w = 1.0 / lam if mv is None else mv / lam  # (N,)
+
+    dd = jnp.sum(y * y / lam)
+    bb_g = bb[:, ix]  # (M, N) per-observation task columns
+    u = jnp.einsum("ci,ji->cj", bb_g, bk * (y / lam)[None, :],
+                   precision=_HI).reshape(-1)
+    onehot = (ix[None, :] == jnp.arange(m)[:, None]).astype(dtype)  # (M, N)
+    g = jnp.einsum("jn,an,kn->ajk", bk, onehot * w[None, :], bk,
+                   precision=_HI)
+    inner = jnp.einsum("ca,da,ajk->cjdk", bb, bb, g,
+                       precision=_HI).reshape(m * m_z, m * m_z)
+    inner = inner + jnp.eye(m * m_z, dtype=dtype)
+    ld_in, quad_in = _inner_logdet_quad(inner, u)
+    res = -0.5 * (jnp.sum(jnp.log(lam)) + ld_in) - 0.5 * (dd - quad_in)
+    if approx == "vfe":
+        c = corr if mv is None else corr * mv
+        res = res - 0.5 * jnp.sum(c) / noise
+    return res
 
 
 def log_lik(p: SparseParams, data: FullData, ops: SparseOps,

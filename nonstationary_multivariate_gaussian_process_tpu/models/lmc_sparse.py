@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from .. import dists, settings
 from ..ops import kernels, transforms
 from .base import FullData, task_major
-from .gnmgp_sparse import (_loglik_from_woodbury, _loglik_pieces,
-                           _woodbury_core, choose_inducing)
+from .gnmgp_sparse import (_loglik_separable,
+                           _loglik_separable_hadamard, _woodbury_core,
+                           choose_inducing)
 from .lmc import DEFAULT_HYPERS, Params, n_params, pack, unpack  # noqa: F401
 # The sparse LMC shares the dense packed layout — unpack/pack re-exported so
 # callers treat this module like every other model module.
@@ -80,11 +81,26 @@ def log_lik(p: Params, data: FullData, ops: SparseOps, approx: str = "fitc",
     """Sparse stationary marginal log-likelihood (unnormalized convention);
     ``approx="vfe"`` lower-bounds the exact ``models.lmc.log_lik``.
     ``hyper`` is accepted for driver uniformity (no latent processes — the
-    likelihood does not depend on it).  Under ``NMGP_PRECISION=mixed`` the
-    evaluation routes through the collapsed mixed kernel."""
+    likelihood does not depend on it).  Kronecker-factored hot path
+    (``gnmgp_sparse._loglik_separable``: the K_mm kron is never
+    materialized); the inner system routes through the mixed kernel under
+    ``NMGP_PRECISION=mixed``."""
     del hyper
-    pieces = _assemble(p, data, ops, data.y.shape[1], mask)
-    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+    m = data.y.shape[1]
+    n = data.y.shape[0]
+    m_z = ops.z.shape[0]
+    l_mat = transforms.vec_to_tril(transforms.ulvec_to_lvec(p.ul_vec, m), m)
+    b_f = l_mat @ l_mat.T
+    ell_x = jnp.exp(p.tilde_l) * jnp.ones((n,), data.y.dtype)
+    sig_x = jnp.exp(p.tilde_sigma) * jnp.ones((n,), data.y.dtype)
+    ell_z = jnp.exp(p.tilde_l) * jnp.ones((m_z,), data.y.dtype)
+    sig_z = jnp.exp(p.tilde_sigma) * jnp.ones((m_z,), data.y.dtype)
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
+    k_xz = kernels.nonstationary_rbf_cov(data.x, sigma1=sig_x, ell1=ell_x,
+                                         x2=ops.z, sigma2=sig_z, ell2=ell_z)
+    k_x_diag = sig_x * sig_x + settings.jitter
+    return _loglik_separable(b_f, k_zz, k_xz, k_x_diag, data.y,
+                             jnp.exp(p.tilde_sigma2_err), approx, mask)
 
 
 def log_posterior(p: Params, data: FullData, ops: SparseOps,
@@ -153,10 +169,22 @@ def _woodbury_hadamard(p: Params, data, ops: SparseOps, m: int,
 def log_lik_hadamard(p: Params, data, ops: SparseOps, m: int,
                      approx: str = "fitc", hyper=None,
                      mask=None) -> jnp.ndarray:
-    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
+    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`) —
+    Khatri-Rao-factored (``gnmgp_sparse._loglik_separable_hadamard``)."""
     del hyper
-    pieces = _assemble_hadamard(p, data, ops, m, mask)
-    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+    x, indx, y = data
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    ell = jnp.exp(p.tilde_l)
+    sig = jnp.exp(p.tilde_sigma)
+    k_zz = kernels.rbf_cov(ops.z, alpha=sig, beta=ell)  # self: + jitter I
+    k_xz = kernels.rbf_cov(x, ops.z, alpha=sig, beta=ell)
+    ix = jnp.asarray(indx, jnp.int32)
+    k_diag = b_f[ix, ix] * (sig * sig + settings.jitter)
+    return _loglik_separable_hadamard(
+        b_f, k_zz, k_xz, ix, k_diag, y, jnp.exp(p.tilde_sigma2_err),
+        approx, mask,
+    )
 
 
 def log_posterior_hadamard(p: Params, data, ops: SparseOps, m: int,

@@ -34,8 +34,9 @@ import jax.numpy as jnp
 from .. import dists, settings
 from ..ops import chol, kernels, transforms
 from .base import FullData, task_major
-from .gnmgp_sparse import (_loglik_from_woodbury, _loglik_pieces,
-                           _woodbury_core, choose_inducing)
+from .gnmgp_sparse import (_loglik_separable,
+                           _loglik_separable_hadamard, _woodbury_core,
+                           choose_inducing)
 from .snmgp import DEFAULT_HYPERS
 
 
@@ -133,9 +134,10 @@ def latents_at_data(p: SparseParams, ops: SparseOps, hyper=None):
     return tl_x, ts_x
 
 
-def _assemble(p: SparseParams, data: FullData, ops: SparseOps, m: int,
-              hyper=None, mask=None):
-    """Separable-layout cross pieces: ``K_** = B_f ⊗ K_x(·,·)``."""
+def _factors(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+             hyper=None):
+    """Separable covariance factors ``(b_f, k_zz, k_xz, k_x_diag)`` — the
+    pieces ``K_** = B_f ⊗ K_x(·,·)`` is built from."""
     tl_x, ts_x = latents_at_data(p, ops, hyper)
     ell_x, sig_x = jnp.exp(tl_x), jnp.exp(ts_x)
     ell_z, sig_z = jnp.exp(p.tilde_l_z), jnp.exp(p.tilde_sigma_z)
@@ -143,12 +145,21 @@ def _assemble(p: SparseParams, data: FullData, ops: SparseOps, m: int,
     b_f = l_mat @ l_mat.T
 
     k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
-    k_mm = jnp.kron(b_f, k_zz)  # (m_z M, m_z M), cols c-major (c*m_z + j)
     k_xz = kernels.nonstationary_rbf_cov(data.x, sigma1=sig_x, ell1=ell_x,
                                          x2=ops.z, sigma2=sig_z, ell2=ell_z)
-    k_nm = jnp.kron(b_f, k_xz)  # (NM, m_z M), rows task-major (a*N + n)
     # Gibbs self-cov diag is sigma_n^2 (+ additive jitter, kernels.py:109-111)
     k_x_diag = sig_x * sig_x + settings.jitter
+    return b_f, k_zz, k_xz, k_x_diag
+
+
+def _assemble(p: SparseParams, data: FullData, ops: SparseOps, m: int,
+              hyper=None, mask=None):
+    """Separable-layout cross pieces: ``K_** = B_f ⊗ K_x(·,·)`` (the
+    materialized form — prediction/LOO; the likelihood hot path stays
+    factored, :func:`~.gnmgp_sparse._loglik_separable`)."""
+    b_f, k_zz, k_xz, k_x_diag = _factors(p, data, ops, m, hyper)
+    k_mm = jnp.kron(b_f, k_zz)  # (m_z M, m_z M), cols c-major (c*m_z + j)
+    k_nm = jnp.kron(b_f, k_xz)  # (NM, m_z M), rows task-major (a*N + n)
     k_diag = (jnp.diag(b_f)[:, None] * k_x_diag[None, :]).reshape(-1)
 
     mv = None
@@ -171,12 +182,16 @@ def log_lik(p: SparseParams, data: FullData, ops: SparseOps,
     ``approx="fitc"``: log N(y; 0, Q + diag(K-Q) + sigma^2 I).
     ``approx="vfe"``:  Titsias' collapsed bound ``<=`` the exact SNMGP
     log-likelihood (``models.snmgp.log_lik``) at the same kriged fields.
-    ``mask`` (N,) excludes padded observations exactly.  Under
-    ``NMGP_PRECISION=mixed`` the evaluation routes through the collapsed
-    mixed kernel (``gnmgp_sparse._loglik_collapsed_mixed``).
+    ``mask`` (N,) excludes padded observations exactly.  The Kronecker
+    structure is never materialized: ``chol(B_f ⊗ K_zz) = chol(B_f) ⊗
+    chol(K_zz)`` (``gnmgp_sparse._loglik_separable``) drops the f64 factor
+    to M³ + m_z³ and the inner-Gram GEMMs by M×; the inner system routes
+    through the mixed kernel under ``NMGP_PRECISION=mixed``.
     """
-    pieces = _assemble(p, data, ops, data.y.shape[1], hyper, mask)
-    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+    b_f, k_zz, k_xz, k_x_diag = _factors(p, data, ops, data.y.shape[1],
+                                         hyper)
+    return _loglik_separable(b_f, k_zz, k_xz, k_x_diag, data.y,
+                             jnp.exp(p.tilde_sigma2_err), approx, mask)
 
 
 def log_posterior(p: SparseParams, data: FullData, ops: SparseOps,
@@ -292,9 +307,25 @@ def _woodbury_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
 def log_lik_hadamard(p: SparseParams, data, ops: SparseOps, m: int,
                      approx: str = "fitc", hyper=None,
                      mask=None) -> jnp.ndarray:
-    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`)."""
-    pieces = _assemble_hadamard(p, data, ops, m, hyper, mask)
-    return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+    """Sparse Hadamard marginal log-likelihood (see :func:`log_lik`) —
+    Khatri-Rao-factored, the Kronecker K_mm never materialized
+    (``gnmgp_sparse._loglik_separable_hadamard``)."""
+    hp = {**DEFAULT_HYPERS, **(hyper or {})}
+    x, indx, y = data
+    tl_x, ts_x = latents_at_data(p, ops, hp)
+    ell_x, sig_x = jnp.exp(tl_x), jnp.exp(ts_x)
+    ell_z, sig_z = jnp.exp(p.tilde_l_z), jnp.exp(p.tilde_sigma_z)
+    l_mat = transforms.vec_to_tril(p.ul_vec, m)  # raw L_vec (Hadamard)
+    b_f = l_mat @ l_mat.T
+    k_zz = kernels.nonstationary_rbf_cov(ops.z, sigma1=sig_z, ell1=ell_z)
+    k_xz = kernels.nonstationary_rbf_cov(x, sigma1=sig_x, ell1=ell_x,
+                                         x2=ops.z, sigma2=sig_z, ell2=ell_z)
+    ix = jnp.asarray(indx, jnp.int32)
+    k_diag = b_f[ix, ix] * (sig_x * sig_x + settings.jitter)
+    return _loglik_separable_hadamard(
+        b_f, k_zz, k_xz, ix, k_diag, y, jnp.exp(p.tilde_sigma2_err),
+        approx, mask,
+    )
 
 
 def log_posterior_hadamard(p: SparseParams, data, ops: SparseOps, m: int,

@@ -220,3 +220,101 @@ blocked_trsm.defvjp(_blocked_trsm_fwd, _blocked_trsm_bwd)
 def blocked_chol_solve(l: jnp.ndarray, b: jnp.ndarray, block: int = BLOCK):
     """Solve ``A x = b`` given ``L = chol(A)`` with blocked substitutions."""
     return blocked_trsm(l, blocked_trsm(l, b, False, block), True, block)
+
+
+# ---------------------------------------------------------------------------
+# Fully-unrolled recursive Cholesky / triangular inverse for SMALL factors.
+#
+# The blocked scan above still pays the emulated-f64 per-column latency
+# inside its diagonal-tile ``jnp.linalg.cholesky`` (the measured reason it
+# loses at n ~ 2048, chol.py header).  For the *small* f64 Grams the sparse
+# tier factors every evaluation — K_mm at (m_z·M) ~ 128 — that latency IS
+# the cost: ~64 us/column (chol.py) = ~8 ms for a 128x128 factor whose
+# arithmetic is microseconds.  The kernels below contain no loop at all:
+# straight-line recursive 2x2 block algebra (Strassen-style splitting, the
+# classic recursive Cholesky), so XLA schedules pure matmul/sqrt dataflow
+# with no While-iteration overhead.  Graph size is O(n log n) nodes —
+# compile-cheap, and cheaper than lowering XLA's f64 Cholesky expander.
+# ---------------------------------------------------------------------------
+
+#: Recursion floor: below this, closed-form scalar algebra.
+_UNROLL_BASE = 2
+
+
+def _chol_rec(a: jnp.ndarray) -> jnp.ndarray:
+    n = a.shape[-1]
+    if n == 1:
+        return jnp.sqrt(a)
+    if n == 2:
+        l11 = jnp.sqrt(a[0, 0])
+        l21 = a[1, 0] / l11
+        l22 = jnp.sqrt(a[1, 1] - l21 * l21)
+        z = jnp.zeros((), a.dtype)
+        return jnp.stack([jnp.stack([l11, z]), jnp.stack([l21, l22])])
+    h = n // 2
+    l11 = _chol_rec(a[:h, :h])
+    # L21 = A21 L11^{-T} via the explicit small inverse (one GEMM, no
+    # substitution loop); f64 eps keeps the inverse's cond-amplified error
+    # far below the 1e-6 parity bar for cond(K_mm) ~ 1e8.
+    w11 = _tri_inv_rec(l11)
+    l21 = a[h:, :h] @ w11.T
+    l22 = _chol_rec(a[h:, h:] - l21 @ l21.T)
+    z = jnp.zeros((h, n - h), a.dtype)
+    return jnp.block([[l11, z], [l21, l22]])
+
+
+def _tri_inv_rec(l: jnp.ndarray) -> jnp.ndarray:
+    n = l.shape[-1]
+    if n == 1:
+        return 1.0 / l
+    if n == 2:
+        w11 = 1.0 / l[0, 0]
+        w22 = 1.0 / l[1, 1]
+        w21 = -l[1, 0] * w11 * w22
+        z = jnp.zeros((), l.dtype)
+        return jnp.stack([jnp.stack([w11, z]), jnp.stack([w21, w22])])
+    h = n // 2
+    w11 = _tri_inv_rec(l[:h, :h])
+    w22 = _tri_inv_rec(l[h:, h:])
+    w21 = -w22 @ (l[h:, :h] @ w11)
+    z = jnp.zeros((h, n - h), l.dtype)
+    return jnp.block([[w11, z], [w21, w22]])
+
+
+@jax.custom_vjp
+def unrolled_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of a small SPD matrix as straight-line recursive dataflow.
+
+    Numerically the same f64 arithmetic as ``jnp.linalg.cholesky`` in a
+    different (recursive-blocked) order; built for the sparse tier's
+    per-evaluation K_mm factor, where XLA's expander pays ~64 us of
+    sequential-column latency per column on TPU-emulated f64
+    (models/gnmgp_sparse._half_woodbury).  Use for n ≲ 512; the custom VJP
+    is the standard Cholesky pullback with the two triangular solves as
+    explicit-inverse GEMMs.
+    """
+    return _chol_rec(a)
+
+
+def _unrolled_cholesky_fwd(a):
+    l = unrolled_cholesky(a)
+    return l, l
+
+
+def _unrolled_cholesky_bwd(l, lbar):
+    w = _tri_inv_rec(l)
+    p = _phi(l.T @ lbar)
+    v = w.T @ p @ w  # L^{-T} Φ L^{-1}
+    return (0.5 * (v + v.T),)
+
+
+unrolled_cholesky.defvjp(_unrolled_cholesky_fwd, _unrolled_cholesky_bwd)
+
+
+def unrolled_tri_inv(l: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of a small lower-triangular factor (recursive,
+    loop-free).  Pairs with :func:`unrolled_cholesky` so the downstream
+    m-solve ``L^{-1} K_mn`` becomes ONE f64 GEMM riding the MXU instead of
+    a substitution scan.  Plain jnp ops — autodiff gives the exact adjoint
+    (two GEMMs)."""
+    return _tri_inv_rec(l)

@@ -37,6 +37,63 @@ _BLOCKED_ENABLED = os.environ.get("NMGP_BLOCKED_CHOL", "0") not in ("0", "false"
 #: emulated f64 Cholesky's per-column latency is tolerable).
 MIXED_MIN_N = 192
 
+#: Small-f64 factor routing (ops/blocked.py unrolled recursive kernels):
+#: XLA's f64 Cholesky pays ~64 us of sequential-column latency per column on
+#: TPU (emulation), so a 128x128 K_mm factor costs ~8 ms of pure latency
+#: every sparse-objective evaluation.  The unrolled kernel is straight-line
+#: matmul/sqrt dataflow — no While iterations at all.  "auto" (default):
+#: on for small f64 factors off-CPU (measured A/B on the chip in
+#: benchmarks/kmm_probe.py); LAPACK wins on CPU.  NMGP_UNROLLED_CHOL=1/0
+#: forces.
+UNROLLED_MAX_N = 512
+_UNROLLED = os.environ.get("NMGP_UNROLLED_CHOL", "auto").lower()
+
+
+def use_unrolled(a: jnp.ndarray) -> bool:
+    """True when the unrolled recursive small-factor kernel should serve
+    this matrix (see ``UNROLLED_MAX_N`` notes)."""
+    if a.dtype != jnp.float64 or a.ndim != 2 or a.shape[-1] > UNROLLED_MAX_N:
+        return False
+    if _UNROLLED == "auto":
+        return jax.default_backend() != "cpu"
+    return _UNROLLED not in ("0", "false")
+
+
+def safe_cholesky_unrolled(a: jnp.ndarray, fallback: float | None = None):
+    """:func:`safe_cholesky`'s deterministic jitter ladder over the unrolled
+    recursive kernel (ops/blocked.unrolled_cholesky) — the small-f64 fast
+    path for per-evaluation Grams like the sparse tier's K_mm."""
+    chol0 = blocked.unrolled_cholesky(a)
+    if fallback is None:
+        fallback = (
+            FALLBACK_REL_F32 if a.dtype == jnp.float32 else FALLBACK_REL_F64
+        )
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    ok = jnp.all(jnp.isfinite(chol0))
+    scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1))
+    jit_val = jnp.where(ok, 0.0, fallback * scale).astype(a.dtype)
+    return blocked.unrolled_cholesky(a + jit_val * eye)
+
+
+def robust_cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Jitter-ladder factor via the measured-best kernel for the
+    size/backend: the unrolled recursive kernel off-CPU for small f64
+    Grams (:func:`use_unrolled`), else the XLA factor with the forced
+    robust ladder."""
+    if use_unrolled(a):
+        return safe_cholesky_unrolled(a)
+    return safe_cholesky(a, force_robust=True)
+
+
+def tri_solve_small(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``L^{-1} b`` via the explicit unrolled triangular inverse when gated
+    (ONE GEMM riding the MXU — no substitution latency), else the XLA
+    substitution.  For small well-scaled factors only (f64 eps keeps the
+    inverse's cond-amplified error far below the 1e-6 parity bar)."""
+    if use_unrolled(l):
+        return blocked.unrolled_tri_inv(l) @ b
+    return tri_solve(l, b)
+
 
 def _use_blocked(a: jnp.ndarray) -> bool:
     return (

@@ -338,3 +338,46 @@ class TestLbfgsMap:
         assert float(nlp(r.vec)) <= float(-r.target_hist.max()) + 1e-9
         with pytest.raises(ValueError, match="method"):
             map_mod.fit_map(nlp, jnp.zeros(5), method="newton")
+
+
+class TestHMCHostDispatch:
+    """dispatch="host" (one XLA dispatch per draw — the posture that lets a
+    strict-IEEE-f64 chain run on the tunneled TPU) must reproduce the scan
+    driver's draws to roundoff, with and without step-size adaptation."""
+
+    def _pot(self):
+        scales = jnp.asarray([0.5, 1.0, 2.0, 4.0])
+        return lambda q: 0.5 * jnp.sum((q / scales) ** 2)
+
+    @pytest.mark.parametrize("adapt", [False, True])
+    def test_matches_scan_driver(self, adapt):
+        from nonstationary_multivariate_gaussian_process_tpu.inference import (
+            hmc as hmc_mod,
+        )
+
+        pot = self._pot()
+        q0 = jnp.asarray([0.3, -0.2, 1.0, 0.5])
+        kw = dict(step_size=0.05, n_leapfrog=5, n_warmup=10 if adapt else 0,
+                  adapt_step_size=adapt, key=jax.random.PRNGKey(7))
+        r_dev = hmc_mod.hmc_sample(pot, q0, 20, **kw)
+        r_host = hmc_mod.hmc_sample(pot, q0, 20, dispatch="host", **kw)
+        np.testing.assert_allclose(np.asarray(r_host.samples),
+                                   np.asarray(r_dev.samples), atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(r_host.accepted),
+                                      np.asarray(r_dev.accepted))
+        np.testing.assert_allclose(float(r_host.step_size),
+                                   float(r_dev.step_size), rtol=1e-12)
+
+    def test_host_rejects_mass_matrix(self):
+        from nonstationary_multivariate_gaussian_process_tpu.inference import (
+            hmc as hmc_mod,
+        )
+
+        pot = self._pot()
+        q0 = jnp.zeros(4)
+        with pytest.raises(ValueError, match="identity-mass"):
+            hmc_mod.hmc_sample(pot, q0, 5, key=jax.random.PRNGKey(0),
+                               dispatch="host", mass_matrix=jnp.ones(4))
+        with pytest.raises(ValueError, match="dispatch"):
+            hmc_mod.hmc_sample(pot, q0, 5, key=jax.random.PRNGKey(0),
+                               dispatch="fleet")

@@ -75,7 +75,12 @@ class TestSnmgpSparse:
         if approx == "vfe":
             want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
         got = ssp.log_lik(p, data, ops, approx=approx)
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+        # rtol 5e-7: the structured hot path factors chol(B)⊗chol(K) with
+        # per-factor ridges; the dense comparator regularizes the assembled
+        # product — measured differences reach ~3.5e-7 relative (the ridge
+        # difference amplified by cond(K_mm)), still below the 1e-6 parity
+        # bar (TestStructuredSeparable pins the two paths directly)
+        np.testing.assert_allclose(float(got), float(want), rtol=5e-7)
 
     def test_fitc_exact_limit_z_equals_x(self):
         data = _data(n=24)
@@ -197,7 +202,12 @@ class TestLmcSparse:
         if approx == "vfe":
             want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
         got = lsp.log_lik(p, data, ops, approx=approx)
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+        # rtol 5e-7: the structured hot path factors chol(B)⊗chol(K) with
+        # per-factor ridges; the dense comparator regularizes the assembled
+        # product — measured differences reach ~3.5e-7 relative (the ridge
+        # difference amplified by cond(K_mm)), still below the 1e-6 parity
+        # bar (TestStructuredSeparable pins the two paths directly)
+        np.testing.assert_allclose(float(got), float(want), rtol=5e-7)
 
     def test_fitc_exact_limit_z_equals_x(self):
         data = _data(n=24)
@@ -287,7 +297,12 @@ class TestHadamardSparseSeparable:
         if approx == "vfe":
             want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
         got = ssp.log_lik_hadamard(p, data, ops, M, approx=approx)
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+        # rtol 5e-7: the structured hot path factors chol(B)⊗chol(K) with
+        # per-factor ridges; the dense comparator regularizes the assembled
+        # product — measured differences reach ~3.5e-7 relative (the ridge
+        # difference amplified by cond(K_mm)), still below the 1e-6 parity
+        # bar (TestStructuredSeparable pins the two paths directly)
+        np.testing.assert_allclose(float(got), float(want), rtol=5e-7)
 
     @pytest.mark.parametrize("approx", ["fitc", "vfe"])
     def test_lmc_matches_dense_mvn(self, approx):
@@ -302,7 +317,12 @@ class TestHadamardSparseSeparable:
         if approx == "vfe":
             want = want - 0.5 * jnp.sum(w.corr) / jnp.exp(p.tilde_sigma2_err)
         got = lsp.log_lik_hadamard(p, data, ops, M, approx=approx)
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+        # rtol 5e-7: the structured hot path factors chol(B)⊗chol(K) with
+        # per-factor ridges; the dense comparator regularizes the assembled
+        # product — measured differences reach ~3.5e-7 relative (the ridge
+        # difference amplified by cond(K_mm)), still below the 1e-6 parity
+        # bar (TestStructuredSeparable pins the two paths directly)
+        np.testing.assert_allclose(float(got), float(want), rtol=5e-7)
 
     def test_mask_pad_exact(self):
         from nonstationary_multivariate_gaussian_process_tpu.models.base import (
@@ -400,3 +420,114 @@ class TestWorkflow:
         outs = eng.predict("0", np.linspace(0.1, 0.9, 7), mode="sample",
                            n_sample=3)
         assert outs["mean"].shape == (7, M)
+
+
+class TestStructuredSeparable:
+    """The Kronecker-factored hot path (gnmgp_sparse._loglik_separable /
+    _loglik_separable_hadamard — chol(B⊗K) = chol(B)⊗chol(K), the identity
+    the reference exploits in distributions.py:26-52) must agree with the
+    materialized assembly dispatched through _loglik_pieces.  Differences
+    are at the per-factor-vs-product ridge scale (measured ~1e-7
+    relative), below the 1e-6 parity bar."""
+
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_snmgp_full(self, approx, masked):
+        from nonstationary_multivariate_gaussian_process_tpu.models.gnmgp_sparse import (
+            _loglik_pieces,
+        )
+
+        data = _data(n=24, key=5)
+        mask = None
+        if masked:
+            mask = np.ones(24, bool)
+            mask[20:] = False
+        nlp, ops = ssp.make_objective(data, n_inducing=8, approx=approx,
+                                      mask=mask)
+        vec = _snmgp_vec(8, key=7)
+        p = ssp.unpack(vec, 8, M)
+        structured = ssp.log_lik(p, data, ops, approx=approx, mask=mask)
+        pieces = ssp._assemble(p, data, ops, M, None, mask)
+        dense = _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+        np.testing.assert_allclose(float(structured), float(dense),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("approx", ["fitc", "vfe"])
+    def test_lmc_full(self, approx):
+        from nonstationary_multivariate_gaussian_process_tpu.models.gnmgp_sparse import (
+            _loglik_pieces,
+        )
+
+        data = _data(n=20, key=6)
+        nlp, ops = lsp.make_objective(data, n_inducing=6, approx=approx)
+        vec = _lmc_vec(key=3)
+        p = lsp.unpack(vec, M)
+        structured = lsp.log_lik(p, data, ops, approx=approx)
+        pieces = lsp._assemble(p, data, ops, M, None)
+        dense = _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), approx)
+        np.testing.assert_allclose(float(structured), float(dense),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("mod,vec_fn", [("snmgp", None), ("lmc", None)])
+    def test_hadamard(self, mod, vec_fn):
+        from nonstationary_multivariate_gaussian_process_tpu.models.gnmgp_sparse import (
+            _loglik_pieces,
+        )
+        from nonstationary_multivariate_gaussian_process_tpu.models import (
+            HadamardData,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 30
+        x = jnp.asarray(np.sort(rng.uniform(size=n)))
+        indx = jnp.asarray(rng.integers(0, M, size=n), jnp.int32)
+        y = jnp.asarray(rng.normal(size=n))
+        data = HadamardData(x, indx, y)
+        mask = np.ones(n, bool)
+        mask[26:] = False
+        if mod == "snmgp":
+            nlp, ops = ssp.make_objective_hadamard(data, M, n_inducing=7,
+                                                   mask=mask)
+            vec = _snmgp_vec(7, key=9)
+            p = ssp.unpack(vec, 7, M)
+            structured = ssp.log_lik_hadamard(p, (x, indx, y), ops, M,
+                                              mask=mask)
+            pieces = ssp._assemble_hadamard(p, (x, indx, y), ops, M, None,
+                                            mask)
+        else:
+            nlp, ops = lsp.make_objective_hadamard(data, M, n_inducing=7,
+                                                   mask=mask)
+            vec = _lmc_vec(key=9)
+            p = lsp.unpack(vec, M)
+            structured = lsp.log_lik_hadamard(p, (x, indx, y), ops, M,
+                                              mask=mask)
+            pieces = lsp._assemble_hadamard(p, (x, indx, y), ops, M, mask)
+        dense = _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err), "fitc")
+        np.testing.assert_allclose(float(structured), float(dense),
+                                   rtol=1e-6)
+
+    def test_gradients_match(self):
+        """jax.grad through the structured path equals grad through the
+        materialized path (same algebra, different association order)."""
+        from nonstationary_multivariate_gaussian_process_tpu.models.gnmgp_sparse import (
+            _loglik_pieces,
+        )
+
+        data = _data(n=18, key=8)
+        nlp, ops = ssp.make_objective(data, n_inducing=6)
+        vec = _snmgp_vec(6, key=2)
+
+        def f_structured(v):
+            p = ssp.unpack(v, 6, M)
+            return ssp.log_lik(p, data, ops)
+
+        def f_dense(v):
+            p = ssp.unpack(v, 6, M)
+            pieces = ssp._assemble(p, data, ops, M, None, None)
+            return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err),
+                                  "fitc")
+
+        g_s = jax.grad(f_structured)(vec)
+        g_d = jax.grad(f_dense)(vec)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                                   rtol=1e-4, atol=1e-5)
