@@ -311,10 +311,26 @@ def _unrolled_cholesky_bwd(l, lbar):
 unrolled_cholesky.defvjp(_unrolled_cholesky_fwd, _unrolled_cholesky_bwd)
 
 
+@jax.custom_vjp
 def unrolled_tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     """Explicit inverse of a small lower-triangular factor (recursive,
     loop-free).  Pairs with :func:`unrolled_cholesky` so the downstream
     m-solve ``L^{-1} K_mn`` becomes ONE f64 GEMM riding the MXU instead of
-    a substitution scan.  Plain jnp ops — autodiff gives the exact adjoint
-    (two GEMMs)."""
+    a substitution scan.  Custom VJP: from ``W L = I``,
+    ``L̄ = tril(−Wᵀ W̄ Wᵀ)`` — two small GEMMs instead of autodiff through
+    the O(n log n)-node recursion (measured: the recursion's backward
+    graph of tiny per-op dispatches was a real cost in the sparse hot
+    path, benchmarks/kmm_probe.py --breakdown)."""
     return _tri_inv_rec(l)
+
+
+def _unrolled_tri_inv_fwd(l):
+    w = _tri_inv_rec(l)
+    return w, w
+
+
+def _unrolled_tri_inv_bwd(w, wbar):
+    return (-jnp.tril(w.T @ wbar @ w.T),)
+
+
+unrolled_tri_inv.defvjp(_unrolled_tri_inv_fwd, _unrolled_tri_inv_bwd)

@@ -62,17 +62,31 @@ def use_unrolled(a: jnp.ndarray) -> bool:
 def safe_cholesky_unrolled(a: jnp.ndarray, fallback: float | None = None):
     """:func:`safe_cholesky`'s deterministic jitter ladder over the unrolled
     recursive kernel (ops/blocked.unrolled_cholesky) — the small-f64 fast
-    path for per-evaluation Grams like the sparse tier's K_mm."""
+    path for per-evaluation Grams like the sparse tier's K_mm.
+
+    Unlike :func:`safe_cholesky` (which executes both ladder rungs so at
+    most two XLA Cholesky expansions are ever lowered), the retry here
+    rides ``lax.cond``: the unrolled kernel is straight-line jnp ops with
+    no expander compile cost, and the common case (finite plain factor)
+    then pays for ONE factorization — measured as part of the sparse
+    factor/solve segment (benchmarks/kmm_probe.py --breakdown).  Identical
+    values either way: the taken branch computes the same factor.
+    """
     chol0 = blocked.unrolled_cholesky(a)
     if fallback is None:
         fallback = (
             FALLBACK_REL_F32 if a.dtype == jnp.float32 else FALLBACK_REL_F64
         )
-    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
     ok = jnp.all(jnp.isfinite(chol0))
-    scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1))
-    jit_val = jnp.where(ok, 0.0, fallback * scale).astype(a.dtype)
-    return blocked.unrolled_cholesky(a + jit_val * eye)
+
+    def retry(_):
+        scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1))
+        eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+        return blocked.unrolled_cholesky(
+            a + (jnp.asarray(fallback, a.dtype) * scale) * eye
+        )
+
+    return jax.lax.cond(ok, lambda _: chol0, retry, None)
 
 
 def robust_cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
