@@ -550,15 +550,35 @@ def _make_sampling_whitener(nlp, map_vec, cfg: PipelineConfig, key, x, n, m,
                      "(want False, True, 'prior' or 'pncp')")
 
 
-def _cohort_sampling_posture(cfg: PipelineConfig):
+#: Bucket subject length at/above which the adaptive-NUTS chain program on
+#: a SINGLE real chip enters the tunneled runtime's device-fault class
+#: (depth-8 trees × warmup+draws × tiled chains = a minutes-long single
+#: program — observed kernel fault at N=200, benchmarks/cohort_tpu_run.py).
+SINGLE_CHIP_NUTS_N = 128
+
+
+def _cohort_sampling_posture(cfg: PipelineConfig, n_bucket: int | None = None,
+                             mesh=None):
     """Resolve (sampler, whiten) for cohort posterior sampling.
 
     ``cohort_sampler="auto"`` is the trustworthy default: whitened adaptive
     NUTS — the configuration measured to dominate fixed-budget HMC on these
-    posteriors (inference/whiten.py, benchmarks/sampler_bench.py).
-    ``"config"`` follows ``cfg.sampler``/``cfg.whiten`` verbatim.
+    posteriors (inference/whiten.py, benchmarks/sampler_bench.py).  On a
+    *single non-CPU chip* with bucket subjects at/above
+    ``SINGLE_CHIP_NUTS_N``, auto resolves to ``"hmc_auto"`` instead:
+    whitened fixed-trajectory chains with warmup + step-size adaptation —
+    a seconds-long program where NUTS's variable-depth trees are the
+    minutes-long device-fault class (CLAUDE.md).  Statistically equivalent
+    at that scale: every chain tier measures identically non-mixed there
+    (split-R-hat ~1e3, ROADMAP), so the chains' production role is the
+    R-hat diagnostic feeding the SMC escalation, which fixed trajectories
+    serve equally.  ``"config"`` follows ``cfg.sampler``/``cfg.whiten``
+    verbatim.
     """
     if cfg.cohort_sampler == "auto":
+        if (n_bucket is not None and n_bucket >= SINGLE_CHIP_NUTS_N
+                and fleet_mod.resolve_smc_dispatch("auto", mesh) == "host"):
+            return "hmc_auto", True
         return "nuts", True
     if cfg.cohort_sampler == "config":
         return cfg.sampler, bool(cfg.whiten)
@@ -1306,7 +1326,8 @@ def run_cohort_hadamard(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort_hadamard supports whiten=True/"
                                  "'prior' only (pncp is single-subject)")
-            sampler, whiten_flag = _cohort_sampling_posture(cfg)
+            sampler, whiten_flag = _cohort_sampling_posture(
+                cfg, n_bucket=np.shape(x)[1], mesh=mesh)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
             c = max(1, cfg.n_chains)
             if sampler not in ("smc", "pathfinder"):  # these bring their
@@ -1364,12 +1385,20 @@ def run_cohort_hadamard(
                     n_warmup=n_warm, hyper=cfg.hyper, mesh=mesh,
                     whiten=whiten_flag, masks=mask_t,
                 )
-            elif sampler == "hmc":
+            elif sampler in ("hmc", "hmc_auto"):
+                # "hmc_auto": the single-chip reference-scale posture
+                # (_cohort_sampling_posture) — warmup + step-size
+                # adaptation forced so the fixed-trajectory chains stay
+                # zero-tuning like the NUTS default they replace
+                auto = sampler == "hmc_auto"
+                n_warm = (cfg.hmc_warmup if cfg.hmc_warmup > 0 or not auto
+                          else max(100, cfg.n_hmc))
                 samples = fleet_mod.hmc_fleet_hadamard(
                     cfg.model, x_t, indx_t, y_t, m, vec_t, k_bucket,
                     n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
-                    n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                    n_warmup=n_warm,
+                    adapt_step_size=cfg.hmc_adapt or auto,
                     masks=mask_t, whiten=whiten_flag,
                 )
             else:
@@ -2026,7 +2055,8 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
         if cfg.whiten == "pncp":
             raise ValueError("run_cohort supports whiten=True/'prior' only "
                              "(pncp is single-subject)")
-        sampler, _ = _cohort_sampling_posture(cfg)
+        sampler, _ = _cohort_sampling_posture(
+            cfg, n_bucket=np.shape(x)[1], mesh=mesh)
         k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                       int(idxs[0]))
         if sampler == "smc":
@@ -2051,7 +2081,7 @@ def _fit_bucket_sparse(x, y, idxs, mask, cfg: PipelineConfig, mesh) -> dict:
             out["smc_beta"] = np.asarray(r.beta_final)
             out["smc_stages"] = np.asarray(r.n_stages)
             return out
-        if sampler not in ("nuts", "hmc"):
+        if sampler not in ("nuts", "hmc", "hmc_auto"):
             raise ValueError(
                 "sparse cohort sampling supports whitened adaptive "
                 "NUTS/HMC chains and tempered SMC (cohort_sampler='auto', "
@@ -2180,7 +2210,8 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
         if cfg.whiten == "pncp":
             raise ValueError("run_cohort_hadamard supports whiten=True/"
                              "'prior' only (pncp is single-subject)")
-        sampler, _ = _cohort_sampling_posture(cfg)
+        sampler, _ = _cohort_sampling_posture(
+            cfg, n_bucket=np.shape(x)[1], mesh=mesh)
         k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                       int(idxs[0]))
         if sampler == "smc":
@@ -2203,7 +2234,7 @@ def _fit_bucket_sparse_hadamard(x, indx, y, m: int, idxs, mask,
             out["smc_beta"] = np.asarray(r.beta_final)
             out["smc_stages"] = np.asarray(r.n_stages)
             return out
-        if sampler not in ("nuts", "hmc"):
+        if sampler not in ("nuts", "hmc", "hmc_auto"):
             raise ValueError(
                 "sparse cohort sampling supports whitened adaptive "
                 "NUTS/HMC chains and tempered SMC (cohort_sampler='auto', "
@@ -2386,7 +2417,8 @@ def run_cohort(
             if cfg.whiten == "pncp":
                 raise ValueError("run_cohort supports whiten=True/'prior' "
                                  "only (pncp is single-subject)")
-            sampler, whiten_flag = _cohort_sampling_posture(cfg)
+            sampler, whiten_flag = _cohort_sampling_posture(
+                cfg, n_bucket=np.shape(x)[1], mesh=mesh)
             k_bucket = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), int(idxs[0]))
             if sampler not in ("chees", "smc", "pathfinder"):  # these bring
                 # their own populations/paths/chains — no unit tiling
@@ -2462,12 +2494,19 @@ def run_cohort(
                     hyper=cfg.hyper, mesh=mesh,
                     whiten=whiten_flag, masks=mask_t,
                 )
-            elif sampler == "hmc":
+            elif sampler in ("hmc", "hmc_auto"):
+                # "hmc_auto": the single-chip reference-scale posture
+                # (_cohort_sampling_posture) — warmup + step-size
+                # adaptation forced so the fixed-trajectory chains stay
+                # zero-tuning like the NUTS default they replace
+                auto = sampler == "hmc_auto"
+                n_warm = (cfg.hmc_warmup if cfg.hmc_warmup > 0 or not auto
+                          else max(100, cfg.n_hmc))
                 samples = fleet_mod.hmc_fleet(
                     cfg.model, x_t, y_t, vec_t,
                     k_bucket, n_samples=cfg.n_hmc, step_size=cfg.hmc_step_size,
                     n_leapfrog=cfg.hmc_leapfrog, hyper=cfg.hyper, mesh=mesh,
-                    n_warmup=cfg.hmc_warmup, adapt_step_size=cfg.hmc_adapt,
+                    n_warmup=n_warm, adapt_step_size=cfg.hmc_adapt or auto,
                     whiten=whiten_flag, masks=mask_t,
                 )
             else:

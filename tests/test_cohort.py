@@ -326,3 +326,64 @@ def test_measured_better_defaults_on():
     cfg = workflows.PipelineConfig()
     assert cfg.map_method == "lbfgs"
     assert cfg.escalate_rhat == 1.2
+
+
+class TestSingleChipChainPosture:
+    """On a single non-CPU chip, cohort_sampler="auto" at the reference
+    scale resolves to whitened fixed-trajectory HMC ("hmc_auto") instead of
+    NUTS — NUTS's depth-8 trees × tiled chains are a minutes-long single
+    program, the tunneled-TPU device-fault class (observed kernel fault,
+    benchmarks/cohort_tpu_run.py).  Chains' production role there is the
+    R-hat diagnostic feeding the SMC escalation, which fixed trajectories
+    serve equally (every chain tier measures identically non-mixed at
+    N=200, ROADMAP)."""
+
+    def test_posture_resolution(self, monkeypatch):
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import (
+            fleet,
+        )
+
+        cfg = workflows.PipelineConfig()
+        # CPU mesh: auto stays NUTS at every scale
+        assert workflows._cohort_sampling_posture(
+            cfg, n_bucket=200, mesh=None) == ("nuts", True)
+        # single real chip: hmc_auto at/above the threshold, NUTS below
+        monkeypatch.setattr(fleet, "resolve_smc_dispatch",
+                            lambda d, m: "host")
+        assert workflows._cohort_sampling_posture(
+            cfg, n_bucket=200, mesh=None) == ("hmc_auto", True)
+        assert workflows._cohort_sampling_posture(
+            cfg, n_bucket=64, mesh=None) == ("nuts", True)
+        # explicit config is never overridden
+        cfg2 = workflows.PipelineConfig(cohort_sampler="config",
+                                        sampler="nuts")
+        assert workflows._cohort_sampling_posture(
+            cfg2, n_bucket=200, mesh=None)[0] == "nuts"
+
+    def test_hmc_auto_end_to_end(self, monkeypatch):
+        """The hmc_auto branch runs the full cohort chain + escalation path
+        (threshold lowered so small CPU subjects exercise it)."""
+        from nonstationary_multivariate_gaussian_process_tpu.parallel import (
+            fleet,
+        )
+
+        monkeypatch.setattr(fleet, "resolve_smc_dispatch",
+                            lambda d, m: "host")
+        monkeypatch.setattr(workflows, "SINGLE_CHIP_NUTS_N", 8)
+        keys = jax.random.split(jax.random.PRNGKey(3), 2)
+        subjects = {}
+        for i in range(2):
+            d = sim.sim_mnts(keys[i], n=14)
+            subjects[f"s{i}"] = (np.asarray(d.x), np.asarray(d.y))
+        cfg = workflows.PipelineConfig(
+            model="gnmgp", n_opt=40, do_hmc=True, n_hmc=8, hmc_warmup=10,
+            n_chains=2, escalate_rhat=1.0001,  # force the escalation too
+            smc_particles=32, smc_mutations=2, smc_leapfrog=4,
+        )
+        res = workflows.run_cohort(subjects, cfg=cfg, n_buckets=1)
+        for rec in res["subjects"].values():
+            assert np.isfinite(np.asarray(rec["hmc_samples"])).all()
+            samp = rec["sampling"]
+            # tiny budgets cannot mix: the escalation swapped in SMC draws
+            assert samp["sampler"] == "smc"
+            assert samp["escalated_from_rhat"] > 1.0001

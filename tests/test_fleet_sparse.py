@@ -246,6 +246,8 @@ def test_smc_fleet_sparse_all_layouts():
     assert np.isfinite(np.asarray(rhet.logz)).all()
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_smc_fleet_sparse_host_dispatch_equality():
     """The single-real-chip posture (dispatch="host": per-subject
     host-dispatched tempering loops — what dispatch="auto" resolves to on
@@ -393,6 +395,8 @@ def test_hadamard_fleet_pad_exact_and_chains():
     np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_run_cohort_hadamard_sparse(tmp_path):
     """run_cohort_hadamard(model="gnmgp_sparse"): sparse fleet MAP +
     whitened chains + sparse-Hadamard LOO + indexed test scores."""
@@ -474,6 +478,8 @@ def test_hetero_fleet_whitened_chains():
     np.testing.assert_array_equal(np.asarray(samp), np.asarray(samp2))
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_run_cohort_hetero_sparse(tmp_path):
     """run_cohort(model="gnmgp_hetero_sparse"): the heteroscedastic sparse
     tier reaches the cohort driver — hetero fleet MAP, whitened 3-block

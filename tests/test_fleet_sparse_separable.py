@@ -214,6 +214,8 @@ def test_run_cohort_separable_sparse_smc():
         assert np.isfinite(rec["sampling"]["log_evidence"])
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 @pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
 def test_run_cohort_hadamard_separable_sparse(model, tmp_path):
     """run_cohort_hadamard(model="snmgp_sparse"/"lmc_sparse"): the separable
@@ -288,6 +290,8 @@ def test_sparse_cohort_escalation():
         assert rec["sampling"]["escalated_from_rhat"] > 1.0001
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_dense_hadamard_cohort_escalation():
     """R-hat escalation in the DENSE Hadamard cohort path (round-4 symmetry
     closure: every cohort bucket tier shares _escalate_nonmixing)."""

@@ -163,6 +163,8 @@ def test_workflow_pathfinder_tier():
     assert "log_evidence_is" in s
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_pathfinder_fleet_cohort():
     """Fleet tier: per-subject vmapped multipath pathfinder sharded over
     the mesh (parallel/fleet.pathfinder_fleet), reachable from run_cohort
@@ -222,6 +224,8 @@ def test_pathfinder_fleet_cohort():
         )
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_cohort_hadamard_pathfinder_routing():
     """run_cohort_hadamard with sampler="pathfinder": the Hadamard fleet
     tier (pathfinder_fleet_hadamard) — k_hat + IS evidence surfaced,
@@ -251,6 +255,8 @@ def test_cohort_hadamard_pathfinder_routing():
         assert np.isfinite(s["k_hat"]) and "log_evidence_is" in s
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_sim_fleet_pathfinder_routing():
     """run_sim_fleet(sampler="pathfinder"): replicate-fleet variational
     draws via pathfinder_fleet, centered at the fleet MAPs; per-replicate

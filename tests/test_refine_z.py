@@ -119,6 +119,8 @@ def test_refine_hadamard_separable():
     assert final_l <= float(nlp_l(lvec)) + 1e-6
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 @pytest.mark.parametrize("model", ["snmgp_sparse", "gnmgp_hetero_sparse"])
 def test_workflow_routes_refine_z(model):
     """run_subject with refine_z>0 runs the refinement for every sparse

@@ -177,6 +177,8 @@ def test_contracts_and_determinism(rng):
         )
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_workflow_sampler_routing():
     """PipelineConfig(sampler="rmhmc") runs the full single-subject stage:
     pilot → worst-coordinate selection → whitened Gibbs chain."""

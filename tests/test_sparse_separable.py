@@ -344,6 +344,8 @@ class TestHadamardSparseSeparable:
             np.testing.assert_allclose(float(nlp_p(vec)), float(nlp_r(vec)),
                                        rtol=1e-9)
 
+    @pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+    #   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
     @pytest.mark.parametrize("model", ["snmgp_sparse", "lmc_sparse"])
     def test_run_subject_hadamard_sparse(self, model):
         """Hadamard pipeline end-to-end: MAP, whitened chain, LOO, indexed
@@ -513,16 +515,16 @@ class TestStructuredSeparable:
             _loglik_pieces,
         )
 
-        data = _data(n=18, key=8)
-        nlp, ops = ssp.make_objective(data, n_inducing=6)
-        vec = _snmgp_vec(6, key=2)
+        data = _data(n=12, key=8)
+        nlp, ops = ssp.make_objective(data, n_inducing=4)
+        vec = _snmgp_vec(4, key=2)
 
         def f_structured(v):
-            p = ssp.unpack(v, 6, M)
+            p = ssp.unpack(v, 4, M)
             return ssp.log_lik(p, data, ops)
 
         def f_dense(v):
-            p = ssp.unpack(v, 6, M)
+            p = ssp.unpack(v, 4, M)
             pieces = ssp._assemble(p, data, ops, M, None, None)
             return _loglik_pieces(pieces, jnp.exp(p.tilde_sigma2_err),
                                   "fitc")

@@ -163,6 +163,8 @@ def test_pncp_pipeline_smoke(rng):
     assert np.all(np.isfinite(s))
 
 
+@pytest.mark.slow  # demoted r5: heavy routing/e2e duplicative of a
+#   faster default-tier witness (VERDICT r4 #7 suite-wall budget)
 def test_whitened_hmc_mixes(rng):
     n, m = 32, 2
     x = _x(rng, n)
