@@ -448,8 +448,17 @@ def stage_sweep1000():
             "NMGP_BENCH_FLEET1000_SWEEP", "2,4,8"
         ).split(",")
     ]
+    # each sweep point compiles a NEW vmapped N=1000 fleet program (minutes
+    # when the cache is cold): stop adding points at the soft deadline so a
+    # cold run still returns the points it finished instead of timing out
+    # with nothing (the r5 validation run lost the whole stage that way)
+    deadline = 0.6 * float(os.environ.get("NMGP_BENCH_STAGE_TIMEOUT", "1e9"))
+    t_start = time.monotonic()
     out = {}
     for s_count in sweep_sizes:
+        if out and time.monotonic() - t_start > deadline:
+            _log(f"[sweep1000] soft deadline: stopping before S={s_count}")
+            break
         rate = None
         for attempt in range(2):
             r = _time_fleet_rate(s_count, fleet_n, seed=7 + s_count
@@ -706,8 +715,9 @@ def _run_probe(stage: str, mode: str):
     if _remaining() < floor:
         _log(f"SKIP {stage}/{mode}: {_remaining():.0f}s left < {floor:.0f}s floor")
         return None
-    env = dict(os.environ, NMGP_PRECISION=mode, NMGP_BENCH_STAGE=stage)
     timeout = max(30.0, _remaining() - 15.0)
+    env = dict(os.environ, NMGP_PRECISION=mode, NMGP_BENCH_STAGE=stage,
+               NMGP_BENCH_STAGE_TIMEOUT=str(timeout))
     t0 = time.monotonic()
     try:
         out = subprocess.run(
@@ -894,12 +904,6 @@ def main():
         state["done"].append("sweep")
         _emit(state)
 
-    res = _run_probe("sweep1000", "f32")
-    if res is not None:
-        state["opt"].update(res)
-        state["done"].append("sweep1000")
-        _emit(state)
-
     res = _run_probe("sparse", "mixed")
     if res is not None:
         state["opt"].update(res)
@@ -930,6 +934,14 @@ def main():
     if res is not None:
         state["opt"].update(res)
         state["done"].append("smc")
+        _emit(state)
+
+    # last: each sweep point compiles a NEW N=1000 fleet program (minutes
+    # cold) — it must never starve the stages above (r5 validation run)
+    res = _run_probe("sweep1000", "f32")
+    if res is not None:
+        state["opt"].update(res)
+        state["done"].append("sweep1000")
         _emit(state)
 
     _log(f"bench complete: {len(state['done'])} stages in "

@@ -124,8 +124,16 @@ def _clear_jax_caches_per_module():
     One pytest process runs ~500 tests and accumulates hundreds of live XLA
     CPU executables; a full-suite run segfaulted inside a late pjit compile
     at that accumulation level (r4), while the same test passes standalone.
-    The persistent on-disk cache (.jax_cache) makes the cross-module
-    retraces cheap — this only bounds *resident* state, not compile work.
+    In r5 the same class reproducibly surfaced as WRONG NUMERICS instead
+    (two robust-jitter tests returned NaN factors at the ~55% mark of full
+    runs, passing standalone and in half-suite runs with identical code
+    and caches) — run the suite through ``tests/run_suite.py``, which
+    bounds accumulation by process isolation.  The persistent on-disk
+    cache (.jax_cache) makes the cross-module retraces cheap — this
+    fixture only bounds *resident* state, not compile work.
     """
     yield
     jax.clear_caches()
+    import gc
+
+    gc.collect()
