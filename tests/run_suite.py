@@ -3,11 +3,17 @@
 One pytest process running the full ~470-test default tier accumulates
 enough live XLA:CPU state on this single-core host to corrupt late
 executions: r4 saw a segfault in a late pjit compile; r5 reproducibly saw
-two robust-jitter tests return wrong numerics (NaN factors whose ladder
-check passed) at the ~55% mark of full runs while passing standalone AND
-in half-suite runs with identical code and caches.  The per-module
+robust-jitter tests return wrong numerics (NaN factors whose ladder
+check passed) in full and half-suite runs while passing standalone and
+in small batches, with identical code and caches.  The per-module
 ``jax.clear_caches()`` fixture bounds compiled-executable state but not
 whatever else the runtime accrues.
+
+Narrowed reproduction (r5): the corrupted robust-jitter result needs
+~200+ accumulated tests in one process — a 62-test 4-module run and every
+pair of suspect modules pass; the 245-test half-suite shard fails the
+same single test deterministically.  3 shards (~160 tests each) bound it
+with margin.
 
 This runner splits the test files into ``--shards`` alphabetical groups
 and runs each in its OWN pytest process (sequentially — the host has one
@@ -15,7 +21,7 @@ core), aggregating exit codes.  Process isolation definitively bounds the
 accumulation; the persistent on-disk compile cache keeps the extra
 process startups cheap.
 
-    python tests/run_suite.py                 # default tier, 2 shards
+    python tests/run_suite.py                 # default tier, 3 shards
     python tests/run_suite.py --runslow       # full tier
     python tests/run_suite.py --shards 3 -x   # extra pytest args pass through
 """
@@ -30,7 +36,7 @@ import time
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--shards", type=int, default=2)
+    ap.add_argument("--shards", type=int, default=3)
     args, passthrough = ap.parse_known_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
